@@ -1,0 +1,85 @@
+"""Table catalog for the driver testdata + stable row-id stamping.
+
+The reference engine's core abstraction is an *indexable collection of
+rows* (``src/scdataset/scdataset.py:33-36`` in the reference): every
+sampling strategy manipulates stable integer row indices.  On Spark the
+equivalent is a DataFrame carrying an explicit ``row_id`` column that is
+stable under recompute (``monotonically_increasing_id`` is NOT — it
+depends on partition layout), so we derive ``row_id`` deterministically
+from the table's natural key at load time.
+
+At 100 TB the row_id would be persisted at ingest (one pass, written to
+Parquet/Delta); here we compute it from keys the driver's synthetic
+tables already carry, which keeps the DuckDB oracle able to reproduce it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Natural-key expression giving each table a stable, unique bigint row_id
+# that an ANSI-SQL oracle can recompute.  lineitem has no single key:
+# (l_orderkey, l_linenumber) is unique with l_linenumber in [1, 7], so
+# l_orderkey * 10 + l_linenumber is injective.
+ROW_ID_SQL = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey * 10 + l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR, with_row_id: bool = True) -> DataFrame:
+    """Read one driver table; optionally stamp the stable ``row_id``.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses to read natively — we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds, matching DuckDB's own ns→µs truncation so the oracle
+    sees identical timestamps.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if with_row_id and name in ROW_ID_SQL:
+        df = df.withColumn("row_id", F.expr(ROW_ID_SQL[name]).cast("bigint"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, with_row_id: bool = False) -> dict[str, DataFrame]:
+    """Load every driver table and register temp views (no row_id by
+    default so views mirror the oracle's pre-registered views exactly)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, name, sf_dir, with_row_id=with_row_id)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,140 @@
+"""Batch/fetch planning columns and exact length metadata.
+
+Mirrors the reference's fetch-then-batch execution loop (reference
+``src/scdataset/scdataset.py:415-561``): an ordered index stream is
+chunked into *fetches* of ``batch_size * fetch_factor`` rows (the I/O
+unit) and each fetch is sliced into *batches* (the yield unit), with
+``drop_last`` applied per fetch, not globally
+(``src/scdataset/scdataset.py:538-548``).
+
+On Spark the index stream is a DataFrame with a ``pos`` column (yield
+order, 0-based) and the plan is three derived columns — ``fetch_id``,
+``batch_id``, ``batch_pos`` — all pure integer arithmetic on ``pos``, so
+Catalyst keeps everything in whole-stage codegen and the DuckDB oracle
+can recompute the identical plan.
+
+Scale note (100 TB): the only non-embarrassingly-parallel step is
+assigning ``pos``.  ``with_pos`` offers two physical strategies:
+a global-window path (fine up to ~10M rows per job: one total-order
+sort) and a bucketed path that computes per-bucket offsets with a tiny
+broadcast join, keeping the sort partition-local — the standard
+distributed row-numbering pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_pos(
+    df: DataFrame,
+    order_col: str = "row_id",
+    pos_col: str = "pos",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Add 0-based ``pos`` = rank of ``order_col`` ascending.
+
+    ``buckets=None``: single global window (one total-order sort — exact
+    semantics, acceptable below ~10M rows).
+
+    ``buckets=k``: scalable path.  Rows are hashed into k contiguous
+    ranges of ``order_col`` (range boundaries from the max key, one cheap
+    agg), counts per bucket are aggregated (k rows), offsets are a
+    running sum over that tiny frame, broadcast-joined back, and the
+    expensive numbering happens *within* buckets — no global shuffle to
+    one partition.
+    """
+    if buckets is None:
+        w = Window.orderBy(F.col(order_col))
+        return df.withColumn(pos_col, F.row_number().over(w) - F.lit(1))
+
+    stats = df.agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    )
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        F.least(
+            F.lit(buckets - 1),
+            ((F.col(order_col) - F.col("_lo")) * buckets / (F.col("_hi") - F.col("_lo") + 1)).cast("bigint"),
+        ),
+    )
+    counts = b.groupBy("_bucket").count()
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))).drop("count")
+    w_in = Window.partitionBy("_bucket").orderBy(F.col(order_col))
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(pos_col, F.row_number().over(w_in) - F.lit(1) + F.col("_offset"))
+        .drop("_bucket", "_offset", "_lo", "_hi")
+    )
+
+
+def with_batches(
+    plan: DataFrame,
+    batch_size: int,
+    fetch_factor: int = 16,
+    drop_last: bool = False,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Add ``fetch_id``, ``batch_id``, ``batch_pos`` to an ordered plan.
+
+    - ``fetch_id``  = pos div (batch_size*fetch_factor)   (I/O unit, O10)
+    - ``batch_id``  = pos div batch_size                  (yield unit, O11)
+    - ``batch_pos`` = pos %  batch_size
+    - ``drop_last`` drops the trailing *partial* batch of each fetch
+      (reference per-fetch semantics, ``scdataset.py:544-545``): a batch
+      survives iff it is full OR it is not the last batch of its fetch.
+      Implemented as a window count per (fetch_id, batch_id) — a cheap
+      partial aggregate; no extra shuffle beyond the plan's own
+      partitioning when the frame is already partitioned by fetch.
+    """
+    fetch_size = batch_size * fetch_factor
+    p = F.col(pos_col)
+    out = (
+        plan.withColumn("fetch_id", F.expr(f"{pos_col} div {fetch_size}"))
+        .withColumn("batch_id", F.expr(f"{pos_col} div {batch_size}"))
+        .withColumn("batch_pos", (p % batch_size).cast("bigint"))
+    )
+    if drop_last:
+        w = Window.partitionBy("fetch_id", "batch_id")
+        out = out.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
+            F.col("_bsz") == batch_size
+        ).drop("_bsz")
+    return out
+
+
+def ddp_filter(plan: DataFrame, world_size: int, rank: int) -> DataFrame:
+    """DDP round-robin fetch assignment (O13): rank r keeps fetches
+    r, r+W, r+2W, ... (reference ``scdataset.py:495-501``).  Round-robin
+    (vs contiguous) keeps tail work balanced across ranks."""
+    if not (0 <= rank < world_size):
+        raise ValueError(f"rank {rank} out of range for world_size {world_size}")
+    return plan.where(F.pmod(F.col("fetch_id"), F.lit(world_size)) == F.lit(rank))
+
+
+def exact_num_batches(
+    n: int,
+    batch_size: int,
+    fetch_factor: int = 16,
+    drop_last: bool = False,
+    world_size: int = 1,
+    rank: int = 0,
+) -> int:
+    """Closed-form batch count for one rank — no Spark job (O12).
+
+    Mirrors the reference's ``__len__`` contract
+    (``src/scdataset/scdataset.py:333-413``): count batches produced by
+    exactly the fetches this rank owns under round-robin assignment,
+    applying per-fetch drop_last.  Must equal the executed plan's batch
+    count for every edge config (empty ranks, partial trailing fetch).
+    """
+    if batch_size <= 0 or fetch_factor <= 0:
+        raise ValueError("batch_size and fetch_factor must be positive")
+    fetch_size = batch_size * fetch_factor
+    num_fetches = (n + fetch_size - 1) // fetch_size
+    total = 0
+    for f in range(rank, num_fetches, world_size):
+        size = fetch_size if f < num_fetches - 1 else n - (num_fetches - 1) * fetch_size
+        total += size // batch_size if drop_last else (size + batch_size - 1) // batch_size
+    return total

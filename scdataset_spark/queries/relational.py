@@ -1,0 +1,408 @@
+"""Layer-B relational surface: filters, aggregations, joins, windows,
+set ops, rollup, scalar functions (SURVEY.md §2.2 P4, §2.7 G7, §2.8 J3,
+§2.9 W3-W7, §2.10).
+
+All heavy lifting is built-in Catalyst operators — predicate pushdown,
+column pruning and join selection come for free; the queries are written
+so the optimizer broadcasts dimension tables and pushes filters into the
+parquet scan (verified via .explain in tests/test_plans_explain.py).
+
+FP determinism: double sums are computed as
+``CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE)`` — the sum itself is
+exact decimal arithmetic, so the result is independent of partial-agg
+ordering and bit-identical between Spark and DuckDB.  (A plain double
+sum varies in the last ulps with partition count, which would break the
+driver's value hash.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.queries.registry import query
+
+
+def dsum(expr: str, alias: str) -> str:
+    """Order-independent double sum (identical SQL in both dialects)."""
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(24,8))) AS DOUBLE) AS {alias}"
+
+
+def dsum_col(expr) -> F.Column:
+    return F.sum(expr.cast("decimal(24,8)")).cast("double")
+
+
+# ------------------------------------------------------------- G7 / P4
+@query(
+    "q1_pricing_summary",
+    survey_ref="G7,P4,W3",
+    headline=True,
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity', 'sum_qty')},
+       {dsum('l_extendedprice', 'sum_base_price')},
+       {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analogue: scan + filter + hash aggregate.  The filter
+    and the 7-column projection push down into the parquet scan."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum_col(F.col("l_quantity")).alias("sum_qty"),
+            dsum_col(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum_col(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    survey_ref="P4,G7",
+    headline=True,
+    oracle=f"""
+SELECT {dsum('l_extendedprice * l_discount', 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: pure scan-filter-agg; every predicate is
+    parquet-pushable, the scan reads 4 columns of 11."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum_col(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------- J3
+@query(
+    "q3_shipping_priority",
+    survey_ref="J3,G7,W4",
+    headline=True,
+    oracle=f"""
+SELECT l.l_orderkey,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue: star join + agg + deterministic top-10
+    (revenue is decimal-exact so the ORDER BY is engine-stable;
+    l_orderkey breaks ties).  customer is broadcast."""
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING"))
+        .join(o.where(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    survey_ref="J3,G7",
+    headline=True,
+    oracle=f"""
+SELECT n.n_name,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue: 6-table star join.  All dimension tables
+    (region, nation, supplier, customer) broadcast; only the
+    orders-lineitem join shuffles — and AQE can turn it into a
+    broadcast too at small SFs."""
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    r = load_table(spark, "region", sf_dir, with_row_id=False)
+    return (
+        c.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "j_anti_customers_without_orders",
+    survey_ref="J3",
+    oracle="""
+SELECT c_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def j_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select("c_custkey")
+
+
+@query(
+    "j_semi_active_customers",
+    survey_ref="J3",
+    oracle="""
+SELECT c_custkey
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+""",
+)
+def j_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return c.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select("c_custkey")
+
+
+# ---------------------------------------------------------------- W5
+@query(
+    "w5_top3_orders_per_customer",
+    survey_ref="W5,W4",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def w5_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "w5_running_revenue",
+    survey_ref="W2,W5",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+FROM lineitem
+""",
+)
+def w5_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative revenue per supplier (the same running-sum
+    machinery the inverse-CDF sampler uses, W2) — decimal-exact so the
+    prefix sums match the oracle bitwise."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).over(w).cast("double").alias("running_rev"),
+    )
+
+
+# ---------------------------------------------------------------- W6/W7
+@query(
+    "setops_repeat_customers",
+    survey_ref="W6,W7",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
+def setops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.intersect(late)
+
+
+@query(
+    "setops_lapsed_customers",
+    survey_ref="W7",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
+def setops_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = o.where(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.subtract(late)
+
+
+# ---------------------------------------------------------------- G7
+@query(
+    "g7_rollup_lineitem",
+    survey_ref="G7",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       {dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def g7_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum_col(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@query(
+    "g7_distinct_aggregates",
+    survey_ref="G7,G4",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def g7_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "g7_pivot_status_by_flag",
+    survey_ref="G7",
+    oracle="""
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'O') AS status_o,
+       count(*) FILTER (WHERE l_linestatus = 'F') AS status_f
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def g7_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregates (the portable form of
+    df.groupBy().pivot())."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("status_o"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("status_f"),
+    )
+
+
+# --------------------------------------------------------------- §2.10
+@query(
+    "scalar_functions_events",
+    survey_ref="§2.10",
+    oracle="""
+SELECT event_id,
+       upper(event_type) AS etype_upper,
+       length(event_type) AS etype_len,
+       substr(event_type, 1, 3) AS etype_pre,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(round(value, 2) AS DOUBLE) AS value_r,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       abs(value) + sqrt(abs(value)) AS mathy
+FROM events
+""",
+)
+def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / JSON scalar function coverage on events."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("etype_upper"),
+        F.length("event_type").alias("etype_len"),
+        F.substring("event_type", 1, 3).alias("etype_pre"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value"), 2).alias("value_r"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        (F.abs(F.col("value")) + F.sqrt(F.abs(F.col("value")))).alias("mathy"),
+    )

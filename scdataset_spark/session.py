@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the configuration below is chosen so
+the same code scales to a multi-executor cluster: AQE handles runtime
+re-planning (partition coalescing, skew joins), Arrow is enabled for the
+pandas-UDF hook pipeline, and the session timezone is pinned to UTC so
+date semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "scdataset_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-aware defaults.
+
+    AQE is on: at 100 TB the static ``shuffle.partitions`` is only an
+    upper bound — AQE coalesces small post-shuffle partitions and splits
+    skewed ones at runtime, so the same plan works at sf0.001 and at
+    cluster scale.
+    """
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{sp}]"))
+    return builder.getOrCreate()
