@@ -1,0 +1,128 @@
+"""Deduplication operators for an LLM-data pipeline (SURVEY.md §2.14).
+
+Five families, all shuffle-efficient by construction:
+
+- exact          : md5(normalized text) → groupBy fingerprint (one hash
+                   shuffle on a 32-byte key; keeps min doc_id)
+- minhash + LSH  : k lexicographic-min md5 minhashes over 3-token
+                   shingles → band signatures → equi-self-join on
+                   (band, signature).  The classic near-dup join: no
+                   pairwise cross product ever materializes.
+- simhash        : 32-bit vote-sum signature; identical-signature
+                   buckets are near-dup candidates (operators/textanalysis.py)
+- n-gram Jaccard : inverted-index join on shared shingles → exact
+                   Jaccard from |A∩B| and set sizes.  Scale note: at
+                   100 TB add a document-frequency cap on hot shingles
+                   (stop-shingle removal) to bound join fan-out.
+- embedding cos  : near-dup by cosine similarity on the embeddings
+                   table (see operators/similarity.py).
+
+Everything is built-in higher-order functions (split / transform /
+slice / array_distinct / explode) — JVM codegen, no Python UDFs — and
+has an exact DuckDB twin (md5 hex strings order identically everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(size(split({t}, ' ')) - 2, 1)), "
+    "i -> concat_ws(' ', element_at(split({t}, ' '), i), "
+    "element_at(split({t}, ' '), least(i + 1, size(split({t}, ' ')))), "
+    "element_at(split({t}, ' '), least(i + 2, size(split({t}, ' ')))))))"
+)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") -> DataFrame:
+    """Distinct 3-token shingles (documents shorter than 3 tokens get a
+    single clamped shingle so no row is dropped)."""
+    return df.withColumn(out, F.expr(SHINGLE_EXPR.format(t=text_col)))
+
+
+def with_minhash(df: DataFrame, num_hashes: int = 12, shingle_col: str = "shingles") -> DataFrame:
+    """k minhashes: for hash j, min over shingles of md5(j || ':' || s).
+
+    Lexicographic min over md5 hex strings is a valid uniform minhash
+    family and — unlike integer xxhash — is bit-identical in DuckDB.
+    """
+    for j in range(num_hashes):
+        df = df.withColumn(
+            f"mh{j}",
+            F.expr(
+                f"array_min(transform({shingle_col}, s -> md5(concat('{j}:', s))))"
+            ),
+        )
+    return df
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows_per_band = num_hashes/bands), hash each
+    band, self-join on (band_id, band_sig): docs agreeing on ANY band
+    become a candidate pair.  This is an equi-join on a short key —
+    shuffle-partitionable, no cross product, the canonical LSH shape.
+    """
+    r = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        sig = F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]))
+        band_rows.append(
+            df.select(F.col(id_col), F.lit(b).alias("band_id"), sig.alias("band_sig"))
+        )
+    banded = band_rows[0]
+    for x in band_rows[1:]:
+        banded = banded.unionByName(x)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    pairs = (
+        a.join(b2, ["band_id", "band_sig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index join: explode distinct
+    shingles, self-join on the shingle, count shared per pair, then
+    J = |A∩B| / (|A| + |B| - |A∩B|).  Join fan-out is bounded by
+    per-shingle document frequency (cap hot shingles at real scale)."""
+    sized = df.withColumn("n_sh", F.size(F.col(shingle_col)))
+    inv = sized.select(
+        F.col(id_col), "n_sh", F.explode(F.col(shingle_col)).alias("sh")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(b, "sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.round(
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+    )
+    return (
+        shared.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

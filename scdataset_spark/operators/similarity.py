@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (SURVEY.md §2.14).
+
+- brute-force cosine top-k: exact baseline.  The query set is small and
+  broadcast; the candidate side streams — one pass over the table, a
+  per-query top-k via window.  At 100 TB candidates this is the
+  always-correct fallback and the verifier for approximate paths.
+- random-hyperplane LSH (SimHash for vectors): ±1 hyperplanes derived
+  from the portable mix() hash, bucket = sign-bit signature.  Probing a
+  bucket turns ANN into an equi-join on the bucket id — the scale path
+  (candidates per query shrink by ~2^planes).
+
+Dot products use ``aggregate(zip_with(...))`` — sequential left fold,
+deterministic order, so the oracle (which folds in the same order)
+gets bit-identical doubles before the defensive round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from scdataset_spark.plans.seeds import mix_sql
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+NORM = (
+    "sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+def cosine_expr(a: str, b: str, digits: int = 4) -> F.Column:
+    dot = DOT.format(a=a, b=b)
+    na = NORM.format(a=a)
+    nb = NORM.format(a=b)
+    return F.expr(f"round(({dot}) / (({na}) * ({nb})), {digits})")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the
+    candidate stream; rank by rounded cosine with id tiebreak so the
+    top-k frontier is engine-deterministic."""
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
+    c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(query_id) != F.col(cand_id))
+        .withColumn("cosine", cosine_expr("_qv", "_cv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, cand_id, "cosine", "rank")
+    )
+
+
+def hyperplane_bucket_expr(vec: str, planes: int = 6, dim: int = 64, seed: int = 7) -> F.Column:
+    """LSH bucket id: plane p weight for dim d is ±1 from
+    mix(p*dim + d, seed) parity; bucket bit p = [dot(w_p, v) > 0].
+    All arithmetic is the portable mixer → same buckets in DuckDB."""
+    bits = []
+    for p in range(planes):
+        prods = (
+            f"zip_with({vec}, transform(sequence(0, {dim - 1}), "
+            f"d -> 2 * (({mix_sql(f'{p} * {dim} + d', seed, 'spark')}) % 2) - 1), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w)"
+        )
+        dot = f"aggregate({prods}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return F.expr("CAST(" + " + ".join(bits) + " AS BIGINT)")
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """ANN: equi-join queries to candidates sharing the LSH bucket, then
+    exact cosine re-rank within the bucket.  The bucket join replaces
+    the cross product — this is the piece that scales."""
+    q = queries.select(
+        F.col(query_id), F.col(vec).alias("_qv"),
+        hyperplane_bucket_expr(vec, planes, dim, seed).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(cand_id), F.col(vec).alias("_cv"),
+        hyperplane_bucket_expr(vec, planes, dim, seed).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col(query_id) != F.col(cand_id))
+        .withColumn("cosine", cosine_expr("_qv", "_cv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "bucket", cand_id, "cosine", "rank")
+    )

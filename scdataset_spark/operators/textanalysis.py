@@ -1,0 +1,137 @@
+"""Text analysis operators over a document corpus (SURVEY.md §2.14).
+
+All operators are pure built-in column expressions (split / transform /
+filter / aggregate higher-order functions) — JVM-side, whole-stage
+codegen, no Python in the hot path — and every computation has an exact
+ANSI-SQL twin so the DuckDB oracle checks values, not just shapes.
+
+Scale: each operator is a narrow map over one row at a time (no shuffle
+at all until an aggregation is asked for), so they pipeline with the
+parquet scan and parallelize embarrassingly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker lists for the language-ID heuristic (tiny on purpose —
+# they are broadcast as literals inside the expression).
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "de"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "y", "de"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_alpha_tokens (BPE-ish regex count), mean token length."""
+    toks = f"split({text_col}, ' ')"
+    return (
+        df.withColumn("n_tokens", F.expr(f"size({toks})"))
+        .withColumn(
+            "n_alpha_tokens",
+            F.expr(f"size(regexp_extract_all({text_col}, '[a-z]+', 0))"),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.expr(
+                f"round(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) / size({toks}), 6)"
+            ),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score: stopword ratio + length band + mean token
+    length (the reference-free scoring bundle an LLM-data pipeline runs
+    before training; cf. C4-style quality filters)."""
+    toks = f"split({text_col}, ' ')"
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    # quality_score is computed in integer micro-units and divided ONCE:
+    # weighted sums of rounded doubles land on exact decimal ties
+    # (e.g. 0.5 * k/64) where Spark rounds half-up but DuckDB half-even.
+    # Integer arithmetic + a single exact division sidesteps rounding
+    # rules entirely.
+    return (
+        df.withColumn("n_tokens", F.expr(f"size({toks})"))
+        .withColumn("n_stop", F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))"))
+        .withColumn("stopword_ratio", F.expr("round(n_stop / n_tokens, 6)"))
+        .withColumn(
+            "quality_score",
+            F.expr(
+                "CAST((500000 * n_stop) div n_tokens"
+                " + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 300000 ELSE 0 END)"
+                f" + (CASE WHEN length({text_col}) BETWEEN 100 AND 500 THEN 200000 ELSE 0 END)"
+                " AS DOUBLE) / 1000000"
+            ),
+        )
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: score each language by its
+    marker-token hit count; predict the argmax (deterministic tiebreak
+    by language code, 'und' when nothing matches)."""
+    toks = f"split({text_col}, ' ')"
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        mk = ", ".join(f"'{m}'" for m in markers)
+        out = out.withColumn(
+            f"score_{lang}", F.expr(f"size(filter({toks}, t -> t IN ({mk})))")
+        )
+    best = F.expr(
+        "CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und' "
+        "WHEN score_en >= greatest(score_fr, score_de, score_es) THEN 'en' "
+        "WHEN score_de >= greatest(score_fr, score_es) THEN 'de' "
+        "WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END"
+    )
+    return out.withColumn("lang_pred", best)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, whitespace-collapsed).  Engine-portable because md5 hex
+    output is identical everywhere."""
+    return df.withColumn(
+        "fingerprint",
+        F.md5(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")),
+    )
+
+
+def simhash_exprs(text_col: str = "text", bits: int = 32) -> list[str]:
+    """Per-bit vote-sum SQL expressions for a ``bits``-wide simhash over
+    the *distinct token set* (standard simhash with unit weights).
+
+    Bit b of token t = bit (b mod 4) of hex digit b//4 of md5(t); vote
+    is +1/-1; the document bit is 1 iff the vote sum is positive.  Uses
+    only md5/substr/instr/integer arithmetic — portable to DuckDB.
+    """
+    exprs = []
+    for b in range(bits):
+        digit = (
+            f"(instr('0123456789abcdef', substr(md5(t), {b // 4 + 1}, 1)) - 1)"
+        )
+        bit = f"(({digit} div {2 ** (b % 4)}) % 2)"
+        exprs.append(
+            f"aggregate(array_distinct(split({text_col}, ' ')), 0L, (acc, t) -> acc + (2 * {bit} - 1))"
+            f" AS s{b}"
+        )
+    return exprs
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    votes = df.selectExpr("*", *simhash_exprs(text_col, bits))
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    )
+    return votes.withColumn("simhash", F.expr(f"CAST({combine} AS BIGINT)")).drop(
+        *[f"s{b}" for b in range(bits)]
+    )

@@ -18,6 +18,7 @@ from scdataset_spark.queries.registry import REGISTRY, QuerySpec, query  # noqa:
 # importing the modules populates the registry
 from scdataset_spark.queries import sampling  # noqa: F401,E402
 from scdataset_spark.queries import relational  # noqa: F401,E402
+from scdataset_spark.queries import llm  # noqa: F401,E402
 
 
 def queries():

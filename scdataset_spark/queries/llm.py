@@ -1,0 +1,395 @@
+"""Layer-B LLM-data-pipeline queries: text analysis, dedup, similarity
+search, multimodal zip (SURVEY.md §2.14) — each oracle-checked.
+
+Dedup queries run on a *planted-duplicates corpus*: ``documents`` UNION
+exact copies (doc_id % 7 == 0, +1_000_000 ids) and near-duplicates with
+the first two tokens dropped (doc_id % 11 == 0, +2_000_000 ids), built
+identically in Spark and in the oracle SQL — so the dedup operators are
+checked against known-planted positives instead of an empty result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.operators import dedup as dd
+from scdataset_spark.operators import similarity as sim
+from scdataset_spark.operators import textanalysis as tx
+from scdataset_spark.plans.seeds import mix_sql
+from scdataset_spark.queries.registry import query
+
+# ------------------------------------------------------------ corpus
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-duplicates corpus (see module docstring)."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False).select("doc_id", "text")
+    exact = (
+        docs.where("doc_id % 7 = 0")
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.where("doc_id % 11 = 0")
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(F.slice(F.split("text", " "), 3, 1000000), " ").alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# DuckDB shingle fragment over a CTE exposing sp = string_split(text,' ')
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(sp) - 2, 1) + 1), "
+    "i -> sp[i] || ' ' || sp[least(i + 1, len(sp))] || ' ' || sp[least(i + 2, len(sp))]))"
+)
+
+
+# ------------------------------------------------------- text analysis
+@query(
+    "tx_token_stats",
+    survey_ref="§2.14 text",
+    headline=True,
+    oracle="""
+WITH sp_t AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents)
+SELECT doc_id,
+       len(sp) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+       round(list_aggregate(list_transform(sp, t -> length(t)), 'sum') / len(sp), 6) AS mean_token_len
+FROM sp_t
+""",
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return tx.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_alpha_tokens", "mean_token_len"
+    )
+
+
+@query(
+    "tx_quality_score",
+    survey_ref="§2.14 text",
+    oracle=f"""
+WITH sp_t AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents),
+q AS (
+  SELECT doc_id, text, len(sp) AS n_tokens,
+         len(list_filter(sp, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+  FROM sp_t
+)
+SELECT doc_id, n_tokens, round(n_stop / n_tokens, 6) AS stopword_ratio,
+       CAST((500000 * n_stop) // n_tokens
+           + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 300000 ELSE 0 END)
+           + (CASE WHEN length(text) BETWEEN 100 AND 500 THEN 200000 ELSE 0 END)
+           AS DOUBLE) / 1000000 AS quality_score
+FROM q
+""",
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return tx.with_quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "quality_score"
+    )
+
+
+def _langid_oracle() -> str:
+    scores = ",\n       ".join(
+        f"len(list_filter(sp, t -> list_contains([{', '.join(repr(m) for m in ms)}], t))) AS score_{lang}"
+        for lang, ms in tx.LANG_MARKERS.items()
+    )
+    return f"""
+WITH sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+s AS (SELECT doc_id,
+       {scores}
+FROM sp_t)
+SELECT doc_id, score_en, score_fr, score_de, score_es,
+       CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+            WHEN score_en >= greatest(score_fr, score_de, score_es) THEN 'en'
+            WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+            WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_pred
+FROM s
+""".replace("'", "'").replace('"', "'")
+
+
+@query("tx_langid", survey_ref="§2.14 text", oracle=_langid_oracle())
+def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return tx.with_langid(docs).select(
+        "doc_id", "score_en", "score_fr", "score_de", "score_es", "lang_pred"
+    )
+
+
+@query(
+    "tx_fingerprint",
+    survey_ref="§2.14 text",
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return tx.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# -------------------------------------------------------------- dedup
+@query(
+    "dd_exact_groups",
+    survey_ref="§2.14 dedup",
+    headline=True,
+    oracle=f"""
+WITH {CORPUS_SQL},
+fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint
+  FROM corpus
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+""",
+)
+def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-group on normalized-text fingerprint; the
+    planted exact copies form the duplicate groups; keep = min doc_id."""
+    c = tx.with_fingerprint(corpus(spark, sf_dir))
+    return (
+        c.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    r = num_hashes // bands
+    mh = ",\n       ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min') AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5(concat_ws('|', {', '.join(f'mh{b * r + i}' for i in range(r))})) AS band_sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH {CORPUS_SQL},
+sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+sh_t AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM sp_t),
+sigs AS (SELECT doc_id, {mh} FROM sh_t),
+banded AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+@query("dd_minhash_lsh", survey_ref="§2.14 dedup", headline=True, oracle=_minhash_oracle())
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands × 3 rows) candidate pairs on the planted
+    corpus — banded equi-self-join, no cross product."""
+    c = dd.with_minhash(dd.with_shingles(corpus(spark, sf_dir)), num_hashes=12)
+    return dd.lsh_candidate_pairs(c, num_hashes=12, bands=4)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    digit = "(instr('0123456789abcdef', substr(md5(t), {pos}, 1)) - 1)"
+    sums = ",\n       ".join(
+        f"sum(2 * (({digit.format(pos=b // 4 + 1)} // {2 ** (b % 4)}) % 2) - 1) AS s{b}"
+        for b in range(bits)
+    )
+    combine = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH {CORPUS_SQL},
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM corpus
+),
+votes AS (
+  SELECT doc_id,
+       {sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@query("dd_simhash", survey_ref="§2.14 dedup", oracle=_simhash_oracle())
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash signatures over the distinct token set; identical
+    signatures → near-dup bucket (the planted near-copies collide)."""
+    return tx.with_simhash(corpus(spark, sf_dir)).select("doc_id", "simhash")
+
+
+@query(
+    "dd_ngram_jaccard",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH {CORPUS_SQL},
+sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+sh_t AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM sp_t),
+inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh_t),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS shared
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(shared / (na + nb - shared), 6) AS jaccard
+FROM shared WHERE round(shared / (na + nb - shared), 6) >= 0.3
+""",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.3 via inverted-index join."""
+    c = dd.with_shingles(corpus(spark, sf_dir))
+    return dd.jaccard_pairs(c, threshold=0.3)
+
+
+@query(
+    "dd_embed_cosine",
+    survey_ref="§2.14 dedup",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round(
+      list_aggregate(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+      / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+       * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))), 4) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
+""",
+)
+def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with rounded cosine ≥ 0.4.
+    (Brute pairs at this SF; the LSH-bucketed path is sim_lsh_ann.)"""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+# --------------------------------------------------------- similarity
+@query(
+    "sim_topk_cosine",
+    survey_ref="§2.14 similarity",
+    headline=True,
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+    round(
+      list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')
+      / (sqrt(list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))
+       * sqrt(list_aggregate(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), 'sum'))), 4) AS cosine
+  FROM c, q WHERE q_id <> c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact-ANN
+    baseline: broadcast queries, one streaming pass over candidates."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return sim.brute_force_topk(q, c, k=10)
+
+
+def _lsh_bucket_duck(vec: str, planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    bits = []
+    for p in range(planes):
+        prods = (
+            f"list_transform(range(0, {dim}), "
+            f"d -> {vec}[d + 1]::DOUBLE * (2 * (({mix_sql(f'{p} * {dim} + d', seed, 'duckdb')}) % 2) - 1))"
+        )
+        dot = f"list_aggregate({prods}, 'sum')"
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@query(
+    "sim_lsh_ann",
+    survey_ref="§2.14 similarity",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_duck('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding AS cv, bucket FROM b),
+scored AS (
+  SELECT q_id, c.bucket AS bucket, c_id,
+    round(
+      list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')
+      / (sqrt(list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))
+       * sqrt(list_aggregate(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), 'sum'))), 4) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket AND q_id <> c_id
+),
+ranked AS (
+  SELECT q_id, bucket, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, bucket, c_id, cosine, rank FROM ranked WHERE rank <= 3
+""",
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: 6 random-hyperplane LSH bits → bucket equi-join → exact
+    re-rank within bucket (top-3 per query among 20 queries)."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return sim.lsh_bucketed_topk(q, c, k=3, planes=6)
+
+
+# --------------------------------------------------- multimodal (M1-M5)
+@query(
+    "mm_multimodal_zip",
+    survey_ref="M1,M2,M5,§2.14 multimodal",
+    oracle="""
+SELECT d.doc_id, d.lang, d.n_chars, e.label,
+       round(sqrt(list_aggregate(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum')), 4) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.n_chars > 200
+""",
+)
+def mm_multimodal_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiIndexable-equivalent: text + metadata + embedding modalities
+    zipped into one frame by aligned id; synchronized subset by a
+    predicate (M2); per-modality compute stays columnar."""
+    d = load_table(spark, "documents", sf_dir, with_row_id=False)
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    norm = sim.NORM.format(a="embedding")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .where(F.col("n_chars") > 200)
+        .select(
+            "doc_id", "lang", "n_chars", "label",
+            F.expr(f"round({norm}, 4)").alias("emb_norm"),
+        )
+    )
