@@ -36,9 +36,12 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Natural-key expression giving each table a stable, unique bigint row_id
-# that an ANSI-SQL oracle can recompute.  lineitem has no single key:
-# (l_orderkey, l_linenumber) is unique with l_linenumber in [1, 7], so
-# l_orderkey * 10 + l_linenumber is injective.
+# that an ANSI-SQL oracle can recompute.  CAUTION: in the driver's
+# synthetic lineitem, (l_orderkey, l_linenumber) is NOT unique — row_id
+# must be a row_number over a total order ((okey, lnum, extendedprice)
+# is verified unique), otherwise tie rows get engine-dependent positions
+# and every order-sensitive operator silently depends on scan order.
+LINEITEM_ORDER = "l_orderkey, l_linenumber, l_extendedprice"
 ROW_ID_SQL = {
     "region": "r_regionkey",
     "nation": "n_nationkey",
@@ -46,7 +49,7 @@ ROW_ID_SQL = {
     "supplier": "s_suppkey",
     "part": "p_partkey",
     "orders": "o_orderkey",
-    "lineitem": "l_orderkey * 10 + l_linenumber",
+    "lineitem": f"row_number() OVER (ORDER BY {LINEITEM_ORDER}) - 1",
     "events": "event_id",
     "documents": "doc_id",
     "embeddings": "vec_id",

@@ -1,0 +1,80 @@
+"""Batch export to an ML trainer (S7, reference ``scdataset.py:538-561``).
+
+Two export paths:
+
+- ``iterate_batches``: driver-side iterator yielding exact
+  ``batch_size`` dicts of numpy arrays in plan order via
+  ``toLocalIterator`` (partitions stream one at a time — nothing is
+  collected whole).  The reference's DataLoader-yield analogue; fine
+  for single-consumer training loops.
+
+- ``write_epoch_plan``: the scale path.  Materializes one epoch as
+  parquet partitioned by ``fetch_id`` with rows sorted by ``pos``
+  inside each fetch — trainers (one or many ranks) then read their
+  round-robin share of fetch files directly, which is exactly the
+  reference's rank/worker partitioning (O13/O14) expressed as files.
+  No driver bottleneck, resumable, shardable.
+
+Torch conversion is a thin optional wrapper — torch is not a hard
+dependency of the engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+
+def iterate_batches(
+    planned: DataFrame,
+    batch_size: int,
+    columns: list[str],
+    order_col: str = "pos",
+    drop_last: bool = False,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Yield dicts of numpy arrays in plan order, exactly ``batch_size``
+    rows per batch (trailing partial kept unless ``drop_last``)."""
+    df = planned.select(order_col, *columns).orderBy(order_col)
+    buf: list[tuple] = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(tuple(row[c] for c in columns))
+        if len(buf) == batch_size:
+            yield {c: np.array([r[i] for r in buf]) for i, c in enumerate(columns)}
+            buf = []
+    if buf and not drop_last:
+        yield {c: np.array([r[i] for r in buf]) for i, c in enumerate(columns)}
+
+
+def write_epoch_plan(
+    planned: DataFrame,
+    path: str,
+    columns: list[str],
+) -> None:
+    """Write one epoch as fetch-partitioned parquet (see module doc).
+
+    ``repartition(fetch_id)`` + ``sortWithinPartitions(pos)`` keeps one
+    fetch per task and yield order inside each file — sorted, block-
+    local I/O for the trainer, the reference's headline optimization
+    preserved across the export boundary."""
+    (
+        planned.select("fetch_id", "pos", *columns)
+        .repartition("fetch_id")
+        .sortWithinPartitions("pos")
+        .write.partitionBy("fetch_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def to_torch(batch: dict[str, np.ndarray]):  # pragma: no cover - torch optional
+    """Optional torch conversion; gated import (torch is not baked in)."""
+    try:
+        import torch
+    except ImportError:
+        raise NotImplementedError(
+            "torch is not installed in this environment; consume numpy batches"
+        ) from None
+    return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in batch.items()}

@@ -1,0 +1,64 @@
+"""Transform-hook pipeline (T1-T4): the reference's four user hooks as a
+single Arrow-vectorized ``applyInPandas`` stage.
+
+Reference execution order (``src/scdataset/scdataset.py:523-558``,
+diagram ``docs/source/transforms.rst:39-63``):
+
+    strategy → fetch_callback → fetch_transform
+             → batch_callback → batch_transform → yield
+
+On Spark the *fetch* is the natural Arrow chunk: the planned frame is
+grouped by ``fetch_id`` (one group = one fetch = ``batch_size *
+fetch_factor`` rows, the reference's amortized-vectorized unit), the
+user's ``fetch_transform`` runs once per fetch on a pandas DataFrame,
+then batches are sliced inside the same stage and ``batch_transform``
+runs per batch — exactly the reference's granularity, with Spark's
+scheduler playing the role of DataLoader workers (one fetch group = one
+task; reference O14 worker splitting is subsumed).
+
+``fetch_callback`` (T1 — the raw read) is Spark's own columnar scan; a
+custom source belongs in ``sources/``, not here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def run_hook_pipeline(
+    planned: DataFrame,
+    output_schema: str,
+    batch_size: int,
+    fetch_transform: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    batch_transform: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    drop_last: bool = False,
+) -> DataFrame:
+    """Run the hook pipeline over a planned frame (needs ``pos``,
+    ``fetch_id`` columns from plans.with_batches / a strategy).
+
+    Returns a DataFrame with ``output_schema``; the hooks see pandas
+    frames sorted by ``pos`` (the strategy's yield order), matching the
+    reference contract that hooks observe fetch/batch order.
+    """
+
+    def process_fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        if fetch_transform is not None:
+            pdf = fetch_transform(pdf)
+        out = []
+        for start in range(0, len(pdf), batch_size):
+            batch = pdf.iloc[start : start + batch_size]
+            if drop_last and len(batch) < batch_size:
+                continue
+            if batch_transform is not None:
+                batch = batch_transform(batch)
+            out.append(batch)
+        if not out:
+            return pdf.iloc[0:0]
+        return pd.concat(out, ignore_index=True)
+
+    return planned.groupBy("fetch_id").applyInPandas(process_fetch, schema=output_schema)

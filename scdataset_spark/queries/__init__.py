@@ -19,6 +19,8 @@ from scdataset_spark.queries.registry import REGISTRY, QuerySpec, query  # noqa:
 from scdataset_spark.queries import sampling  # noqa: F401,E402
 from scdataset_spark.queries import relational  # noqa: F401,E402
 from scdataset_spark.queries import llm  # noqa: F401,E402
+from scdataset_spark.queries import streaming_batch  # noqa: F401,E402
+from scdataset_spark.queries import metrics  # noqa: F401,E402
 
 
 def queries():

@@ -24,7 +24,7 @@ from scdataset_spark.plans.seeds import mix_sql
 from scdataset_spark.queries.registry import query
 
 SEED = 42
-LI_RID = "l_orderkey * 10 + l_linenumber"
+LI_RID = "row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1"
 
 
 def _mix(k: str, seed: int) -> str:

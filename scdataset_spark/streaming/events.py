@@ -1,0 +1,83 @@
+"""Streaming operators over the ``events`` table (SURVEY.md §2.11).
+
+Each operator is a pure DataFrame transform that works on BOTH a batch
+frame and a ``readStream`` frame — the Structured Streaming design:
+identical logical plan, different source.  The driver's DuckDB oracle
+checks the batch-mode results; ``tests/test_streaming.py`` runs the same
+transforms as real streams (file source, watermark, availableNow
+trigger, memory sink) and asserts stream==batch.
+
+Scale notes: tumbling/sliding aggregations are partial-aggregated
+map-side before the keyed state shuffle; session windows shuffle once by
+user key; watermarks bound state so the operators run indefinitely on
+unbounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_FIELDS = "event_id bigint, ts_ns bigint, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet.  The driver writes
+    ``ts`` as TIMESTAMP(NANOS); streaming reads use the same
+    nanos-as-long + truncate-to-micros conversion as the batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming file sources ingest directories; pathGlobFilter scopes
+    # the listing to the events file within the sf dir
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window: count + exact sum(value) per
+    (window, event_type)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Sliding window (width 10m, slide 5m): every event lands in 2
+    windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: a session extends while successive
+    events arrive within ``gap``."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+def first_event_dedup(events: DataFrame) -> DataFrame:
+    """Deterministic streaming-dedup equivalent: first event per
+    (user_id, event_type).  (``dropDuplicates`` keeps an *arbitrary*
+    row — useless for an oracle; min-ts is the deterministic form, and
+    ``dropDuplicatesWithinWatermark`` is the unbounded-stream variant
+    exercised in tests.)"""
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_events")
+    )

@@ -1,0 +1,99 @@
+"""MultiIndexable container, batch export, hook pipeline drop_last."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.operators.strategies import Streaming
+from scdataset_spark.pipeline.export import iterate_batches
+from scdataset_spark.pipeline.hooks import run_hook_pipeline
+from scdataset_spark.pipeline.multiindexable import MultiIndexable
+from scdataset_spark.plans.plan import with_batches
+from tests.conftest import SF_DIR_SMALL
+
+
+@pytest.fixture(scope="module")
+def zipped(spark):
+    d = load_table(spark, "documents", SF_DIR_SMALL)
+    e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+    df = d.join(e, d.doc_id == e.vec_id).select("row_id", "text", "embedding", "label")
+    return df
+
+
+class TestMultiIndexable:
+    def test_ctor_forms_and_dict_api(self, zipped):
+        mi = MultiIndexable(zipped, ["text", "embedding", "label"])
+        assert mi.keys() == ["text", "embedding", "label"]
+        assert len(mi) == 3
+        assert "embedding" in mi and "nope" not in mi
+        named = MultiIndexable(zipped, {"txt": "text", "vec": "embedding"})
+        assert named.keys() == ["txt", "vec"]
+        auto = MultiIndexable(zipped)  # all non-id columns
+        assert set(auto.keys()) == {"text", "embedding", "label"}
+
+    def test_validation_errors(self, zipped):
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            MultiIndexable(zipped, ["missing_modality"])
+        with pytest.raises(ValueError, match="id column"):
+            MultiIndexable(zipped.drop("row_id"), ["text"])
+
+    def test_projection_positional_and_named(self, zipped):
+        mi = MultiIndexable(zipped, ["text", "embedding"])
+        by_name = mi["embedding"]
+        by_pos = mi[1]
+        assert by_name.columns == ["row_id", "embedding"]
+        assert by_pos.columns == ["row_id", "embedding"]
+
+    def test_synchronized_subset_carries_unstructured(self, zipped):
+        meta = {"gene_names": ["a", "b"], "source": "test"}
+        mi = MultiIndexable(zipped, ["text", "label"], unstructured=meta)
+        sub = mi.subset(F.col("label") < 3)
+        assert sub.unstructured == meta
+        n = sub.to_df().count()
+        # every modality sees the same rows — single frame by construction
+        assert sub["text"].count() == n
+        assert sub["label"].count() == n
+        assert n < mi.to_df().count()
+
+
+class TestExport:
+    def test_exact_batches_in_plan_order(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        planned = with_batches(Streaming().plan(li, seed=42), batch_size=256, fetch_factor=4)
+        batches = list(iterate_batches(planned, 256, ["row_id", "l_quantity"]))
+        n = li.count()
+        assert sum(len(b["row_id"]) for b in batches) == n
+        assert all(len(b["row_id"]) == 256 for b in batches[:-1])
+        flat = np.concatenate([b["row_id"] for b in batches])
+        assert (np.diff(flat) > 0).all()  # Streaming yields ascending row_id
+
+    def test_drop_last(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        planned = with_batches(Streaming().plan(li, seed=42), batch_size=256, fetch_factor=4)
+        batches = list(iterate_batches(planned, 256, ["row_id"], drop_last=True))
+        assert all(len(b["row_id"]) == 256 for b in batches)
+
+
+class TestHookDropLast:
+    def test_per_fetch_drop_last(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        planned = with_batches(
+            Streaming().plan(li, seed=42).select("row_id", "pos"),
+            batch_size=32,
+            fetch_factor=4,
+        )
+        out = run_hook_pipeline(
+            planned.select("row_id", "pos", "fetch_id"),
+            "row_id bigint, pos bigint, fetch_id bigint",
+            batch_size=32,
+            drop_last=True,
+        )
+        n = li.count()
+        # per-fetch drop: only the trailing partial batch of the last
+        # (partial) fetch disappears
+        expected = (n // 128) * 128 + ((n % 128) // 32) * 32
+        assert out.count() == expected

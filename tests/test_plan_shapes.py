@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plan — filters pushed into the parquet scan,
+column pruning, broadcast joins for dimensions.  Guard rails against
+regressions that would only show up at scale.
+"""
+
+from __future__ import annotations
+
+from scdataset_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    # scan must NOT read unused wide columns
+    assert "l_comment" not in plan
+    assert "l_returnflag" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_scan_filter_stays_in_codegen(spark):
+    # simple-mode explain marks whole-stage-codegen stages with "*(n)"
+    import contextlib
+    import io
+
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    df.collect()  # AQE only shows the final (codegen-annotated) plan post-run
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_block_shuffle_has_no_join(spark):
+    # O1 is pure expressions + sort: no join, no python UDF
+    plan = _plan(spark, "o1_block_shuffle")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sampling_uses_equi_join_not_nested_loop(spark):
+    # the bucketed interval join must plan as a hash join on `bucket`,
+    # never a cartesian/broadcast-nested-loop over all rows x draws
+    plan = _plan(spark, "o3_weighted_replace")
+    assert "CartesianProduct" not in plan
