@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     end-to-end slice of the engine: stable row_id, ordered index stream,
     fetch/batch assignment, per-batch row counts."""
     li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
-    plan = with_batches(Streaming().plan(li, seed=42), batch_size=32, fetch_factor=4)
+    plan = with_batches(Streaming(assume_dense=True).plan(li, seed=42), batch_size=32, fetch_factor=4)
     return plan.groupBy("fetch_id", "batch_id").agg(F.count(F.lit(1)).alias("n_rows"))
 
 

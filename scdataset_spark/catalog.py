@@ -56,7 +56,42 @@ ROW_ID_SQL = {
 }
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR, with_row_id: bool = True) -> DataFrame:
+def ingest_dir(sf_dir: str) -> str:
+    """Location of the row_id-stamped ingested copy of a testdata dir."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/tmp/scdataset_spark_ingest", base)
+
+
+def ensure_ingested(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ("lineitem",)
+) -> None:
+    """One-time ingest: persist the row_id-stamped table sorted by
+    row_id.  This is the production posture — a 100 TB deployment stamps
+    row_id once at ingest (the reference's AnnData→disk step) instead of
+    re-deriving it with a window in every query.  ``load_table`` then
+    reads the ingested copy, whose parquet is range-partitioned on
+    row_id so fetch-ordered scans are sequential I/O.
+    """
+    for name in tables:
+        out = os.path.join(ingest_dir(sf_dir), f"{name}.parquet")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        df = load_table(spark, name, sf_dir, with_row_id=True, use_ingested=False)
+        (
+            df.repartitionByRange(8, "row_id")
+            .sortWithinPartitions("row_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    with_row_id: bool = True,
+    use_ingested: bool = True,
+) -> DataFrame:
     """Read one driver table; optionally stamp the stable ``row_id``.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
@@ -65,6 +100,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR, wit
     microseconds, matching DuckDB's own ns→µs truncation so the oracle
     sees identical timestamps.
     """
+    if with_row_id and use_ingested:
+        cached = os.path.join(ingest_dir(sf_dir), f"{name}.parquet")
+        if os.path.exists(os.path.join(cached, "_SUCCESS")):
+            return spark.read.parquet(cached)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -14,23 +14,35 @@ oracle) derives the identical stream.
 
 Scale design: none of these strategies materializes an index array on
 the driver (the reference builds a full ``np.ndarray`` of indices; at
-100 TB that is ~100 G rows).  The "index stream" stays a distributed
-DataFrame; ordering keys are computed per-row in whole-stage codegen and
-realized lazily by sort/Window.  Counts needed by the math (n, total
-weight) are scalar aggregates broadcast back via crossJoin — Catalyst
-plans them as a broadcast nested loop over a 1-row relation, never a
-driver collect.
+100 TB that is ~100 G rows), and — critically — **no strategy ever puts
+the full table through a single-partition global window**:
+
+- ``pos0`` (rank of row_id) comes from the bucketed ``with_pos`` path:
+  per-bucket counts + broadcast offsets + partition-local numbering.
+- block/buffer permutations compute the final ``pos`` arithmetically:
+  a tiny *block metadata* frame (n/block_size rows) is ordered by its
+  mix keys, cumulative block starts are broadcast-joined back, and
+  ``pos = block_start + offset_in_block``.  The big table is only ever
+  hash-partitioned and locally sorted.
+- cumulative weights for inverse-CDF sampling use the bucketed running
+  sum (``with_running_sum``).
+
+Counts needed by the math (n, total weight) are scalar aggregates
+broadcast back via crossJoin — Catalyst plans them as a broadcast
+nested-loop over a 1-row relation, never a driver collect.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scdataset_spark.plans.seeds import MIX_MOD, mix_sql
-from scdataset_spark.plans.plan import with_pos
+from scdataset_spark.plans.plan import with_pos, with_running_sum
+
+POS_BUCKETS = 64  # buckets for distributed row numbering / running sums
 
 
 def _seed_eff(seed: int, epoch: int) -> int:
@@ -49,9 +61,19 @@ class SamplingStrategy:
     """
 
     where: str | None = None
+    assume_dense: bool = False
 
     def _subset(self, df: DataFrame) -> DataFrame:
         return df.where(self.where) if self.where else df
+
+    def _pos0(self, df: DataFrame) -> DataFrame:
+        """0-based rank of row_id.  With ``assume_dense`` (row_id is
+        already 0..n-1, the ingest contract) and no subset, pos0 IS
+        row_id — zero extra jobs; otherwise the bucketed distributed
+        numbering."""
+        if self.assume_dense and self.where is None:
+            return df.withColumn("pos0", F.col("row_id"))
+        return with_pos(df, "row_id", "pos0", buckets=POS_BUCKETS)
 
     def plan(self, df: DataFrame, seed: int = 42, epoch: int = 0) -> DataFrame:
         raise NotImplementedError
@@ -71,14 +93,19 @@ class Streaming(SamplingStrategy):
 
     def plan(self, df: DataFrame, seed: int = 42, epoch: int = 0) -> DataFrame:
         s = _seed_eff(seed, epoch)
-        out = with_pos(self._subset(df), "row_id", "pos0")
+        out = self._pos0(self._subset(df))
         if not self.shuffle:
             return out.withColumnRenamed("pos0", "pos")
-        buf = F.col("pos0")
-        out = out.withColumn("buffer_id", (buf / self.buffer_size).cast("bigint"))
+        # buffers are contiguous runs of buffer_size positions, so the
+        # permutation is buffer-local: partition-parallel window, and
+        # pos = buffer_id*size + local rank (pos0 is dense).
+        out = out.withColumn("buffer_id", F.expr(f"pos0 div {self.buffer_size}"))
         out = out.withColumn("shuffle_key", F.expr(mix_sql("pos0", s, "spark")))
-        w = Window.orderBy("buffer_id", "shuffle_key", "pos0")
-        return out.withColumn("pos", F.row_number().over(w) - F.lit(1)).drop("pos0")
+        w = Window.partitionBy("buffer_id").orderBy("shuffle_key", "pos0")
+        return out.withColumn(
+            "pos",
+            F.col("buffer_id") * self.buffer_size + F.row_number().over(w) - F.lit(1),
+        ).drop("pos0")
 
 
 @dataclass
@@ -101,23 +128,49 @@ class BlockShuffling(SamplingStrategy):
 
     def plan(self, df: DataFrame, seed: int = 42, epoch: int = 0) -> DataFrame:
         s = _seed_eff(seed, epoch)
-        out = with_pos(self._subset(df), "row_id", "pos0")
+        out = self._pos0(self._subset(df))
         if self.drop_last:
-            n_df = out.agg(F.count(F.lit(1)).alias("_n"))
-            out = out.crossJoin(F.broadcast(n_df))
-            drop_key = F.expr(mix_sql("pos0", s + 1, "spark"))
-            w_rank = Window.orderBy(drop_key.desc(), F.col("pos0"))
-            out = (
-                out.withColumn("_drop_rank", F.row_number().over(w_rank))
-                .where(F.col("_drop_rank") > F.col("_n") % self.block_size)
-                .drop("_drop_rank", "_n")
-            )
-            # re-rank surviving rows so blocks are rebuilt over the kept set
-            out = with_pos(out.drop("pos0"), "row_id", "pos0")
-        out = out.withColumn("block_id", (F.col("pos0") / self.block_size).cast("bigint"))
-        out = out.withColumn("block_key", F.expr(mix_sql("block_id", s, "spark")))
-        w = Window.orderBy("block_key", "pos0")
-        return out.withColumn("pos", F.row_number().over(w) - F.lit(1)).drop("pos0")
+            # remainder < block_size rows are dropped; the k rows with
+            # the largest drop keys are found with a top-k (Spark plans
+            # orderBy+limit as TakeOrderedAndProject — no global sort of
+            # the full table), then anti-joined away.
+            n = out.count()
+            k = n % self.block_size
+            if k:
+                drop_key = F.expr(mix_sql("pos0", s + 1, "spark"))
+                dropped = (
+                    out.select("pos0", drop_key.alias("_dk"))
+                    .orderBy(F.col("_dk").desc(), F.col("pos0"))
+                    .limit(k)
+                    .select("pos0")
+                )
+                out = out.join(F.broadcast(dropped), "pos0", "left_anti")
+            out = with_pos(out.drop("pos0"), "row_id", "pos0", buckets=POS_BUCKETS)
+        return _block_permute_pos(out, self.block_size, s)
+
+
+def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
+    """Final position of a block permutation WITHOUT a global window on
+    the data: order only the block *metadata* (n/block_size rows) by its
+    mix keys, turn that into cumulative output offsets, and join back —
+    ``pos = block_start + (pos0 - block_id*B)``.
+
+    Equivalent to ``row_number() OVER (ORDER BY mix(block_id), pos0)``
+    because blocks are contiguous, dense runs of pos0.  The only sort is
+    over the tiny blocks frame; the join is a plain equi-join on
+    block_id (AQE broadcasts it while it fits)."""
+    out = out.withColumn("block_id", F.expr(f"pos0 div {block_size}"))
+    blocks = out.groupBy("block_id").agg(F.count(F.lit(1)).alias("_bn"))
+    blocks = blocks.withColumn("_bkey", F.expr(mix_sql("block_id", s, "spark")))
+    w = Window.orderBy("_bkey", "block_id").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = blocks.withColumn("_bstart", F.coalesce(F.sum("_bn").over(w), F.lit(0)))
+    return (
+        out.join(blocks.select("block_id", "_bstart"), "block_id")
+        .withColumn(
+            "pos", F.col("_bstart") + F.col("pos0") - F.col("block_id") * block_size
+        )
+        .drop("pos0", "_bstart")
+    )
 
 
 def _interval_join_draws(
@@ -191,10 +244,8 @@ class BlockWeightedSampling(SamplingStrategy):
         # CDF bit-identical between Spark and the DuckDB oracle.
         wint = F.ceil(F.col(self.weight_col).cast("double") * self.weight_scale).cast("bigint")
         base = df.withColumn("_wi", wint).where(F.col("_wi") > 0)
-        w_cum = Window.orderBy("row_id").rowsBetween(Window.unboundedPreceding, 0)
-        cum = base.withColumn("hi", F.sum("_wi").over(w_cum)).withColumn(
-            "lo", F.col("hi") - F.col("_wi")
-        )
+        cum = with_running_sum(base, "_wi", "row_id", out="hi", buckets=POS_BUCKETS)
+        cum = cum.withColumn("lo", F.col("hi") - F.col("_wi"))
         draws = spark.range(self.total_size).withColumnRenamed("id", "draw_id")
         total = cum.agg(F.max("hi").alias("_t"))
         # 62-bit target: one mix() only covers [0, 2^31) — with scaled
@@ -219,11 +270,14 @@ class BlockWeightedSampling(SamplingStrategy):
             take = min(k, self.total_size - r * k)
             u = f"(({mix_sql('row_id', s + r * 7919, 'spark')}) + 1) / {MIX_MOD + 1}.0"
             key = F.expr(f"-ln({u})") / F.col(self.weight_col)
-            w = Window.orderBy(key.asc(), F.col("row_id"))
+            # top-k smallest keys: orderBy+limit plans as
+            # TakeOrderedAndProject (per-partition heaps + driver merge
+            # of k rows), not a global sort
             rounds.append(
-                df.withColumn("_rk", F.row_number().over(w))
-                .where(F.col("_rk") <= take)
-                .drop("_rk")
+                df.withColumn("_key", key)
+                .orderBy(F.col("_key").asc(), F.col("row_id"))
+                .limit(take)
+                .drop("_key")
                 .withColumn("draw_id", F.lit(r))
             )
         out = rounds[0]
@@ -240,15 +294,13 @@ class BlockWeightedSampling(SamplingStrategy):
             else self._reservoir_rounds(base, s)
         )
         # sort drawn multiset by row_id (reference sorts before block
-        # shuffle for locality), then block-shuffle with a second seed
+        # shuffle for locality), then block-shuffle with a second seed.
+        # The drawn set is total_size rows (orders of magnitude smaller
+        # than the table) — a plain window on (row_id, draw_id) is fine
+        # here; the block permutation reuses the metadata-join path.
         w_pos = Window.orderBy("row_id", "draw_id")
         out = drawn.withColumn("pos0", F.row_number().over(w_pos) - F.lit(1))
-        out = out.withColumn("block_id", (F.col("pos0") / self.block_size).cast("bigint"))
-        out = out.withColumn("block_key", F.expr(mix_sql("block_id", s + 500, "spark")))
-        w = Window.orderBy("block_key", "pos0")
-        return out.withColumn("pos", F.row_number().over(w) - F.lit(1)).drop(
-            "pos0", "block_id", "block_key"
-        )
+        return _block_permute_pos(out, self.block_size, s + 500).drop("block_id")
 
 
 @dataclass

@@ -106,13 +106,15 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_exprs(text_col: str = "text", bits: int = 32) -> list[str]:
+def simhash_exprs(tokens_col: str = "_dtoks", bits: int = 32) -> list[str]:
     """Per-bit vote-sum SQL expressions for a ``bits``-wide simhash over
     the *distinct token set* (standard simhash with unit weights).
 
     Bit b of token t = bit (b mod 4) of hex digit b//4 of md5(t); vote
     is +1/-1; the document bit is 1 iff the vote sum is positive.  Uses
     only md5/substr/instr/integer arithmetic — portable to DuckDB.
+    ``tokens_col`` must be a bound array column (tokenizing inside each
+    of the 32 expressions would cost 32 splits per row).
     """
     exprs = []
     for b in range(bits):
@@ -121,17 +123,18 @@ def simhash_exprs(text_col: str = "text", bits: int = 32) -> list[str]:
         )
         bit = f"(({digit} div {2 ** (b % 4)}) % 2)"
         exprs.append(
-            f"aggregate(array_distinct(split({text_col}, ' ')), 0L, (acc, t) -> acc + (2 * {bit} - 1))"
+            f"aggregate({tokens_col}, 0L, (acc, t) -> acc + (2 * {bit} - 1))"
             f" AS s{b}"
         )
     return exprs
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
-    votes = df.selectExpr("*", *simhash_exprs(text_col, bits))
+    toks = df.withColumn("_dtoks", F.array_distinct(F.split(F.col(text_col), " ")))
+    votes = toks.selectExpr("*", *simhash_exprs("_dtoks", bits))
     combine = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
     )
     return votes.withColumn("simhash", F.expr(f"CAST({combine} AS BIGINT)")).drop(
-        *[f"s{b}" for b in range(bits)]
+        "_dtoks", *[f"s{b}" for b in range(bits)]
     )

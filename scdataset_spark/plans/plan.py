@@ -70,6 +70,41 @@ def with_pos(
     )
 
 
+def with_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str = "row_id",
+    out: str = "hi",
+    buckets: int = 64,
+) -> DataFrame:
+    """Distributed exact running sum of ``value_col`` in ``order_col``
+    order (inclusive): the inverse-CDF sampler's cumulative weights (W2)
+    without a single-partition global window.
+
+    Same bucket-offset pattern as ``with_pos``: per-bucket partial sums
+    (one partial-agg shuffle of `buckets` rows), offsets via a window
+    over that tiny frame, broadcast back, then a partition-local running
+    sum inside each bucket.
+    """
+    stats = df.agg(F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        F.least(
+            F.lit(buckets - 1),
+            ((F.col(order_col) - F.col("_lo")) * buckets / (F.col("_hi") - F.col("_lo") + 1)).cast("bigint"),
+        ),
+    ).drop("_lo", "_hi")
+    sums = b.groupBy("_bucket").agg(F.sum(value_col).alias("_bsum"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn("_offset", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))).drop("_bsum")
+    w_in = Window.partitionBy("_bucket").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out, F.sum(value_col).over(w_in) + F.col("_offset"))
+        .drop("_bucket", "_offset")
+    )
+
+
 def with_batches(
     plan: DataFrame,
     batch_size: int,

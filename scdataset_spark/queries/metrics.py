@@ -41,7 +41,7 @@ def g3_batch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shannon entropy of the class distribution inside each yielded batch
     of a block-shuffled stream.  H = log2(n) - Σ c·log2(c) / n."""
     li = load_table(spark, "lineitem", sf_dir)
-    plan = BlockShuffling(block_size=64).plan(li, seed=SEED)
+    plan = BlockShuffling(block_size=64, assume_dense=True).plan(li, seed=SEED)
     counts = (
         plan.withColumn("batch_id", F.expr("pos div 64"))
         .groupBy("batch_id", "l_returnflag")
@@ -107,7 +107,7 @@ def g6_batch_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     example) from decimal-exact batch sums — mean/std identical across
     engines; partial trailing batch excluded (n-1 denominator)."""
     li = load_table(spark, "lineitem", sf_dir)
-    plan = Streaming().plan(li, seed=SEED).withColumn("batch_id", F.expr("pos div 32"))
+    plan = Streaming(assume_dense=True).plan(li, seed=SEED).withColumn("batch_id", F.expr("pos div 32"))
     stats = plan.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double").alias("s1"),
@@ -136,7 +136,7 @@ def g6_batch_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH base AS (SELECT {LI_RID} AS row_id, l_quantity FROM lineitem),
 p AS (SELECT row_id, l_quantity, row_number() OVER (ORDER BY row_id) - 1 AS pos FROM base),
-b AS (SELECT row_id, pos // 32 AS batch_id, l_quantity * 2 AS qty2 FROM p)
+b AS (SELECT row_id, pos // 64 AS batch_id, l_quantity * 2 AS qty2 FROM p)
 SELECT row_id, batch_id, qty2,
        CAST(sum(CAST(qty2 AS DECIMAL(24,8))) OVER (PARTITION BY batch_id) AS DOUBLE)
          / count(*) OVER (PARTITION BY batch_id) AS batch_mean
@@ -148,12 +148,16 @@ def t_hook_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas stage: fetch_transform doubles the quantity on each
     fetch chunk, batch_transform stamps the per-batch mean — checked
     value-for-value against pure SQL (qty is integral so the pandas
-    float mean is exact)."""
+    float mean is exact).
+
+    fetch = 64*64 = 4096 rows: the reference's own lesson — hook
+    chunks must be large enough to amortize per-chunk overhead
+    (tiny fetch groups drown applyInPandas in Python round-trips)."""
     li = load_table(spark, "lineitem", sf_dir)
     planned = with_batches(
-        Streaming().plan(li, seed=SEED).select("row_id", "pos", "l_quantity"),
-        batch_size=32,
-        fetch_factor=4,
+        Streaming(assume_dense=True).plan(li, seed=SEED).select("row_id", "pos", "l_quantity"),
+        batch_size=64,
+        fetch_factor=64,
     )
 
     def fetch_transform(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -169,7 +173,7 @@ def t_hook_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hook_pipeline(
         planned,
         "row_id bigint, batch_id bigint, qty2 double, batch_mean double",
-        batch_size=32,
+        batch_size=64,
         fetch_transform=fetch_transform,
         batch_transform=batch_transform,
     )

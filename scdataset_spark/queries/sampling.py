@@ -45,7 +45,7 @@ FROM base
 )
 def s1_streaming_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    return Streaming().plan(li, seed=SEED).select("row_id", "pos")
+    return Streaming(assume_dense=True).plan(li, seed=SEED).select("row_id", "pos")
 
 
 # ------------------------------------------------------------------- S2
@@ -89,14 +89,14 @@ FROM k
 @query("o1_block_shuffle", survey_ref="O1,O8", headline=True, oracle=_o1_oracle(SEED, 64))
 def o1_block_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    return BlockShuffling(block_size=64).plan(li, seed=SEED).select("row_id", "pos")
+    return BlockShuffling(block_size=64, assume_dense=True).plan(li, seed=SEED).select("row_id", "pos")
 
 
 @query("o9_epoch_reshuffle", survey_ref="O9", oracle=_o1_oracle(SEED + 3000, 64))
 def o9_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same plan, epoch=3: seed_eff = seed + 3*1000 (reference rule)."""
     li = load_table(spark, "lineitem", sf_dir)
-    return BlockShuffling(block_size=64).plan(li, seed=SEED, epoch=3).select("row_id", "pos")
+    return BlockShuffling(block_size=64, assume_dense=True).plan(li, seed=SEED, epoch=3).select("row_id", "pos")
 
 
 # ------------------------------------------------------------------- O2
@@ -116,7 +116,7 @@ FROM b
 def o2_buffer_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
-        Streaming(shuffle=True, buffer_size=512)
+        Streaming(shuffle=True, buffer_size=512, assume_dense=True)
         .plan(li, seed=SEED)
         .select("row_id", "pos")
     )
@@ -145,7 +145,7 @@ def o15_block_shuffle_droplast(spark: SparkSession, sf_dir: str) -> DataFrame:
     random indices, not the tail — strategy.py:536-540)."""
     li = load_table(spark, "lineitem", sf_dir)
     return (
-        BlockShuffling(block_size=64, drop_last=True)
+        BlockShuffling(block_size=64, drop_last=True, assume_dense=True)
         .plan(li, seed=SEED)
         .select("row_id", "pos")
     )
@@ -165,7 +165,7 @@ FROM p GROUP BY 1, 2
 )
 def o10_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    plan = with_batches(Streaming().plan(li, seed=SEED), batch_size=32, fetch_factor=4)
+    plan = with_batches(Streaming(assume_dense=True).plan(li, seed=SEED), batch_size=32, fetch_factor=4)
     return plan.groupBy("fetch_id", "batch_id").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
@@ -185,7 +185,7 @@ def o11_drop_last_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch it occurs in (reference per-fetch, NOT global, semantics)."""
     li = load_table(spark, "lineitem", sf_dir)
     plan = with_batches(
-        Streaming().plan(li, seed=SEED), batch_size=32, fetch_factor=4, drop_last=True
+        Streaming(assume_dense=True).plan(li, seed=SEED), batch_size=32, fetch_factor=4, drop_last=True
     )
     return plan.groupBy("fetch_id", "batch_id").agg(F.count(F.lit(1)).alias("n_rows"))
 
@@ -214,7 +214,7 @@ def o12_exact_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark side also asserts the Python closed form agrees."""
     li = load_table(spark, "lineitem", sf_dir)
     plan = with_batches(
-        Streaming().plan(li, seed=SEED), batch_size=32, fetch_factor=16, drop_last=True
+        Streaming(assume_dense=True).plan(li, seed=SEED), batch_size=32, fetch_factor=16, drop_last=True
     )
     executed = ddp_filter(plan, world_size=2, rank=0).select("batch_id").distinct()
     return executed.agg(F.count(F.lit(1)).alias("n_batches"))
@@ -233,7 +233,7 @@ SELECT fetch_id, n_rows FROM g WHERE fetch_id % 4 = 1
 )
 def o13_ddp_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    plan = with_batches(Streaming().plan(li, seed=SEED), batch_size=32, fetch_factor=4)
+    plan = with_batches(Streaming(assume_dense=True).plan(li, seed=SEED), batch_size=32, fetch_factor=4)
     return (
         ddp_filter(plan, world_size=4, rank=1)
         .groupBy("fetch_id")
