@@ -1,0 +1,92 @@
+"""MLlib pipeline integration (the north star's "DataFrame loading +
+MLlib pipelines") plus expression-level twins where SQL-oracle checking
+is possible.
+
+- label encoding (reference ``training_experiments/data/label_encoder.py``)
+  via MLlib ``StringIndexer`` — the deterministic frequencyDesc order is
+  reproducible in SQL as ``dense_rank() OVER (ORDER BY count DESC,
+  label ASC) - 1``.
+- TF-IDF: MLlib ``HashingTF/IDF`` for pipelines (murmur3 buckets — not
+  SQL-portable), and an expression-level exact TF-IDF
+  (``tfidf_expression``) used for the oracle-checked query.
+- ``MinHashLSH`` / ``BucketedRandomProjectionLSH`` wrappers over the
+  embeddings table for ANN joins inside MLlib pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import (
+    BucketedRandomProjectionLSH,
+    HashingTF,
+    IDF,
+    MinHashLSH,
+    StringIndexer,
+    Tokenizer,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_encode(df: DataFrame, label_col: str, out_col: str = "label_idx") -> DataFrame:
+    """StringIndexer with frequencyDesc ordering (most frequent → 0)."""
+    idx = StringIndexer(
+        inputCol=label_col, outputCol=out_col, stringOrderType="frequencyDesc"
+    )
+    return idx.fit(df).transform(df)
+
+
+def tfidf_expression(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact smooth TF-IDF (sklearn formula: idf = ln((N+1)/(df+1)) + 1)
+    via pure relational ops: explode → tf per (doc, term) → df per term
+    → broadcast join.  Deterministic, SQL-expressible, scales as two
+    aggregations."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def hashed_tfidf_pipeline(docs: DataFrame, text_col: str = "text", features: int = 1024) -> DataFrame:
+    """MLlib Tokenizer → HashingTF → IDF (the pipeline-native variant;
+    murmur3 bucketed, so checked by shape/statistics rather than oracle)."""
+    tok = Tokenizer(inputCol=text_col, outputCol="_words")
+    words = tok.transform(docs)
+    tf = HashingTF(inputCol="_words", outputCol="_tf", numFeatures=features).transform(words)
+    idf = IDF(inputCol="_tf", outputCol="tfidf_vec").fit(tf)
+    return idf.transform(tf).drop("_words", "_tf")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, vec_col: str, threshold: float = 0.8, tables: int = 4, seed: int = 7
+):
+    """MLlib MinHashLSH similarity self-join (expects a sparse/binary
+    VectorUDT column)."""
+    mh = MinHashLSH(inputCol=vec_col, outputCol="_hashes", numHashTables=tables, seed=seed)
+    model = mh.fit(df)
+    return model.approxSimilarityJoin(df, df, threshold, distCol="jaccard_dist")
+
+
+def brp_lsh_neighbors(
+    df: DataFrame, vec_col: str, key, k: int = 5, bucket_len: float = 2.0, seed: int = 7
+):
+    """BucketedRandomProjectionLSH ANN for dense vectors."""
+    brp = BucketedRandomProjectionLSH(
+        inputCol=vec_col, outputCol="_hashes", bucketLength=bucket_len, seed=seed
+    )
+    model = brp.fit(df)
+    return model.approxNearestNeighbors(df, key, k)

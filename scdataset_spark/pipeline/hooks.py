@@ -33,12 +33,20 @@ def run_hook_pipeline(
     planned: DataFrame,
     output_schema: str,
     batch_size: int,
+    fetch_callback: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     fetch_transform: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     batch_transform: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     drop_last: bool = False,
 ) -> DataFrame:
     """Run the hook pipeline over a planned frame (needs ``pos``,
     ``fetch_id`` columns from plans.with_batches / a strategy).
+
+    ``fetch_callback`` (T1) is the custom-store fetch: it receives the
+    fetch's *plan* rows (row_id/pos) and returns them enriched with data
+    columns pulled from an external store (memmap, HTTP, SQL — the
+    reference's ``fetch_callback(collection, indices)``).  When None,
+    the data is assumed to already ride on the planned frame (Spark's
+    columnar scan was the fetch).
 
     Returns a DataFrame with ``output_schema``; the hooks see pandas
     frames sorted by ``pos`` (the strategy's yield order), matching the
@@ -47,6 +55,8 @@ def run_hook_pipeline(
 
     def process_fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pos").reset_index(drop=True)
+        if fetch_callback is not None:
+            pdf = fetch_callback(pdf)
         if fetch_transform is not None:
             pdf = fetch_transform(pdf)
         out = []

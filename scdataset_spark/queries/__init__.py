@@ -21,6 +21,7 @@ from scdataset_spark.queries import relational  # noqa: F401,E402
 from scdataset_spark.queries import llm  # noqa: F401,E402
 from scdataset_spark.queries import streaming_batch  # noqa: F401,E402
 from scdataset_spark.queries import metrics  # noqa: F401,E402
+from scdataset_spark.queries import extended  # noqa: F401,E402
 
 
 def queries():

@@ -1,0 +1,289 @@
+"""Extended coverage queries: custom Python DataSource (S6), multimodal
+binary decode, MLlib-equivalent encoders, grouping sets, subqueries,
+date/string/array scalar functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.ml import label_encode, tfidf_expression
+from scdataset_spark.operators.multimodal import decode_images, resize_stub, with_fake_image
+from scdataset_spark.plans.seeds import mix_sql
+from scdataset_spark.queries.registry import query
+
+SEED = 42
+
+
+# ---------------------------------------------------------- S6 source
+@query(
+    "src_custom_datasource",
+    survey_ref="S6",
+    oracle=f"""
+WITH cells AS (
+  SELECT i AS cell_id,
+         ({mix_sql('i', 42, 'duckdb')}) % 14 + 1 AS plate,
+         CAST(1000 + ({mix_sql('i', 43, 'duckdb')}) % 9000 AS DOUBLE) AS depth
+  FROM range(0, 10000) t(i)
+)
+SELECT plate, count(*) AS n_cells,
+       CAST(sum(CAST(depth AS DECIMAL(24,8))) AS DOUBLE) AS total_depth
+FROM cells GROUP BY plate
+""",
+)
+def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource V2 API): a
+    partition-parallel synthetic single-cell source whose rows derive
+    from the portable mix() — so even the custom source is value-checked
+    by the oracle, which re-generates the identical rows in SQL."""
+    from scdataset_spark.sources.synthetic_cells import build_datasource
+
+    try:
+        spark.dataSource.register(build_datasource())
+    except Exception:
+        pass  # already registered in this session
+    cells = (
+        spark.read.format("synthetic_cells")
+        .option("n_rows", 10000)
+        .option("seed", 42)
+        .load()
+    )
+    return cells.groupBy("plate").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("depth").cast("decimal(24,8)")).cast("double").alias("total_depth"),
+    )
+
+
+# ------------------------------------------------------- multimodal
+def _byte(hexcol: str, j: int) -> str:
+    """DuckDB: byte j (0-based) of an md5 hex string."""
+    hi = f"(instr('0123456789abcdef', substr({hexcol}, {2 * j + 1}, 1)) - 1)"
+    lo = f"(instr('0123456789abcdef', substr({hexcol}, {2 * j + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+def _mm_oracle() -> str:
+    b0 = _byte("h", 0)
+    b1 = _byte("h", 1)
+    total = " + ".join(_byte("h", j) for j in range(16))
+    return f"""
+WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+dec AS (
+  SELECT doc_id,
+         32 + {b0} % 97 AS width,
+         32 + {b1} % 97 AS height,
+         ({total}) / 16.0 AS mean_byte
+  FROM hx
+)
+SELECT doc_id, width, height, round(mean_byte, 6) AS mean_byte,
+       CAST(round(width * (224.0 / least(width, height))) AS INT) AS resized_w,
+       CAST(round(height * (224.0 / least(width, height))) AS INT) AS resized_h
+FROM dec
+""".replace("'", "'")
+
+
+@query("mm_binary_decode", survey_ref="§2.14 multimodal,S4", oracle=_mm_oracle())
+def mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: synthesize a binary 'image' per doc,
+    decode metadata in an Arrow mapInPandas stage (PIL-stubbed
+    deterministic fake — a pure function of the bytes, so the oracle
+    recomputes it from the hex), then the resize-plan arithmetic."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    decoded = decode_images(with_fake_image(docs))
+    decoded = decoded.withColumn("mean_byte", F.round("mean_byte", 6))
+    return resize_stub(decoded).join(
+        decoded.select("doc_id", "mean_byte"), "doc_id"
+    ).select("doc_id", "width", "height", "mean_byte", "resized_w", "resized_h")
+
+
+# ------------------------------------------------------------- MLlib
+@query(
+    "ml_label_encode",
+    survey_ref="P5,J2",
+    oracle="""
+WITH counts AS (SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1),
+ranked AS (
+  SELECT c_mktsegment,
+         CAST(dense_rank() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS DOUBLE) AS label_idx
+  FROM counts
+)
+SELECT c.c_custkey, c.c_mktsegment, r.label_idx
+FROM customer c JOIN ranked r ON c.c_mktsegment = r.c_mktsegment
+""",
+)
+def ml_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib StringIndexer (frequencyDesc): most frequent class → 0.0;
+    the oracle reproduces the exact ordering with dense_rank."""
+    cust = load_table(spark, "customer", sf_dir, with_row_id=False)
+    return label_encode(cust, "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "label_idx"
+    )
+
+
+@query(
+    "ml_tfidf",
+    survey_ref="§2.14 text",
+    oracle="""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term,
+       round(tf.tf * (ln((n.n + 1) / (dfreq.df + 1.0)) + 1), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+""",
+)
+def ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact smooth TF-IDF (expression twin of the MLlib
+    HashingTF/IDF pipeline, which is murmur3-bucketed and therefore
+    checked statistically in tests instead)."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return tfidf_expression(docs)
+
+
+# ---------------------------------------------------- G7 grouping sets
+@query(
+    "g7_grouping_sets",
+    survey_ref="G7",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def g7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM _li_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+# -------------------------------------------------------- subqueries
+@query(
+    "sq_scalar_subquery",
+    survey_ref="J3,G7",
+    oracle="""
+SELECT p_partkey, p_retailprice
+FROM part
+WHERE p_retailprice > (
+  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(24,8))) AS DOUBLE) / count(*) FROM part
+)
+""",
+)
+def sq_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts above mean price — scalar subquery with a decimal-exact
+    mean so the threshold is engine-identical at the boundary."""
+    p = load_table(spark, "part", sf_dir, with_row_id=False)
+    p.createOrReplaceTempView("_part_sq")
+    return spark.sql(
+        "SELECT p_partkey, p_retailprice FROM _part_sq WHERE p_retailprice > "
+        "(SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(24,8))) AS DOUBLE) / count(*) FROM _part_sq)"
+    )
+
+
+@query(
+    "sq_in_subquery",
+    survey_ref="J3",
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+""",
+)
+def sq_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    o.createOrReplaceTempView("_ord_sq")
+    c.createOrReplaceTempView("_cust_sq")
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey FROM _ord_sq WHERE o_custkey IN "
+        "(SELECT c_custkey FROM _cust_sq WHERE c_mktsegment = 'MACHINERY')"
+    )
+
+
+# -------------------------------------------- scalar function batteries
+@query(
+    "dt_date_functions",
+    survey_ref="§2.10",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+FROM orders
+""",
+)
+def dt_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+@query(
+    "str_functions",
+    survey_ref="§2.10",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       replace(c_name, '#', '-') AS replaced,
+       instr(c_name, '#') AS hash_pos,
+       length(c_name) AS name_len,
+       substr(c_name, 1, 8) AS prefix,
+       concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nat
+FROM customer
+""",
+)
+def str_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("replaced"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_nationkey").cast("string")).alias("seg_nat"),
+    )
+
+
+@query(
+    "arr_functions",
+    survey_ref="§2.10,M2",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(embedding[1]::DOUBLE, 4) AS first_val,
+       round(embedding[64]::DOUBLE, 4) AS last_val,
+       round(list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'sum'), 4) AS l1_norm,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings
+""",
+)
+def arr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
+        F.expr(
+            "round(aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v), 4)"
+        ).alias("l1_norm"),
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_positive"),
+    )

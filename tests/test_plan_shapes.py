@@ -54,10 +54,12 @@ def test_scan_filter_stays_in_codegen(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_block_shuffle_has_no_join(spark):
-    # O1 is pure expressions + sort: no join, no python UDF
+def test_block_shuffle_plan_shape(spark):
+    # O1 = scan + block-METADATA equi-join (no cartesian product), all
+    # JVM-side (no python UDF); the only window runs over the
+    # aggregated blocks frame, not the table
     plan = _plan(spark, "o1_block_shuffle")
-    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
