@@ -303,6 +303,38 @@ class BlockWeightedSampling(SamplingStrategy):
         return _block_permute_pos(out, self.block_size, s + 500).drop("block_id")
 
 
+def attach_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    scope: str = "global",
+    weight_col: str = "w",
+    out: str = "w",
+) -> DataFrame:
+    """O5 — dual weight-resolution semantics (reference
+    ``strategy.py:791-815``): a weights table may cover the FULL
+    collection (``scope='global'``: importance weights; any subset
+    extracts its rows and the inverse-CDF renormalizes implicitly) or
+    exactly the subset (``scope='subset'``: positional alignment via
+    pos-join after subset numbering).  A subset-scoped table whose
+    cardinality mismatches the subset is an error, mirroring the
+    reference's validation.
+    """
+    if scope == "global":
+        return df.join(weights.select("row_id", F.col(weight_col).alias(out)), "row_id")
+    if scope == "subset":
+        n_df, n_w = df.count(), weights.count()
+        if n_df != n_w:
+            raise ValueError(
+                f"subset-scoped weights must match subset size: {n_w} weights vs {n_df} rows"
+            )
+        pos_df = with_pos(df, "row_id", "_wpos", buckets=POS_BUCKETS)
+        pos_w = with_pos(weights, "pos", "_wpos", buckets=POS_BUCKETS).select(
+            "_wpos", F.col(weight_col).alias(out)
+        )
+        return pos_df.join(pos_w, "_wpos").drop("_wpos")
+    raise ValueError(f"unknown weights scope: {scope!r}")
+
+
 @dataclass
 class ClassBalancedSampling(SamplingStrategy):
     """O6/O7 — inverse-class-frequency weighted sampling (reference

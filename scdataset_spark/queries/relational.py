@@ -190,6 +190,78 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    survey_ref="J3,G7",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: correlated EXISTS (planned as a left-semi
+    join) + aggregate."""
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    late = l.join(
+        o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60).cast("timestamp")).select(
+        F.col("l_orderkey").alias("_late_key")
+    )
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(late, F.col("o_orderkey") == F.col("_late_key"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    survey_ref="J3,G7,W4",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue: top-20 customers by returned-item revenue."""
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l.where(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
     "j_anti_customers_without_orders",
     survey_ref="J3",
     oracle="""

@@ -293,6 +293,59 @@ def o3_weighted_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat.plan(li, seed=SEED).select("row_id", "pos")
 
 
+# ------------------------------------------------------------------- O5
+@query(
+    "o5_subset_weighted",
+    survey_ref="O5,S2",
+    oracle=f"""
+WITH base AS (
+  SELECT {LI_RID} AS row_id,
+         CAST(ceil(l_quantity * 1000000) AS BIGINT) AS wi
+  FROM lineitem
+),
+sub AS (
+  SELECT b.row_id, b.wi FROM base b
+  JOIN (SELECT {LI_RID} AS row_id, l_returnflag FROM lineitem) f ON b.row_id = f.row_id
+  WHERE f.l_returnflag = 'R'
+),
+cum AS (
+  SELECT row_id, wi, sum(wi) OVER (ORDER BY row_id ROWS UNBOUNDED PRECEDING) AS hi
+  FROM sub
+),
+cum2 AS (SELECT row_id, hi - wi AS lo, hi FROM cum),
+tot AS (SELECT max(hi) AS t FROM cum2),
+draws AS (
+  SELECT i AS draw_id, {_T62} % (SELECT t FROM tot) AS t
+  FROM range(0, 800) r(i)
+),
+sel AS (
+  SELECT d.draw_id, c.row_id FROM draws d JOIN cum2 c ON d.t >= c.lo AND d.t < c.hi
+),
+p0 AS (
+  SELECT draw_id, row_id, row_number() OVER (ORDER BY row_id, draw_id) - 1 AS pos0
+  FROM sel
+),
+b AS (SELECT row_id, pos0, ({_mix('pos0 // 64', SEED + 500)}) AS block_key FROM p0)
+SELECT row_id, row_number() OVER (ORDER BY block_key, pos0) - 1 AS pos
+FROM b
+""",
+)
+def o5_subset_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 dual weight resolution, global-weights-on-a-subset case: the
+    collection is restricted (l_returnflag='R'), the weight column is
+    defined globally, and the inverse CDF renormalizes over the subset
+    implicitly (reference strategy.py:791-815)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    strat = BlockWeightedSampling(
+        where="l_returnflag = 'R'",
+        block_size=64,
+        weight_col="l_quantity",
+        total_size=800,
+        replace=True,
+    )
+    return strat.plan(li, seed=SEED).select("row_id", "pos")
+
+
 # ------------------------------------------------------------------- O4
 def _o4_oracle() -> str:
     rounds = []

@@ -1,0 +1,93 @@
+"""IVF ANN recall, attach_weights dual resolution, epoch-plan export."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.operators.similarity import brute_force_topk, ivf_topk
+from scdataset_spark.operators.strategies import BlockWeightedSampling, attach_weights
+from scdataset_spark.pipeline.export import write_epoch_plan
+from scdataset_spark.operators.strategies import Streaming
+from scdataset_spark.plans.plan import with_batches
+from tests.conftest import SF_DIR_SMALL
+
+
+class TestIVF:
+    def test_recall_vs_brute_force(self, spark):
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        exact = brute_force_topk(q, c, k=5)
+        approx = ivf_topk(q, c, k=5, n_clusters=8, n_probe=3)
+        ex = {(r.q_id, r.c_id) for r in exact.collect()}
+        ap = {(r.q_id, r.c_id) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        # 3/8 of cells probed: recall must beat random cell selection
+        assert recall >= 0.5, f"IVF recall {recall}"
+        # every query answered
+        assert approx.select("q_id").distinct().count() == 10
+
+    def test_deterministic_given_seed(self, spark):
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        a = sorted(map(tuple, ivf_topk(q, c, k=3, seed=11).collect()))
+        b = sorted(map(tuple, ivf_topk(q, c, k=3, seed=11).collect()))
+        assert a == b
+
+
+class TestAttachWeights:
+    def test_global_scope_joins_by_row_id(self, spark):
+        cust = load_table(spark, "customer", SF_DIR_SMALL)
+        weights = cust.select("row_id", (F.col("c_custkey") % 5 + 1).cast("double").alias("w"))
+        sub = cust.where("c_mktsegment = 'BUILDING'")
+        out = attach_weights(sub, weights, scope="global")
+        assert out.count() == sub.count()
+        assert "w" in out.columns
+
+    def test_subset_scope_cardinality_check(self, spark):
+        cust = load_table(spark, "customer", SF_DIR_SMALL)
+        sub = cust.where("c_mktsegment = 'BUILDING'")
+        wrong = spark.range(3).select(
+            F.col("id").alias("pos"), F.lit(1.0).alias("w")
+        )
+        with pytest.raises(ValueError, match="must match subset size"):
+            attach_weights(sub, wrong, scope="subset")
+
+    def test_subset_scope_positional_alignment(self, spark):
+        cust = load_table(spark, "customer", SF_DIR_SMALL)
+        sub = cust.where("c_custkey <= 20")
+        n = sub.count()
+        weights = spark.range(n).select(
+            F.col("id").alias("pos"), (F.col("id") + 1).cast("double").alias("w")
+        )
+        out = attach_weights(sub, weights, scope="subset").orderBy("row_id").collect()
+        # k-th smallest row_id gets weight k+1 (positional semantics)
+        assert [r.w for r in out] == [float(i + 1) for i in range(n)]
+
+    def test_unknown_scope(self, spark):
+        cust = load_table(spark, "customer", SF_DIR_SMALL)
+        with pytest.raises(ValueError, match="unknown weights scope"):
+            attach_weights(cust, cust, scope="nope")
+
+
+class TestEpochPlanExport:
+    def test_write_epoch_plan_layout(self, spark, tmp_path):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        planned = with_batches(Streaming().plan(li, seed=3), batch_size=64, fetch_factor=8)
+        out = str(tmp_path / "epoch0")
+        write_epoch_plan(planned, out, columns=["row_id", "l_quantity"])
+        back = spark.read.parquet(out)
+        assert back.count() == li.count()
+        # fetch-partitioned layout on disk
+        dirs = [d for d in os.listdir(out) if d.startswith("fetch_id=")]
+        assert len(dirs) == planned.select("fetch_id").distinct().count()
+        # within one fetch file, rows are pos-sorted
+        one = back.where("fetch_id = 0").orderBy("pos").collect()
+        raw = spark.read.parquet(os.path.join(out, "fetch_id=0")).collect()
+        assert [r.pos for r in raw] == [r.pos for r in one]
