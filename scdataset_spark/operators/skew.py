@@ -1,0 +1,75 @@
+"""Skew-handling utilities: salting for hot keys, frequency capping for
+hot join tokens, and bucketed-table co-location.
+
+At 100 TB the failure mode of every keyed operator is a handful of hot
+keys (a viral document's shingle, a null-ish join key, one giant
+customer).  AQE's skew-join splitting handles the join case at runtime;
+these helpers cover the aggregate case (two-phase salted aggregation)
+and the inverted-index case (df-capped tokens), plus writer-side
+bucketing so repeated equi-joins skip their shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scdataset_spark.plans.seeds import mix_sql
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], salts: int = 16, seed: int = 0
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: count within
+    (key, salt) partitions first (spreads a hot key over ``salts``
+    reducers), then combine per key.  The salt is a deterministic mix
+    of a row-unique expression so recompute is stable.
+
+    For Spark's built-in sum/count the partial aggregation already does
+    map-side combining, so salting matters when the *grouping state* is
+    large per key (collect_list-ish, distinct counting) or when one key
+    dominates a reducer; the same two-phase shape applies to any
+    reassociable aggregate.
+    """
+    salt = (F.spark_partition_id() * 7919 + F.monotonically_increasing_id()) % salts
+    # deterministic variant when a row id exists
+    if "row_id" in df.columns:
+        salt = F.expr(mix_sql("row_id", seed, "spark")) % salts
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return phase1.groupBy(*key_cols).agg(F.sum("_partial").alias("count"))
+
+
+def cap_hot_tokens(
+    inverted: DataFrame, token_col: str = "sh", max_df: int = 1000
+) -> DataFrame:
+    """Drop tokens whose document frequency exceeds ``max_df`` from an
+    inverted index before a pair-generating self-join.
+
+    A token in d docs contributes d^2 candidate pairs — one viral
+    shingle can dominate the whole join.  Capping df bounds fan-out at
+    max_df^2 per token; near-dup recall is preserved because a token
+    shared by thousands of documents carries ~no discriminative signal
+    (standard stop-shingle removal).
+    """
+    dfreq = inverted.groupBy(token_col).agg(F.count(F.lit(1)).alias("_df"))
+    keep = dfreq.where(F.col("_df") <= max_df).select(token_col)
+    return inverted.join(keep, token_col, "left_semi")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_cols: list[str], buckets: int = 32
+) -> None:
+    """Persist a table bucketed (and sorted) by the join key: subsequent
+    equi-joins/aggregations on that key read co-located buckets and
+    skip the shuffle (SortMergeJoin without Exchange).  The write-once
+    analogue of repartitioning before every join."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )

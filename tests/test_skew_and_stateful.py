@@ -1,0 +1,153 @@
+"""Skew utilities, bucketed co-location, stateful streaming, and
+hypothesis property tests for the plan closed forms."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.operators.dedup import with_shingles
+from scdataset_spark.operators.skew import cap_hot_tokens, salted_count, write_bucketed
+from scdataset_spark.plans.plan import exact_num_batches
+from tests.conftest import SF_DIR_SMALL
+
+
+class TestSkew:
+    def test_salted_count_matches_plain(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        plain = {
+            (r.l_returnflag,): r["count"]
+            for r in li.groupBy("l_returnflag").count().collect()
+        }
+        salted = {
+            (r.l_returnflag,): r["count"]
+            for r in salted_count(li, ["l_returnflag"], salts=8).collect()
+        }
+        assert plain == salted
+
+    def test_cap_hot_tokens(self, spark):
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        sh = with_shingles(docs.select("doc_id", "text"))
+        inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+        capped = cap_hot_tokens(inv, "sh", max_df=3)
+        dfreq = capped.groupBy("sh").count()
+        assert dfreq.agg(F.max("count")).first()[0] <= 3
+        # non-hot tokens survive untouched
+        total_before = inv.select("sh").distinct().count()
+        total_after = capped.select("sh").distinct().count()
+        assert 0 < total_after <= total_before
+
+    def test_bucketed_join_skips_shuffle(self, spark):
+        # writes to the session's default warehouse (gitignored);
+        # clear catalog entries AND orphaned dirs from crashed runs
+        import shutil
+
+        for t in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        o = load_table(spark, "orders", SF_DIR_SMALL, with_row_id=False)
+        li = load_table(spark, "lineitem", SF_DIR_SMALL, with_row_id=False)
+        write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8)
+        write_bucketed(
+            li.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"], 8
+        )
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        import contextlib
+        import io
+
+        # force the shuffle-join path (tiny test tables would broadcast)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain()
+            plan = buf.getvalue()
+            # co-located buckets: sort-merge join with NO Exchange
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestStatefulStreaming:
+    def test_running_user_stats_stream(self, spark):
+        from scdataset_spark.streaming.events import read_events_stream
+        from scdataset_spark.streaming.stateful import running_user_stats
+
+        stream = read_events_stream(spark, SF_DIR_SMALL)
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName("user_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("user_stats")
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+        expected = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        g = {r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts) for r in got.collect()}
+        e = {
+            r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts)
+            for r in expected.collect()
+        }
+        assert g == e
+
+
+class TestClosedFormProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(0, 5000),
+        batch=st.integers(1, 64),
+        ff=st.integers(1, 16),
+        drop=st.booleans(),
+        world=st.integers(1, 6),
+    )
+    def test_exact_len_simulation(self, n, batch, ff, drop, world):
+        """Property: the closed form equals a pure-python simulation of
+        the reference loop for ALL configs (hypothesis-driven analogue
+        of the reference's ~20 hand-picked edge configs)."""
+        fetch = batch * ff
+        per_rank = [0] * world
+        fetches = [(s, min(s + fetch, n)) for s in range(0, n, fetch)]
+        for i, (s, e) in enumerate(fetches):
+            size = e - s
+            nb = size // batch if drop else -(-size // batch)
+            per_rank[i % world] += nb
+        for rank in range(world):
+            assert per_rank[rank] == exact_num_batches(n, batch, ff, drop, world, rank)
+
+    @settings(max_examples=100, deadline=None)
+    @given(k=st.integers(0, 2**33), seed=st.integers(0, 2**20))
+    def test_mix_range_and_determinism(self, k, seed):
+        from scdataset_spark.sources.synthetic_cells import build_datasource
+
+        # python twin of the SQL mixer (used by the custom source)
+        MIX_MOD = 2_147_483_647
+
+        def mix(k, seed):
+            h1 = (
+                (k % MIX_MOD) * 2_654_435_761
+                + (seed % MIX_MOD) * 2_246_822_519 % MIX_MOD
+                + 3_266_489_917
+            ) % MIX_MOD
+            x = h1 ^ (h1 >> 21)
+            h2 = (x * 1_597_334_677) % MIX_MOD
+            y = h2 ^ (h2 >> 16)
+            return (y * 1_103_515_245 + 12_345) % MIX_MOD
+
+        v = mix(k, seed)
+        assert 0 <= v < MIX_MOD
+        assert v == mix(k, seed)
