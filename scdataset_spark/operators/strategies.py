@@ -91,6 +91,10 @@ class Streaming(SamplingStrategy):
     shuffle: bool = False
     buffer_size: int = 1024  # batch_size * fetch_factor at execution time
 
+    def __post_init__(self):
+        if self.buffer_size <= 0:
+            raise ValueError(f"buffer_size must be positive, got {self.buffer_size}")
+
     def plan(self, df: DataFrame, seed: int = 42, epoch: int = 0) -> DataFrame:
         s = _seed_eff(seed, epoch)
         out = self._pos0(self._subset(df))
@@ -125,6 +129,10 @@ class BlockShuffling(SamplingStrategy):
 
     block_size: int = 8
     drop_last: bool = False
+
+    def __post_init__(self):
+        if self.block_size <= 0:
+            raise ValueError(f"block_size must be positive, got {self.block_size}")
 
     def plan(self, df: DataFrame, seed: int = 42, epoch: int = 0) -> DataFrame:
         s = _seed_eff(seed, epoch)
@@ -235,6 +243,14 @@ class BlockWeightedSampling(SamplingStrategy):
     replace: bool = True
     sampling_size: int | None = None
     weight_scale: int = 1_000_000
+
+    def __post_init__(self):
+        if self.block_size <= 0:
+            raise ValueError(f"block_size must be positive, got {self.block_size}")
+        if self.total_size <= 0:
+            raise ValueError(f"total_size must be positive, got {self.total_size}")
+        if self.sampling_size is not None and self.sampling_size <= 0:
+            raise ValueError(f"sampling_size must be positive, got {self.sampling_size}")
 
     def _weighted_draws(self, df: DataFrame, s: int) -> DataFrame:
         spark = df.sparkSession

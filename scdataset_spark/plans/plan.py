@@ -148,6 +148,18 @@ def ddp_filter(plan: DataFrame, world_size: int, rank: int) -> DataFrame:
     return plan.where(F.pmod(F.col("fetch_id"), F.lit(world_size)) == F.lit(rank))
 
 
+def resume_from_batch(plan: DataFrame, start_batch: int) -> DataFrame:
+    """Checkpoint-resume (reference tests/test_ddp_real.py resume
+    coverage): because the whole plan is a deterministic function of
+    (seed, epoch), resuming training after batch k is a FILTER, not a
+    state restore — rebuild the identical plan and skip the consumed
+    prefix.  Works under DDP (apply before or after ddp_filter) and
+    costs one pushed-down predicate."""
+    if start_batch < 0:
+        raise ValueError(f"start_batch must be >= 0, got {start_batch}")
+    return plan.where(F.col("batch_id") >= F.lit(start_batch))
+
+
 def exact_num_batches(
     n: int,
     batch_size: int,

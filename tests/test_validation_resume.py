@@ -1,0 +1,76 @@
+"""Constructor validation errors (mirroring the reference's
+construction-error tests) and checkpoint-resume determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.operators.strategies import (
+    BlockShuffling,
+    BlockWeightedSampling,
+    Streaming,
+)
+from scdataset_spark.plans.plan import ddp_filter, exact_num_batches, resume_from_batch, with_batches
+from tests.conftest import SF_DIR_SMALL
+
+
+class TestValidation:
+    @pytest.mark.parametrize(
+        "ctor",
+        [
+            lambda: BlockShuffling(block_size=0),
+            lambda: BlockShuffling(block_size=-3),
+            lambda: Streaming(shuffle=True, buffer_size=0),
+            lambda: BlockWeightedSampling(block_size=0),
+            lambda: BlockWeightedSampling(total_size=0),
+            lambda: BlockWeightedSampling(sampling_size=-1),
+        ],
+    )
+    def test_invalid_construction(self, ctor):
+        with pytest.raises(ValueError):
+            ctor()
+
+    def test_ddp_filter_rank_range(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        plan = with_batches(Streaming().plan(li, seed=1), 32, 4)
+        with pytest.raises(ValueError, match="out of range"):
+            ddp_filter(plan, world_size=2, rank=5)
+
+    def test_exact_len_validation(self):
+        with pytest.raises(ValueError):
+            exact_num_batches(100, batch_size=0)
+
+    def test_resume_validation(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        plan = with_batches(Streaming().plan(li, seed=1), 32, 4)
+        with pytest.raises(ValueError, match="start_batch"):
+            resume_from_batch(plan, -1)
+
+
+class TestCheckpointResume:
+    def test_resume_suffix_identical(self, spark):
+        """Rebuilding the plan and filtering batch_id >= k yields exactly
+        the suffix of the original epoch — resume without state."""
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+
+        def build():
+            return with_batches(
+                BlockShuffling(block_size=64).plan(li, seed=9, epoch=2), 32, 4
+            )
+
+        full = build().select("row_id", "pos", "batch_id")
+        resumed = resume_from_batch(build(), start_batch=50).select(
+            "row_id", "pos", "batch_id"
+        )
+        suffix = full.where("batch_id >= 50")
+        assert resumed.exceptAll(suffix).count() == 0
+        assert suffix.exceptAll(resumed).count() == 0
+        assert resumed.count() > 0
+
+    def test_resume_under_ddp(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        plan = with_batches(Streaming().plan(li, seed=9), 32, 4)
+        a = resume_from_batch(ddp_filter(plan, 2, 1), 10)
+        b = ddp_filter(resume_from_batch(plan, 10), 2, 1)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
