@@ -100,6 +100,11 @@ def load_table(
     microseconds, matching DuckDB's own ns→µs truncation so the oracle
     sees identical timestamps.
     """
+    # engine semantic: all timestamp interpretation is UTC (the DuckDB
+    # oracle sees naive/UTC values) — pinned here because the caller's
+    # session may default to a local timezone, which would shift every
+    # timestamp literal and window boundary.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if with_row_id and use_ingested:
         cached = os.path.join(ingest_dir(sf_dir), f"{name}.parquet")
         if os.path.exists(os.path.join(cached, "_SUCCESS")):

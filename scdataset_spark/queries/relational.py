@@ -351,6 +351,58 @@ def w5_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w5_lag_lead_gaps",
+    survey_ref="W5",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(lag(o_orderdate) OVER w AS TIMESTAMP) AS prev_order,
+       CAST(lead(o_orderdate) OVER w AS TIMESTAMP) AS next_order,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def w5_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-customer order gaps."""
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderdate").over(w).alias("prev_order"),
+        F.lead("o_orderdate").over(w).alias("next_order"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+    )
+
+
+@query(
+    "w5_range_frame",
+    survey_ref="W5,W2",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar_price
+FROM orders
+""",
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): orders within ±1000 of each
+    order's price for the same customer."""
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    )
+
+
 # ---------------------------------------------------------------- W6/W7
 @query(
     "setops_repeat_customers",
