@@ -501,6 +501,67 @@ def g7_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g7_percentiles",
+    survey_ref="G7,G4",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def g7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition)."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+    )
+
+
+@query(
+    "g7_correlation",
+    survey_ref="G7,G4",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+FROM s
+""",
+)
+def g7_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from decimal-exact moment sums (the built-in
+    corr() accumulates doubles in partition order — engine-unstable;
+    the explicit formula over exact sums is bit-deterministic)."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,8)")).cast("double").alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,8)")).cast("double").alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,8)")).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", F.round(corr, 6).alias("corr_qty_price"))
+
+
 # --------------------------------------------------------------- §2.10
 @query(
     "scalar_functions_events",
