@@ -57,9 +57,16 @@ ROW_ID_SQL = {
 
 
 def ingest_dir(sf_dir: str) -> str:
-    """Location of the row_id-stamped ingested copy of a testdata dir."""
+    """Location of the row_id-stamped ingested copy of a testdata dir.
+
+    The path embeds a digest of the row_id definitions: if the ingest
+    logic ever changes, old caches in /tmp are orphaned instead of
+    silently serving stale row_ids."""
+    import hashlib
+
+    ver = hashlib.md5(repr(sorted(ROW_ID_SQL.items())).encode()).hexdigest()[:8]
     base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join("/tmp/scdataset_spark_ingest", base)
+    return os.path.join(f"/tmp/scdataset_spark_ingest_{ver}", base)
 
 
 def ensure_ingested(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from scdataset_spark.catalog import load_table
 from scdataset_spark.queries.registry import query
 from scdataset_spark.streaming.events import (
+    click_to_purchase_join,
     first_event_dedup,
     session_stats,
     sliding_counts,
@@ -76,6 +77,37 @@ def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 10-minute gap (gaps-and-islands
     is the oracle's equivalent formulation)."""
     return session_stats(load_table(spark, "events", sf_dir, with_row_id=False))
+
+
+@query(
+    "ev_stream_stream_join",
+    survey_ref="§2.11,J4",
+    oracle="""
+WITH c AS (
+  SELECT user_id AS c_user, event_id AS click_id, ts::TIMESTAMP AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts::TIMESTAMP AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c_user, click_id, purchase_id,
+       CAST(click_ts AS TIMESTAMP) AS click_ts,
+       CAST(purchase_ts AS TIMESTAMP) AS purchase_ts,
+       purchase_value
+FROM c JOIN p ON c_user = p_user
+  AND click_ts <= purchase_ts
+  AND click_ts >= purchase_ts - INTERVAL 10 MINUTE
+""",
+)
+def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded attribution join (batch-mode check;
+    the real two-stream watermarked run is in tests/test_streaming.py)."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    return click_to_purchase_join(
+        ev.where("event_type = 'click'"), ev.where("event_type = 'purchase'")
+    )
 
 
 @query(

@@ -72,6 +72,35 @@ def session_stats(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def click_to_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "INTERVAL 10 MINUTES"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: purchases
+    attributed to a click by the same user within ``within`` BEFORE the
+    purchase.  In streaming mode both sides need watermarks and the
+    time-range condition bounds the join state; the identical plan runs
+    in batch for the oracle check.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - {within}"
+        ),
+    ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value")
+
+
 def first_event_dedup(events: DataFrame) -> DataFrame:
     """Deterministic streaming-dedup equivalent: first event per
     (user_id, event_type).  (``dropDuplicates`` keeps an *arbitrary*

@@ -35,6 +35,36 @@ def test_stream_equals_batch(spark, stream_result):
     assert s == b
 
 
+def test_stream_stream_join(spark):
+    """Real two-stream watermarked time-bounded join == batch result."""
+    from scdataset_spark.streaming.events import click_to_purchase_join
+
+    clicks = read_events_stream(spark, SF_DIR).where("event_type = 'click'").withWatermark(
+        "ts", "30 minutes"
+    )
+    purchases = read_events_stream(spark, SF_DIR).where(
+        "event_type = 'purchase'"
+    ).withWatermark("ts", "30 minutes")
+    q = (
+        click_to_purchase_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ss_join")
+    ev = load_table(spark, "events", SF_DIR, with_row_id=False)
+    batch = click_to_purchase_join(
+        ev.where("event_type = 'click'"), ev.where("event_type = 'purchase'")
+    )
+    s = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(s) > 0
+    assert s == b
+
+
 def test_streaming_dedup_within_watermark(spark):
     stream = read_events_stream(spark, SF_DIR)
     deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
