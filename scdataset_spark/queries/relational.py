@@ -502,6 +502,149 @@ def g7_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q12_shipmode_priority",
+    survey_ref="J3,G7",
+    oracle="""
+SELECT l_linestatus,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: join + conditional aggregation."""
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    survey_ref="J3,G7",
+    oracle=f"""
+SELECT CAST(
+         100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(24,8))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+       AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+""",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: promo revenue share (LIKE-prefixed CASE over
+    a join; both sums decimal-exact, division once)."""
+    l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    p = load_table(spark, "part", sf_dir, with_row_id=False)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(24,8)")).cast("double")
+                / F.sum(rev.cast("decimal(24,8)")).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    survey_ref="P4,J3",
+    oracle=f"""
+SELECT {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}, count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: OR-of-ANDs predicates across a join."""
+    l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    p = load_table(spark, "part", sf_dir, with_row_id=False)
+    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return joined.where(cond).agg(
+        dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "null_handling",
+    survey_ref="§2.10,P4",
+    oracle="""
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULTED') AS seg_defaulted,
+       (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_building,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal_nonneg
+FROM customer
+""",
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics battery: nullif/coalesce/null-safe equality
+    (Spark <=> is ANSI IS NOT DISTINCT FROM)."""
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    seg_null = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    return c.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("DEFAULTED")).alias("seg_defaulted"),
+        seg_null.eqNullSafe(F.lit(None)).alias("is_building"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("bal_nonneg"),
+    )
+
+
+@query(
+    "setops_union_distinct",
+    survey_ref="W6,W7",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def setops_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@query(
     "g7_percentiles",
     survey_ref="G7,G4",
     oracle="""
