@@ -230,6 +230,50 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_simhash(corpus(spark, sf_dir)).select("doc_id", "simhash")
 
 
+def _minhash_verified_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    base = _minhash_oracle(num_hashes, bands)
+    return f"""
+WITH cand AS ({base}),
+{CORPUS_SQL.strip().rstrip(')')}
+),
+sp_t2 AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+sh_t2 AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM sp_t2)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM cand c
+JOIN sh_t2 a ON c.doc_a = a.doc_id
+JOIN sh_t2 b ON c.doc_b = b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= {threshold}
+"""
+
+
+@query("dd_lsh_verified", survey_ref="§2.14 dedup", oracle=_minhash_verified_oracle())
+def dd_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage near-dup pipeline: LSH generates
+    candidates (no cross product), then exact Jaccard verifies each
+    candidate pair — only the candidate pairs ever compute a real
+    similarity.  This is the shape that survives 100 TB: stage-1 join
+    fan-out is banded, stage-2 work is |candidates|, not n^2."""
+    c = dd.with_minhash(dd.with_shingles(corpus(spark, sf_dir)), num_hashes=12)
+    cand = dd.lsh_candidate_pairs(c, num_hashes=12, bands=4)
+    sh = dd.with_shingles(corpus(spark, sf_dir)).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_shb"))
+    jac = F.expr(
+        "round(size(array_intersect(_sha, _shb)) / "
+        "(size(_sha) + size(_shb) - size(array_intersect(_sha, _shb))), 6)"
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 @query(
     "dd_ngram_jaccard",
     survey_ref="§2.14 dedup",

@@ -9,6 +9,7 @@ modes share.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from scdataset_spark.catalog import load_table
 from scdataset_spark.queries.registry import query
@@ -107,6 +108,70 @@ def ev_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir, with_row_id=False)
     return click_to_purchase_join(
         ev.where("event_type = 'click'"), ev.where("event_type = 'purchase'")
+    )
+
+
+@query(
+    "ev_session_funnel",
+    survey_ref="§2.11,G7",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events),
+l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s FROM l),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+agg AS (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM s GROUP BY user_id, sid
+)
+SELECT count(*) FILTER (WHERE first_click IS NOT NULL) AS sessions_with_click,
+       count(*) FILTER (WHERE first_click IS NOT NULL AND last_purchase >= first_click) AS converted,
+       CAST(count(*) FILTER (WHERE first_click IS NOT NULL AND last_purchase >= first_click) AS DOUBLE)
+         / count(*) FILTER (WHERE first_click IS NOT NULL) AS conversion_rate
+FROM agg
+""",
+)
+def ev_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize (gaps-and-islands, 10-min gap) then funnel: fraction
+    of click-containing sessions that convert to a purchase after the
+    first click.  Session assignment is a per-user window (partition-
+    parallel) — the batch twin of the streaming session operator."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            # exact microsecond gap compare — cast("long") would truncate
+            # to seconds and disagree with the oracle's µs interval
+            F.when(
+                F.col("prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev") >= 600_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(wc))
+    )
+    agg = s.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    with_click = F.count(F.when(F.col("first_click").isNotNull(), 1))
+    converted = F.count(
+        F.when(
+            F.col("first_click").isNotNull()
+            & (F.col("last_purchase") >= F.col("first_click")),
+            1,
+        )
+    )
+    return agg.agg(
+        with_click.alias("sessions_with_click"),
+        converted.alias("converted"),
+        (converted.cast("double") / with_click).alias("conversion_rate"),
     )
 
 
