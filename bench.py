@@ -54,6 +54,22 @@ def main() -> None:
     for name, fn in headline.items():
         times[name] = round(run_one(spark, fn, SF_DIR), 3)
     total = round(sum(times.values()), 3)
+
+    # BASELINE-comparable loading metrics: the reference reports
+    # samples/sec of minibatch loading and per-batch Shannon entropy
+    # (shuffling quality).  t_hook_pipeline IS the full load path
+    # (strategy -> fetch/batch plan -> hook pipeline -> batches), so
+    # rows/time is the engine's loading throughput at this SF.
+    from scdataset_spark.catalog import load_table
+    from pyspark.sql import functions as SF
+
+    n_rows = load_table(spark, "lineitem", SF_DIR).count()
+    samples_per_sec = round(n_rows / times["t_hook_pipeline"], 1)
+    ent = (
+        REGISTRY["g3_batch_entropy"].fn(spark, SF_DIR)
+        .agg(SF.avg("entropy"))
+        .first()[0]
+    )
     print(
         json.dumps(
             {
@@ -65,6 +81,8 @@ def main() -> None:
                 "cpus": CPUS,
                 "n_queries": len(times),
                 "ingest_sec": ingest_sec,
+                "loading_samples_per_sec": samples_per_sec,
+                "block_shuffle_avg_entropy_bits": round(ent, 3),
             }
         )
     )
