@@ -175,6 +175,15 @@ def exact_num_batches(
     exactly the fetches this rank owns under round-robin assignment,
     applying per-fetch drop_last.  Must equal the executed plan's batch
     count for every edge config (empty ranks, partial trailing fetch).
+
+    >>> exact_num_batches(100, batch_size=7, fetch_factor=3)   # 21-row fetches
+    15
+    >>> exact_num_batches(100, 7, 3, drop_last=True)           # partials dropped per fetch
+    14
+    >>> [exact_num_batches(100, 7, 3, False, world_size=4, rank=r) for r in range(4)]
+    [6, 3, 3, 3]
+    >>> exact_num_batches(0, 8, 2)                             # empty collection
+    0
     """
     if batch_size <= 0 or fetch_factor <= 0:
         raise ValueError("batch_size and fetch_factor must be positive")

@@ -47,6 +47,16 @@ def mix_sql(k: str, seed: int, dialect: str = "spark") -> str:
     Two affine rounds mod 2^31-1 interleaved with xorshifts (a PCG-style
     output permutation): max intermediate is
     (2^31-1) * 2654435761 ≈ 5.7e18 < 2^63-1.
+
+    >>> import duckdb
+    >>> duckdb.sql("SELECT " + mix_sql("7", 42, "duckdb")).fetchone()[0]
+    527903548
+    >>> mix_sql("x", 1, "spark").count("div") > 0  # spark integer division
+    True
+    >>> mix_sql("x", 1, "nope")
+    Traceback (most recent call last):
+        ...
+    ValueError: unknown dialect: nope
     """
     if dialect not in ("spark", "duckdb"):
         raise ValueError(f"unknown dialect: {dialect}")
