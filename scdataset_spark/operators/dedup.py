@@ -78,15 +78,28 @@ def lsh_candidate_pairs(
     shuffle-partitionable, no cross product, the canonical LSH shape.
     """
     r = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        sig = F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]))
-        band_rows.append(
-            df.select(F.col(id_col), F.lit(b).alias("band_id"), sig.alias("band_sig"))
-        )
-    banded = band_rows[0]
-    for x in band_rows[1:]:
-        banded = banded.unionByName(x)
+    # ONE projection + explode, not a union of per-band selects: each
+    # union branch would recompute the whole shingle+minhash lineage,
+    # multiplying the md5 work by `bands`.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        df.select(F.col(id_col), F.explode(band_structs).alias("_b"))
+        .select(id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.band_sig").alias("band_sig"))
+    )
+    # the self-join would otherwise recompute the full shingle+minhash
+    # lineage on BOTH sides; the banded frame is tiny (n_docs * bands
+    # short rows) so cache it for the join
+    banded = banded.persist()
     a = banded.alias("a")
     b2 = banded.alias("b")
     pairs = (
