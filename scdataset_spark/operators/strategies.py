@@ -262,6 +262,9 @@ class BlockWeightedSampling(SamplingStrategy):
         base = df.withColumn("_wi", wint).where(F.col("_wi") > 0)
         cum = with_running_sum(base, "_wi", "row_id", out="hi", buckets=POS_BUCKETS)
         cum = cum.withColumn("lo", F.col("hi") - F.col("_wi"))
+        # NOTE: persisting cum here was measured SLOWER (4.4s -> 7.5s at
+        # sf0.1): the cache materialization breaks stage fusion and costs
+        # more than the recompute of the (cheap, scan-fused) sum chain.
         draws = spark.range(self.total_size).withColumnRenamed("id", "draw_id")
         total = cum.agg(F.max("hi").alias("_t"))
         # 62-bit target: one mix() only covers [0, 2^31) — with scaled
