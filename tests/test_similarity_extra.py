@@ -41,6 +41,35 @@ class TestIVF:
         assert a == b
 
 
+class TestBandedLSHPairs:
+    def test_full_recall_vs_brute_force_on_planted_corpus(self, spark):
+        """Banded LSH candidates must contain every true near-dup pair
+        (cosine >= 0.98) of the planted corpus at sf0.001 — and shrink
+        the candidate set far below all-pairs."""
+        import numpy as np
+
+        from scdataset_spark.operators.similarity import lsh_banded_pairs
+        from scdataset_spark.queries.llm import emb_corpus
+
+        c = emb_corpus(spark, SF_DIR_SMALL)
+        rows = c.collect()
+        n = len(rows)
+        ids = np.array([r.vec_id for r in rows])
+        V = np.array([r.v for r in rows], dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = np.round(Vn @ Vn.T, 4)
+        ia, ib = np.triu_indices(n, 1)
+        hit = C[ia, ib] >= 0.98
+        truth = {
+            (int(min(x, y)), int(max(x, y)))
+            for x, y in zip(ids[ia[hit]], ids[ib[hit]])
+        }
+        cand = {(r.id_a, r.id_b) for r in lsh_banded_pairs(c, vec="v").collect()}
+        assert truth, "planted corpus must contain true near-dup pairs"
+        assert truth <= cand, f"missed pairs: {sorted(truth - cand)[:5]}"
+        assert len(cand) < 0.05 * n * (n - 1) / 2, f"fan-out too high: {len(cand)}"
+
+
 class TestAttachWeights:
     def test_global_scope_joins_by_row_id(self, spark):
         cust = load_table(spark, "customer", SF_DIR_SMALL)

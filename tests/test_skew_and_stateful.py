@@ -40,6 +40,35 @@ class TestSkew:
         total_after = capped.select("sh").distinct().count()
         assert 0 < total_after <= total_before
 
+    def test_jaccard_pairs_caps_viral_shingle(self, spark):
+        """A planted viral shingle (present in EVERY document) must not
+        contribute pair fan-out when max_df bites; genuine near-dup
+        pairs must still surface from their distinctive shingles."""
+        from scdataset_spark.operators.dedup import jaccard_pairs
+
+        docs = [
+            # two near-dups sharing 9 of ~10 distinctive shingles
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam nu"),
+            # unrelated documents
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+        ]
+        viral = " click here to subscribe now"
+        df = spark.createDataFrame(
+            [(i, t + viral) for i, t in docs], "doc_id bigint, text string"
+        )
+        sh = with_shingles(df)
+        # cap at 3 < 4 docs: the viral tail shingles are dropped
+        capped = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs(sh, threshold=0.3, max_df=3).collect()
+        }
+        assert capped == {(0, 1)}
+        # without the cap the viral shingles join every doc to every doc
+        uncapped = jaccard_pairs(sh, threshold=0.0, max_df=None)
+        assert uncapped.count() == 6  # all 4C2 pairs share the viral tail
+
     def test_bucketed_join_skips_shuffle(self, spark):
         # writes to the session's default warehouse (gitignored);
         # clear catalog entries AND orphaned dirs from crashed runs
