@@ -71,6 +71,35 @@ class SuggestedConfig:
         }
 
 
+def _available_ram_bytes() -> int:
+    """AVAILABLE (not total) RAM, matching the reference's
+    ``psutil.virtual_memory().available`` budget (auto_config.py): on a
+    loaded host, budgeting against total RAM would oversize
+    fetch_factor/maxPartitionBytes.  Prefers psutil when importable,
+    then /proc/meminfo MemAvailable, then total-RAM sysconf, then 8 GiB.
+
+    >>> _available_ram_bytes() > 0
+    True
+    """
+    try:
+        import psutil
+
+        return int(psutil.virtual_memory().available)
+    except ImportError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    try:
+        return os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):
+        return 8 << 30
+
+
 def suggest_parameters(
     batch_size: int,
     sample_bytes: float,
@@ -90,10 +119,7 @@ def suggest_parameters(
     cores = cores or os.cpu_count() or 8
     workers = max(1, min(cores // 2, 16))  # reference preset
     if total_ram_bytes is None:
-        try:
-            total_ram_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-        except (ValueError, OSError):
-            total_ram_bytes = 8 << 30
+        total_ram_bytes = _available_ram_bytes()
     budget = ram_fraction * total_ram_bytes
     ff = int(budget / (2 * batch_size * workers * sample_bytes))
     ff = max(1, min(ff, 256))

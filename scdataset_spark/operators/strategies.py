@@ -138,23 +138,32 @@ class BlockShuffling(SamplingStrategy):
         s = _seed_eff(seed, epoch)
         out = self._pos0(self._subset(df))
         if self.drop_last:
-            # remainder < block_size rows are dropped; the k rows with
-            # the largest drop keys are found with a top-k (Spark plans
-            # orderBy+limit as TakeOrderedAndProject — no global sort of
-            # the full table), then anti-joined away.
-            n = out.count()
-            k = n % self.block_size
-            if k:
-                drop_key = F.expr(mix_sql("pos0", s + 1, "spark"))
-                dropped = (
-                    out.select("pos0", drop_key.alias("_dk"))
-                    .orderBy(F.col("_dk").desc(), F.col("pos0"))
-                    .limit(k)
-                    .select("pos0")
-                )
-                out = out.join(F.broadcast(dropped), "pos0", "left_anti")
-            out = with_pos(out.drop("pos0"), "row_id", "pos0", buckets=POS_BUCKETS)
-        return _block_permute_pos(out, self.block_size, s)
+            # The k = n % block_size rows with the largest drop keys are
+            # removed ENTIRELY in-plan: rows are ranked ascending by
+            # (drop_key, pos0 DESC) with the bucketed distributed
+            # numbering, n rides in as a broadcast scalar agg, and the
+            # trailing k ranks are filtered out.  Ascending
+            # (key, pos0 DESC) is the comparator-reversal of the
+            # oracle's (key DESC, pos0): the last k rows are exactly its
+            # top-k, ties included.  plan() stays lazy — no Spark job
+            # runs until the caller acts (asserted in tests).
+            ranked = _rank_by_key(
+                out.withColumn("_dk", F.expr(mix_sql("pos0", s + 1, "spark"))),
+                key_col="_dk",
+                tiebreak_col="pos0",
+                out_col="_drnk",
+                buckets=POS_BUCKETS,
+            )
+            n_agg = out.agg(F.count(F.lit(1)).alias("_n"))
+            kept = (
+                ranked.crossJoin(F.broadcast(n_agg))
+                .where(F.col("_drnk") < F.col("_n") - F.col("_n") % self.block_size)
+                .drop("_dk", "_drnk", "_n")
+            )
+            out = with_pos(kept.drop("pos0"), "row_id", "pos0", buckets=POS_BUCKETS)
+        # drop the internal block_id for schema consistency with the
+        # other strategies (BlockWeightedSampling already drops it)
+        return _block_permute_pos(out, self.block_size, s).drop("block_id")
 
 
 def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
@@ -178,6 +187,45 @@ def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
             "pos", F.col("_bstart") + F.col("pos0") - F.col("block_id") * block_size
         )
         .drop("pos0", "_bstart")
+    )
+
+
+def _rank_by_key(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    out_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """0-based rank by (``key_col`` ASC, ``tiebreak_col`` DESC) without a
+    global window: the same bucket-offset pattern as ``with_pos`` —
+    range-bucket on the key, per-bucket counts → broadcast offsets,
+    partition-local numbering.  Equal keys land in the same bucket, so
+    the tiebreak stays bucket-local and the global order is exact."""
+    stats = df.agg(F.min(key_col).alias("_klo"), F.max(key_col).alias("_khi"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_kb",
+        F.least(
+            F.lit(buckets - 1),
+            (
+                (F.col(key_col) - F.col("_klo"))
+                * buckets
+                / (F.col("_khi") - F.col("_klo") + 1)
+            ).cast("bigint"),
+        ),
+    )
+    counts = b.groupBy("_kb").count()
+    w_off = Window.orderBy("_kb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_koff", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).drop("count")
+    w_in = Window.partitionBy("_kb").orderBy(
+        F.col(key_col).asc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        b.join(F.broadcast(offsets), "_kb")
+        .withColumn(out_col, F.row_number().over(w_in) - F.lit(1) + F.col("_koff"))
+        .drop("_kb", "_koff", "_klo", "_khi")
     )
 
 
@@ -251,6 +299,10 @@ class BlockWeightedSampling(SamplingStrategy):
             raise ValueError(f"total_size must be positive, got {self.total_size}")
         if self.sampling_size is not None and self.sampling_size <= 0:
             raise ValueError(f"sampling_size must be positive, got {self.sampling_size}")
+        if not self.replace and self.sampling_size is None:
+            # mirror the reference's constructor check (strategy.py:680-690):
+            # without-replacement draws need an explicit per-round size
+            raise ValueError("sampling_size is required when replace=False")
 
     def _weighted_draws(self, df: DataFrame, s: int) -> DataFrame:
         spark = df.sparkSession
@@ -258,7 +310,21 @@ class BlockWeightedSampling(SamplingStrategy):
         # columns this is exact; for float weights the quantization error
         # is 1/weight_scale.  Integer cumsums are what keep the inverse
         # CDF bit-identical between Spark and the DuckDB oracle.
-        wint = F.ceil(F.col(self.weight_col).cast("double") * self.weight_scale).cast("bigint")
+        # negative weights are a caller error (reference raises ValueError,
+        # strategy.py:680-690) — fail at execution time via raise_error,
+        # JVM-side, without an extra validation job; zero-weight rows are
+        # legitimately undrawable and leave the CDF.
+        wint = F.when(
+            F.col(self.weight_col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"negative weight in column {self.weight_col!r}: "),
+                    F.col(self.weight_col).cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(
+            F.ceil(F.col(self.weight_col).cast("double") * self.weight_scale).cast("bigint")
+        )
         base = df.withColumn("_wi", wint).where(F.col("_wi") > 0)
         cum = with_running_sum(base, "_wi", "row_id", out="hi", buckets=POS_BUCKETS)
         cum = cum.withColumn("lo", F.col("hi") - F.col("_wi"))
@@ -288,7 +354,15 @@ class BlockWeightedSampling(SamplingStrategy):
         for r in range(n_rounds):
             take = min(k, self.total_size - r * k)
             u = f"(({mix_sql('row_id', s + r * 7919, 'spark')}) + 1) / {MIX_MOD + 1}.0"
-            key = F.expr(f"-ln({u})") / F.col(self.weight_col)
+            # A-Res key -ln(u)/w, COARSENED to fixed 1e-6 precision with a
+            # row_id tiebreak: raw double ordering would make reservoir
+            # membership depend on bit-identical ln() between Spark's JVM
+            # and the oracle's libm near the top-k boundary; after the
+            # floor, a 1-ulp ln() difference can only matter within
+            # ~1e-10 of a fixed-point boundary instead of anywhere.
+            key = F.expr(
+                f"CAST(floor((-ln({u}) / {self.weight_col}) * 1000000.0) AS BIGINT)"
+            )
             # top-k smallest keys: orderBy+limit plans as
             # TakeOrderedAndProject (per-partition heaps + driver merge
             # of k rows), not a global sort
@@ -341,7 +415,14 @@ def attach_weights(
     if scope == "global":
         return df.join(weights.select("row_id", F.col(weight_col).alias(out)), "row_id")
     if scope == "subset":
-        n_df, n_w = df.count(), weights.count()
+        # one validation job, not two: both scalar counts ride in a
+        # single 1x1 crossJoin plan
+        row = (
+            df.agg(F.count(F.lit(1)).alias("_nd"))
+            .crossJoin(weights.agg(F.count(F.lit(1)).alias("_nw")))
+            .first()
+        )
+        n_df, n_w = row["_nd"], row["_nw"]
         if n_df != n_w:
             raise ValueError(
                 f"subset-scoped weights must match subset size: {n_w} weights vs {n_df} rows"

@@ -70,6 +70,28 @@ def test_weighted_sampling_uses_equi_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_block_shuffle_drop_last_plans_lazily(spark):
+    """plan() must not run ANY Spark job — drop_last's remainder is
+    derived in-plan (broadcast scalar agg), not via an eager count()."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.strategies import BlockShuffling
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    sc = spark.sparkContext
+    group = "lazy-plan-check"
+    sc.setJobGroup(group, "plan construction must be job-free")
+    try:
+        planned = BlockShuffling(block_size=64, drop_last=True, assume_dense=True).plan(
+            li, seed=7
+        )
+        assert "pos" in planned.columns
+        # schema hygiene: internal helper columns must not leak
+        assert "block_id" not in planned.columns and "pos0" not in planned.columns
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+
 def test_embed_cosine_has_no_cartesian_product(spark):
     # near-dup by embedding must be the banded-LSH equi-join shape —
     # an O(n^2) cross product would be the first thing to die at scale

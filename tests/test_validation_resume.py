@@ -25,11 +25,26 @@ class TestValidation:
             lambda: BlockWeightedSampling(block_size=0),
             lambda: BlockWeightedSampling(total_size=0),
             lambda: BlockWeightedSampling(sampling_size=-1),
+            # reference strategy.py:680-690: replace=False needs a size
+            lambda: BlockWeightedSampling(replace=False),
         ],
     )
     def test_invalid_construction(self, ctor):
         with pytest.raises(ValueError):
             ctor()
+
+    def test_negative_weight_raises_at_execution(self, spark):
+        """Reference raises ValueError on negative weights; here the
+        check rides in-plan (raise_error) so it costs no extra job and
+        fires on the first action."""
+        from pyspark.sql import functions as F
+        from py4j.protocol import Py4JJavaError
+
+        cust = load_table(spark, "customer", SF_DIR_SMALL)
+        bad = cust.withColumn("w", (F.col("c_custkey") % 5 - 1).cast("double"))
+        strat = BlockWeightedSampling(weight_col="w", total_size=10, block_size=4)
+        with pytest.raises(Py4JJavaError, match="negative weight"):
+            strat.plan(bad, seed=1).collect()
 
     def test_ddp_filter_rank_range(self, spark):
         li = load_table(spark, "lineitem", SF_DIR_SMALL)
