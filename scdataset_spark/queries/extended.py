@@ -98,6 +98,86 @@ def mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "width", "height", "mean_byte", "resized_w", "resized_h")
 
 
+# ------------------------------------------------- S4/S5 sparse densify
+_SP_GENES = 128  # power of two: odd stride => distinct gene indices
+
+
+def _s4_oracle() -> str:
+    """DuckDB twin: regenerates the SAME ragged (gene, expression) pairs
+    from the portable mixer and aggregates them sparse-side; the Spark
+    path aggregates from the POST-SCATTER dense array, so equality
+    proves the numpy scatter put every value at the right position."""
+    nnz = f"1 + ({mix_sql('vec_id', 1001, 'duckdb')}) % 16"
+    step = f"1 + 2 * (({mix_sql('vec_id', 1002, 'duckdb')}) % 64)"
+    off = f"({mix_sql('vec_id', 1003, 'duckdb')}) % {_SP_GENES}"
+    e = f"1 + ({mix_sql('vec_id * 31 + j', 1004, 'duckdb')}) % 100"
+    return f"""
+WITH base AS (
+  SELECT vec_id, {nnz} AS nnz, {step} AS step, {off} AS off
+  FROM embeddings
+),
+pairs AS (
+  SELECT vec_id, (off + j * step) % {_SP_GENES} AS gene, {e} AS e
+  FROM base CROSS JOIN range(0, 16) t(j)
+  WHERE j < nnz
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS nnz_dense,
+       CAST(sum(e) AS BIGINT) AS total_expr,
+       CAST(sum(e * (gene + 1)) AS BIGINT) AS pos_checksum
+FROM pairs GROUP BY vec_id
+"""
+
+
+@query("s4_sparse_densify", survey_ref="S4,S5", oracle=_s4_oracle())
+def s4_sparse_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse ragged-pair scatter-to-dense (reference
+    ``src/scdataset/transforms.py:198-222`` collate semantics): per-row
+    ``genes[]/expressions[]`` arrays are scatter-assembled into a dense
+    ``(row, num_genes)`` float row by one numpy fancy-assignment per
+    Arrow chunk (``sources/hf_sparse.py::densify_sparse_rows``).  The
+    checked aggregates (nonzero count, total, position-weighted
+    checksum) are computed FROM THE DENSE ARRAY; the oracle recomputes
+    them sparse-side, so any scatter misplacement breaks the hash.
+    Expressions are integer counts (exact in float32) — scRNA count
+    matrices, like the reference's inputs."""
+    emb = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    nnz = mix_sql("vec_id", 1001, "spark")
+    stp = mix_sql("vec_id", 1002, "spark")
+    off = mix_sql("vec_id", 1003, "spark")
+    e = mix_sql("vec_id * 31 + j", 1004, "spark")
+    ragged = (
+        emb.select("vec_id")
+        .withColumn("nnz", F.expr(f"1 + ({nnz}) % 16"))
+        .withColumn("step", F.expr(f"1 + 2 * (({stp}) % 64)"))
+        .withColumn("off", F.expr(f"({off}) % {_SP_GENES}"))
+        .withColumn(
+            "genes",
+            F.expr(
+                f"transform(sequence(0, nnz - 1), j -> CAST((off + j * step) % {_SP_GENES} AS BIGINT))"
+            ),
+        )
+        .withColumn(
+            "expressions",
+            F.expr(f"transform(sequence(0, nnz - 1), j -> CAST(1 + ({e}) % 100 AS FLOAT))"),
+        )
+    )
+    from scdataset_spark.sources.hf_sparse import densify_sparse_rows
+
+    dense = densify_sparse_rows(ragged, num_genes=_SP_GENES, id_col="vec_id")
+    return dense.select(
+        "vec_id",
+        F.expr("CAST(size(filter(dense, x -> x != 0.0F)) AS BIGINT)").alias("nnz_dense"),
+        F.expr(
+            "aggregate(dense, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))"
+        ).alias("total_expr"),
+        F.expr(
+            f"aggregate(zip_with(dense, sequence(CAST(1 AS BIGINT), CAST({_SP_GENES} AS BIGINT)),"
+            " (v, p) -> CAST(v AS BIGINT) * p), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("pos_checksum"),
+    )
+
+
 # ------------------------------------------------------------- MLlib
 @query(
     "ml_label_encode",
