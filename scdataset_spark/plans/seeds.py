@@ -67,6 +67,23 @@ def mix_sql(k: str, seed: int, dialect: str = "spark") -> str:
     return f"(((({y}) * {_M3} + {_A3}) % {MIX_MOD}))"
 
 
+def mix_py(k: int, seed: int) -> int:
+    """Pure-Python twin of :func:`mix_sql` — bit-identical to both SQL
+    dialects, for driver-side fixture/data generation that must agree
+    with in-plan randomness.
+
+    >>> mix_py(7, 42)
+    527903548
+    """
+    h1 = (
+        (k % MIX_MOD) * _M1 + (seed % MIX_MOD) * _A1 % MIX_MOD + 3_266_489_917
+    ) % MIX_MOD
+    x = h1 ^ (h1 >> 21)
+    h2 = (x * _M2) % MIX_MOD
+    y = h2 ^ (h2 >> 16)
+    return (y * _M3 + _A3) % MIX_MOD
+
+
 def mix_col(k: Column | str, seed: int) -> Column:
     """Spark Column form of mix(k, seed).
 

@@ -178,6 +178,79 @@ def s4_sparse_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- S3 AnnData ingest
+_S3_CELLS, _S3_GENES, _S3_NNZ, _S3_SEED = 2000, 64, 8, 2001
+
+
+def _s3_oracle() -> str:
+    """Regenerates the synthetic AnnData corpus (same mixer, same
+    construction as ``SyntheticAnnData``) purely in SQL and aggregates
+    sparse-side; the Spark path goes python-CSR → chunked pyarrow
+    parquet → spark scan → mapInPandas densify → dense-side aggregates.
+    Equality checks the ENTIRE ingest pipeline, obs ride-along
+    included."""
+    s = _S3_SEED
+    nnz = f"1 + ({mix_sql('i', s, 'duckdb')}) % {_S3_NNZ}"
+    step = f"1 + 2 * (({mix_sql('i', s + 1, 'duckdb')}) % {_S3_GENES // 2})"
+    off = f"({mix_sql('i', s + 2, 'duckdb')}) % {_S3_GENES}"
+    e = f"1 + ({mix_sql('row_id * 131 + gene', s + 3, 'duckdb')}) % 50"
+    return f"""
+WITH base AS (
+  SELECT i AS row_id, {nnz} AS nnz, {step} AS step, {off} AS off
+  FROM range(0, {_S3_CELLS}) t(i)
+),
+pairs AS (
+  SELECT row_id, (off + j * step) % {_S3_GENES} AS gene
+  FROM base CROSS JOIN range(0, {_S3_NNZ}) u(j)
+  WHERE j < nnz
+),
+vals AS (SELECT row_id, gene, {e} AS e FROM pairs)
+SELECT row_id,
+       CAST(count(*) AS BIGINT) AS nnz_dense,
+       CAST(sum(e) AS BIGINT) AS total_expr,
+       CAST(sum(e * (gene + 1)) AS BIGINT) AS pos_checksum,
+       CAST(sum(e) AS BIGINT) AS obs_total
+FROM vals GROUP BY row_id
+"""
+
+
+@query("s3_anndata_ingest", survey_ref="S3", oracle=_s3_oracle())
+def s3_anndata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 ingest end-to-end (reference ``transforms.py:29-135``): a
+    CSR AnnData-shaped corpus is streamed to row-group-chunked Parquet
+    by ``anndata_to_parquet`` (only the .h5ad file-format open is
+    library-gated), scanned by Spark, scatter-densified, and checked
+    value-by-value against a SQL regeneration — including the
+    ``total_counts`` obs column riding along."""
+    import os
+    import tempfile
+
+    from scdataset_spark.sources.anndata_ingest import SyntheticAnnData, anndata_to_parquet
+    from scdataset_spark.sources.hf_sparse import densify_sparse_rows
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"scds_s3_{_S3_CELLS}x{_S3_GENES}_s{_S3_SEED}.parquet",
+    )
+    if not os.path.exists(path):
+        adata = SyntheticAnnData(_S3_CELLS, _S3_GENES, _S3_NNZ, _S3_SEED)
+        anndata_to_parquet(adata, path, chunk_rows=256, obs_columns=["total_counts"])
+    cells = spark.read.parquet(path)
+    dense = densify_sparse_rows(cells, num_genes=_S3_GENES, id_col="row_id")
+    return dense.join(cells.select("row_id", "total_counts"), "row_id").select(
+        "row_id",
+        F.expr("CAST(size(filter(dense, x -> x != 0.0F)) AS BIGINT)").alias("nnz_dense"),
+        F.expr(
+            "aggregate(dense, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))"
+        ).alias("total_expr"),
+        F.expr(
+            f"aggregate(zip_with(dense, sequence(CAST(1 AS BIGINT), CAST({_S3_GENES} AS BIGINT)),"
+            " (v, p) -> CAST(v AS BIGINT) * p), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("pos_checksum"),
+        F.col("total_counts").cast("bigint").alias("obs_total"),
+    )
+
+
 # ------------------------------------------------------------- MLlib
 @query(
     "ml_label_encode",
