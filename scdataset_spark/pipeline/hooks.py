@@ -35,6 +35,7 @@ def run_hook_pipeline(
     batch_size: int,
     fetch_callback: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     fetch_transform: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    batch_callback: Callable[[pd.DataFrame, "object"], pd.DataFrame] | None = None,
     batch_transform: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     drop_last: bool = False,
 ) -> DataFrame:
@@ -48,12 +49,23 @@ def run_hook_pipeline(
     the data is assumed to already ride on the planned frame (Spark's
     columnar scan was the fetch).
 
+    ``batch_callback`` (T3) is the custom batch *extraction*
+    (reference ``src/scdataset/scdataset.py:48-59,540-558``): it
+    receives the whole post-``fetch_transform`` fetch frame plus the
+    batch's positional indices (a ``numpy.ndarray``) and returns the
+    batch — the default being positional indexing
+    (``fetch.iloc[batch_indices]``), exactly the reference's
+    ``fetched_data[batch_indices]``.
+
     Returns a DataFrame with ``output_schema``; the hooks see pandas
     frames sorted by ``pos`` (the strategy's yield order), matching the
-    reference contract that hooks observe fetch/batch order.
+    reference contract that hooks observe fetch/batch order
+    (``docs/source/transforms.rst:39-63``).
     """
 
     def process_fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values("pos").reset_index(drop=True)
         if fetch_callback is not None:
             pdf = fetch_callback(pdf)
@@ -61,9 +73,13 @@ def run_hook_pipeline(
             pdf = fetch_transform(pdf)
         out = []
         for start in range(0, len(pdf), batch_size):
-            batch = pdf.iloc[start : start + batch_size]
-            if drop_last and len(batch) < batch_size:
+            batch_indices = np.arange(start, min(start + batch_size, len(pdf)))
+            if drop_last and len(batch_indices) < batch_size:
                 continue
+            if batch_callback is not None:
+                batch = batch_callback(pdf, batch_indices)
+            else:
+                batch = pdf.iloc[batch_indices]
             if batch_transform is not None:
                 batch = batch_transform(batch)
             out.append(batch)

@@ -78,6 +78,76 @@ class TestExport:
         assert all(len(b["row_id"]) == 256 for b in batches)
 
 
+class TestHookOrder:
+    """T1-T4 execution order per reference docs/source/transforms.rst:39-63:
+    fetch_transform -> batch_callback (extraction) -> batch_transform."""
+
+    def test_batch_callback_order_and_contract(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        planned = with_batches(
+            Streaming().plan(li, seed=42).select("row_id", "pos"),
+            batch_size=32,
+            fetch_factor=4,
+        )
+
+        def fetch_transform(pdf):
+            pdf = pdf.copy()
+            pdf["trace"] = "F"
+            return pdf
+
+        def batch_callback(fetch_pdf, batch_indices):
+            # reference scdataset.py:550-554: receives the WHOLE fetch
+            # + positional indices, returns the extracted batch
+            batch = fetch_pdf.iloc[batch_indices].copy()
+            batch["trace"] = batch["trace"] + ">C"
+            batch["fetch_len"] = len(fetch_pdf)
+            return batch
+
+        def batch_transform(batch):
+            batch = batch.copy()
+            batch["trace"] = batch["trace"] + ">B"
+            return batch
+
+        out = run_hook_pipeline(
+            planned.select("row_id", "pos", "fetch_id"),
+            "row_id bigint, pos bigint, fetch_id bigint, trace string, fetch_len bigint",
+            batch_size=32,
+            fetch_transform=fetch_transform,
+            batch_callback=batch_callback,
+            batch_transform=batch_transform,
+        ).collect()
+
+        n = li.count()
+        assert len(out) == n  # extraction covers every row exactly once
+        assert {r["trace"] for r in out} == {"F>C>B"}
+        # every full fetch is batch_size*fetch_factor rows; the last may
+        # be partial — batch_callback must have seen the whole fetch
+        full, partial = 128, n % 128
+        assert {r["fetch_len"] for r in out} <= {full, partial} - {0}
+
+    def test_batch_callback_can_reorder(self, spark):
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        planned = with_batches(
+            Streaming().plan(li, seed=1).select("row_id", "pos"),
+            batch_size=64,
+            fetch_factor=2,
+        )
+
+        def reversed_batches(fetch_pdf, batch_indices):
+            return fetch_pdf.iloc[batch_indices[::-1]]
+
+        out = run_hook_pipeline(
+            planned.select("row_id", "pos", "fetch_id"),
+            "row_id bigint, pos bigint, fetch_id bigint",
+            batch_size=64,
+            batch_callback=reversed_batches,
+        )
+        rows = sorted(out.collect(), key=lambda r: r["pos"])
+        assert len(rows) == li.count()
+        # same coverage, custom extraction order inside each batch
+        assert [r["pos"] for r in rows] == list(range(len(rows)))
+
+
 class TestHookDropLast:
     def test_per_fetch_drop_last(self, spark):
         li = load_table(spark, "lineitem", SF_DIR_SMALL)
