@@ -218,6 +218,79 @@ def ivf_topk(
     )
 
 
+def ivf_seeded_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    seed: int = 11,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with ENGINE-PORTABLE coarse centroids: the
+    ``n_clusters`` candidates with the smallest ``mix(id, seed)`` keys
+    ARE the centroids (a deterministic k-sample — the classic "seed
+    with data points" init, minus the Lloyd iterations), so a SQL
+    oracle can replay the entire index build.  Same storage shape as
+    :func:`ivf_topk`: every candidate is assigned its nearest cell
+    (argmin of squared distance, rounded to 6 digits with cell-id
+    tiebreak so the argmin is engine-deterministic), queries probe the
+    ``n_probe`` nearest cells, exact cosine re-ranks inside the probed
+    cells.  Centroid pick is a top-k (TakeOrderedAndProject), cells
+    broadcast everywhere — one shuffle-free pass to assign, one
+    broadcast join to probe."""
+    dist = (
+        "round(aggregate(zip_with({a}, {b}, (x, c) -> "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+    cent_base = (
+        candidates.select(F.col(cand_id).alias("_src"), F.col(vec).alias("centroid"))
+        .withColumn("_mk", F.expr(mix_sql("_src", seed, "spark")))
+        .orderBy("_mk", "_src")
+        .limit(n_clusters)
+    )
+    cent = cent_base.withColumn(
+        "cell", F.row_number().over(Window.orderBy("_mk", "_src")) - 1
+    ).select("cell", "centroid")  # n_clusters rows — broadcast everywhere
+
+    c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
+    c_assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("_dist", F.expr(dist.format(a="_cv", b="centroid")))
+        .withColumn(
+            "_ark",
+            F.row_number().over(Window.partitionBy(cand_id).orderBy("_dist", "cell")),
+        )
+        .where(F.col("_ark") == 1)
+        .select(cand_id, "_cv", F.col("cell").alias("_cell"))
+    )
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_dist", F.expr(dist.format(a="_qv", b="centroid")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy(query_id).orderBy("_dist", "cell")),
+        )
+        .where(F.col("_rk") <= n_probe)
+        .select(query_id, "_qv", F.col("cell").alias("_cell"))
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_cells), "_cell")
+        .where(F.col(query_id) != F.col(cand_id))
+        .withColumn("cosine", cosine_expr("_qv", "_cv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, F.col("_cell").alias("cell"), cand_id, "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -502,6 +502,69 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(q, c, k=3, planes=6)
 
 
+def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3, seed: int = 11) -> str:
+    """Replays ivf_seeded_topk: mixer-picked centroids, rounded-argmin
+    cell assignment, n_probe probing, exact cosine re-rank."""
+    dist = (
+        "round(list_aggregate(list_transform(range(1, 65), "
+        "i -> ({a}[i]::DOUBLE - centroid[i]::DOUBLE) * ({a}[i]::DOUBLE - centroid[i]::DOUBLE)), 'sum'), 6)"
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), 'sum'))), 4)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT rk - 1 AS cell, centroid FROM (
+    SELECT embedding AS centroid,
+           row_number() OVER (ORDER BY {mix_sql('vec_id', seed, 'duckdb')}, vec_id) AS rk
+    FROM embeddings
+  ) WHERE rk <= {n_clusters}
+),
+assigned AS (
+  SELECT c_id, cv, cell FROM (
+    SELECT e.vec_id AS c_id, e.embedding AS cv, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.embedding')}, cent.cell) AS ark
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE ark = 1
+),
+probed AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT e.vec_id AS q_id, e.embedding AS qv, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.embedding')}, cent.cell) AS prk
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < 20
+  ) WHERE prk <= {n_probe}
+),
+scored AS (
+  SELECT q_id, a.cell AS cell, c_id, {cos} AS cosine
+  FROM assigned a JOIN probed p ON a.cell = p.cell AND q_id <> c_id
+),
+ranked AS (
+  SELECT q_id, cell, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, cell, c_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("sim_ivf_ann", survey_ref="§2.14 similarity", oracle=_ivf_oracle())
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic mixer-seeded coarse centroids
+    (``operators/similarity.py::ivf_seeded_topk``): index build, cell
+    assignment, probing, and re-rank are all engine-portable, so the
+    whole IVF path is value-checked by the SQL oracle (the MLlib-KMeans
+    variant keeps its recall-vs-brute tests)."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return sim.ivf_seeded_topk(q, c, k=3, n_clusters=8, n_probe=2, seed=11)
+
+
 # --------------------------------------------------- multimodal (M1-M5)
 @query(
     "mm_multimodal_zip",

@@ -40,6 +40,21 @@ class TestIVF:
         b = sorted(map(tuple, ivf_topk(q, c, k=3, seed=11).collect()))
         assert a == b
 
+    def test_seeded_ivf_recall_vs_brute_force(self, spark):
+        """The oracle-checked seeded-centroid IVF must also be a decent
+        ANN: with 3/8 cells probed, recall well above the 3/8 baseline."""
+        from scdataset_spark.operators.similarity import ivf_seeded_topk
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        exact = brute_force_topk(q, c, k=5)
+        approx = ivf_seeded_topk(q, c, k=5, n_clusters=8, n_probe=3)
+        ex = {(r.q_id, r.c_id) for r in exact.collect()}
+        ap = {(r.q_id, r.c_id) for r in approx.collect()}
+        assert len(ex & ap) / len(ex) >= 0.5
+        assert approx.select("q_id").distinct().count() == 10
+
 
 class TestBandedLSHPairs:
     def test_full_recall_vs_brute_force_on_planted_corpus(self, spark):
