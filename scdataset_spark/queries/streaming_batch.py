@@ -176,6 +176,38 @@ def ev_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_session_capped",
+    survey_ref="§2.11",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s FROM l),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+a AS (SELECT *, min(epoch_us(ts)) OVER (PARTITION BY user_id, sid) AS anchor FROM s),
+c AS (SELECT *, (epoch_us(ts) - anchor) // 1800000000 AS sub FROM a)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       count(*) AS n_events,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM c GROUP BY user_id, sid, sub
+""",
+)
+def ev_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute max-duration cap on top of the
+    10-minute gap rule: long sessions are split into cap-anchored
+    chunks (``streaming/events.py::capped_session_stats``), so no
+    session — and no per-key streaming state — can grow unboundedly."""
+    from scdataset_spark.streaming.events import capped_session_stats
+
+    return capped_session_stats(
+        load_table(spark, "events", sf_dir, with_row_id=False),
+        gap_minutes=10,
+        cap_minutes=30,
+    )
+
+
+@query(
     "ev_first_event_dedup",
     survey_ref="§2.11",
     oracle="""

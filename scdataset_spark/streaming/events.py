@@ -72,6 +72,53 @@ def session_stats(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def capped_session_stats(
+    events: DataFrame,
+    gap_minutes: int = 10,
+    cap_minutes: int = 30,
+) -> DataFrame:
+    """Session windows with a MAX-DURATION CAP: gap-sessionize (a
+    session extends while successive per-user events arrive within
+    ``gap_minutes``), then split any session longer than
+    ``cap_minutes`` into cap-length chunks anchored at the session
+    start — the standard cap semantics in production sessionizers
+    (bounds both state size and session skew: one pathological
+    always-active user cannot grow a session without bound).
+
+    Batch formulation is pure windows (partition-parallel by user, no
+    global window); the unbounded-stream twin of this shape is the
+    ``applyInPandasWithState`` operator in ``streaming/stateful.py``,
+    since ``session_window`` has no built-in cap.  Every output chunk
+    satisfies ``duration_us < cap`` by construction."""
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60_000_000
+    cap_us = cap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ws = Window.partitionBy("user_id", "sid")
+    s = (
+        events.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev") >= gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(wc))
+        .withColumn("anchor", F.min(F.unix_micros("ts")).over(ws))
+        .withColumn("sub", F.expr(f"(unix_micros(ts) - anchor) div {cap_us}"))
+    )
+    return s.groupBy("user_id", "sid", "sub").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+    ).select("user_id", "session_start", "session_end", "n_events", "duration_us")
+
+
 def click_to_purchase_join(
     clicks: DataFrame, purchases: DataFrame, within: str = "INTERVAL 10 MINUTES"
 ) -> DataFrame:

@@ -65,6 +65,72 @@ def test_stream_stream_join(spark):
     assert s == b
 
 
+def test_session_out_of_order_under_watermark(spark, tmp_path):
+    """Out-of-order events vs the watermark, per-file micro-batches:
+    a late event INSIDE the watermark merges into its session; a late
+    event BEYOND the watermark is dropped (even though it would have
+    extended the session under the gap rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000_000  # µs epoch, arbitrary
+    MIN = 60_000_000
+    data = tmp_path / "data"
+    data.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        t = pa.Table.from_pydict(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([base + r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(data / name))
+
+    sink = str(tmp_path / "sink")
+
+    def run():
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(str(data))
+        agg = (
+            stream.withWatermark("ts", "5 minutes")
+            .groupBy(F.session_window("ts", "10 minutes").alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    # run 1: in-order 10:00/10:01, OUT-OF-ORDER 10:00:30 (watermark
+    # starts at epoch 0 inside the first run, so it is accepted and
+    # merges into the session), then 11:00 — which pushes the final
+    # watermark to 10:55 and finalizes session 1 with 3 events
+    write("f1.parquet", [(1, 0), (1, 1 * MIN), (1, MIN // 2), (1, 60 * MIN)])
+    rows = run()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 3
+    assert r["session_start"].timestamp() == base / 1e6
+
+    # run 2 (same checkpoint → watermark 10:55 persisted): a 10:03
+    # event is BEYOND the watermark → dropped, even though the 10-min
+    # gap rule would have merged it into session 1; nothing new is
+    # emitted and the finalized session is not retracted
+    write("f2.parquet", [(1, 3 * MIN)])
+    rows2 = run()
+    assert len(rows2) == 1 and rows2[0]["n_events"] == 3
+
+
 def test_streaming_dedup_within_watermark(spark):
     stream = read_events_stream(spark, SF_DIR)
     deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
