@@ -23,6 +23,8 @@ distributed row-numbering pattern.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -146,6 +148,38 @@ def ddp_filter(plan: DataFrame, world_size: int, rank: int) -> DataFrame:
     if not (0 <= rank < world_size):
         raise ValueError(f"rank {rank} out of range for world_size {world_size}")
     return plan.where(F.pmod(F.col("fetch_id"), F.lit(world_size)) == F.lit(rank))
+
+
+def resolve_epoch_seed(seed: int | None) -> int:
+    """Seed resolution for DDP consumers (reference
+    ``src/scdataset/scdataset.py:241-294`` ``_init_seed``): the
+    reference broadcasts a rank-0-generated random seed so all ranks
+    shuffle identically when ``seed=None``.
+
+    On Spark the driver IS rank 0 for planning: the resolved seed is
+    baked into the (deterministic) plan before any executor runs, so
+    every rank consuming ``ddp_filter(plan, W, r)`` shares it by
+    construction — no collective needed for the Spark-side plan.  The
+    ``torch.distributed`` broadcast is still performed when a consumer
+    calls this INSIDE an initialized DDP process group (each trainer
+    process building its own plan locally), which is the reference's
+    exact scenario.
+    """
+    if seed is not None:
+        return seed
+    try:
+        import torch
+        import torch.distributed as dist
+
+        if dist.is_available() and dist.is_initialized():
+            t = torch.zeros(1, dtype=torch.int64)
+            if dist.get_rank() == 0:
+                t[0] = int.from_bytes(os.urandom(4), "big") % (2**31)
+            dist.broadcast(t, src=0)
+            return int(t.item())
+    except ImportError:
+        pass
+    return int.from_bytes(os.urandom(4), "big") % (2**31)
 
 
 def resume_from_batch(plan: DataFrame, start_batch: int) -> DataFrame:

@@ -89,3 +89,19 @@ class TestCheckpointResume:
         a = resume_from_batch(ddp_filter(plan, 2, 1), 10)
         b = ddp_filter(resume_from_batch(plan, 10), 2, 1)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestSeedResolution:
+    def test_explicit_seed_passthrough(self):
+        from scdataset_spark.plans.plan import resolve_epoch_seed
+
+        assert resolve_epoch_seed(42) == 42
+
+    def test_none_generates_valid_seed(self):
+        from scdataset_spark.plans.plan import resolve_epoch_seed
+
+        s = resolve_epoch_seed(None)
+        assert 0 <= s < 2**31
+        # without an initialized process group, two calls are
+        # independent draws (driver == rank 0; plan bakes the seed in)
+        assert isinstance(s, int)
