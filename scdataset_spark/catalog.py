@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -54,6 +54,44 @@ ROW_ID_SQL = {
     "documents": "doc_id",
     "embeddings": "vec_id",
 }
+
+
+def _lineitem_row_id(df: DataFrame, buckets: int = 64) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY okey, lnum, price) - 1``
+    WITHOUT a global single-partition window (measured at factor-10
+    sf0.1: ingest 76s -> seconds): rows are range-bucketed on
+    ``l_orderkey`` (equal keys share a bucket, so the composite
+    tiebreak stays bucket-local), per-bucket counts become broadcast
+    offsets, and numbering runs within buckets — the same pattern as
+    ``plans.plan.with_pos``, value-identical to the oracle's global
+    row_number."""
+    stats = df.agg(F.min("l_orderkey").alias("_lo"), F.max("l_orderkey").alias("_hi"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        F.least(
+            F.lit(buckets - 1),
+            (
+                (F.col("l_orderkey") - F.col("_lo"))
+                * buckets
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ).cast("bigint"),
+        ),
+    )
+    counts = b.groupBy("_bucket").count()
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).drop("count")
+    w_in = Window.partitionBy("_bucket").orderBy(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "row_id", (F.row_number().over(w_in) - 1 + F.col("_off")).cast("bigint")
+        )
+        .drop("_bucket", "_off", "_lo", "_hi")
+    )
 
 
 def ingest_dir(sf_dir: str) -> str:
@@ -124,7 +162,12 @@ def load_table(
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if with_row_id and name in ROW_ID_SQL:
-        df = df.withColumn("row_id", F.expr(ROW_ID_SQL[name]).cast("bigint"))
+        if name == "lineitem":
+            # composite-key numbering, bucketed (no global window); the
+            # SQL in ROW_ID_SQL stays the oracle's definition of record
+            df = _lineitem_row_id(df)
+        else:
+            df = df.withColumn("row_id", F.expr(ROW_ID_SQL[name]).cast("bigint"))
     return df
 
 

@@ -1,0 +1,74 @@
+"""Synthesize a larger scale factor from an existing one by key-shifted
+replication, preserving join integrity — used to catch nonlinear
+regressions the small-SF bench hides (run the headline set at ~sf1):
+
+    python scripts/make_big_sf.py /root/testdata/sf0.1 _bench_sf1 10
+    SPARK_GRAFT_SF_DIR=$PWD/_bench_sf1 python bench.py
+
+Replica ``c`` offsets every scalable key by ``c * OFFSET``; dimension
+tables (region, nation) are shared, so foreign keys into them stay
+valid.  One projection pass per table (explode over the replica
+sequence, no shuffle), written with row-group-sized files.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+OFFSET = 1_000_000_000  # far above any key in the source data
+
+# per-table key columns that must shift per replica
+SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation"]
+
+
+def scale_table(spark: SparkSession, src: str, out: str, table: str, factor: int) -> None:
+    df = spark.read.parquet(f"{src}/{table}.parquet")
+    if table in COPY or factor == 1:
+        df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        return
+    keys = SHIFT[table]
+    rep = df.withColumn("_c", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+    for k in keys:
+        # source keys are INT32; widen before shifting or the offset overflows
+        rep = rep.withColumn(
+            k, F.col(k).cast("bigint") + F.col("_c").cast("bigint") * F.lit(OFFSET)
+        )
+    # spread across enough files that a scan parallelizes: one ~2M-row
+    # file is ONE parquet row group => one scan task no matter how many
+    # cores (measured: q1 at factor 10 went 12s -> ~1s after this)
+    n_files = min(32, max(1, factor * 3))
+    rep.drop("_c").repartition(n_files).write.mode("overwrite").parquet(
+        f"{out}/{table}.parquet"
+    )
+
+
+def main() -> None:
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    for t in list(SHIFT) + COPY:
+        scale_table(spark, src, out, t, factor)
+        print(f"{t}: done")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

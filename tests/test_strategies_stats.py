@@ -39,15 +39,19 @@ class TestBlockShuffling:
         rows = (
             BlockShuffling(block_size=64)
             .plan(li, seed=7)
-            .select("row_id", "pos", "block_id")
+            .select("row_id", "pos")
             .orderBy("pos")
             .collect()
         )
+        # the internal block_id column no longer leaks into the output
+        # schema; lineitem row_id is dense, so the ORIGINAL block of a
+        # row is simply row_id div block_size
         prev = {}
         for r in rows:
-            if r.block_id in prev:
-                assert r.row_id > prev[r.block_id], "intra-block order broken"
-            prev[r.block_id] = r.row_id
+            block = r.row_id // 64
+            if block in prev:
+                assert r.row_id > prev[block], "intra-block order broken"
+            prev[block] = r.row_id
 
     def test_seed_reproducible_and_divergent(self, spark, li):
         a = BlockShuffling(block_size=64).plan(li, seed=7).select("row_id", "pos")
