@@ -51,9 +51,15 @@ def main() -> None:
     run_one(spark, REGISTRY["tx_token_stats"].fn, SF_DIR)
     run_one(spark, REGISTRY["q6_revenue_forecast"].fn, SF_DIR)
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, fn in headline.items():
         times[name] = round(run_one(spark, fn, SF_DIR), 3)
+        # second run of the identical plan: steady-state cost with this
+        # query's whole-stage codegen already JIT-compiled (first-run
+        # numbers fold one-time codegen into the smallest SFs)
+        warm[name] = round(run_one(spark, fn, SF_DIR), 3)
     total = round(sum(times.values()), 3)
+    warm_total = round(sum(warm.values()), 3)
 
     # BASELINE-comparable loading metrics: the reference reports
     # samples/sec of minibatch loading and per-batch Shannon entropy
@@ -80,6 +86,8 @@ def main() -> None:
                 "sf": sf,
                 "cpus": CPUS,
                 "n_queries": len(times),
+                "queries_warm": warm,
+                "warm_total_sec": warm_total,
                 "ingest_sec": ingest_sec,
                 "loading_samples_per_sec": samples_per_sec,
                 "block_shuffle_avg_entropy_bits": round(ent, 3),

@@ -332,7 +332,10 @@ class BlockWeightedSampling(SamplingStrategy):
         # sf0.1): the cache materialization breaks stage fusion and costs
         # more than the recompute of the (cheap, scan-fused) sum chain.
         draws = spark.range(self.total_size).withColumnRenamed("id", "draw_id")
-        total = cum.agg(F.max("hi").alias("_t"))
+        # total weight == max(hi), but summing the PRE-window base frame
+        # is one scan-fused agg — max(hi) over cum would recompute the
+        # whole bucketed-window chain just to read its last value
+        total = base.agg(F.sum("_wi").alias("_t"))
         # 62-bit target: one mix() only covers [0, 2^31) — with scaled
         # integer weights the cumulative total easily exceeds that, and a
         # 31-bit target would only ever sample the low end of the CDF.
