@@ -734,3 +734,157 @@ def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
         (F.abs(F.col("value")) + F.sqrt(F.abs(F.col("value")))).alias("mathy"),
     )
+
+
+# ------------------------------------------- J3 depth: TPC-H Q13/Q18/Q22
+@query(
+    "q13_customer_distribution",
+    survey_ref="J3,G7",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analogue: LEFT OUTER join with a join-side predicate
+    (kept in the ON clause — moving it to WHERE would silently turn the
+    outer join inner), count per customer including zero-order
+    customers, then the distribution of counts."""
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q18_large_orders",
+    survey_ref="J3,G7,P4",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       o.o_totalprice, {dsum('l.l_quantity', 'total_qty')}
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: grouped HAVING feeding a semi-filtering join
+    (orders whose lineitems sum past a quantity threshold), then the
+    customer rollup of exactly those orders."""
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(li.alias("l"), F.col("l.l_orderkey") == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum_col(F.col("l.l_quantity")).alias("total_qty"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@query(
+    "q22_idle_wealthy_customers",
+    survey_ref="J3,G7",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0
+),
+idle AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE) AS totacctbal
+FROM idle GROUP BY c_mktsegment
+""",
+)
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: scalar-subquery threshold (decimal-exact avg
+    so the boundary is engine-identical) + NOT EXISTS anti-join, then a
+    per-segment rollup of the never-ordered wealthy customers."""
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    c.createOrReplaceTempView("_cust_q22")
+    o.createOrReplaceTempView("_ord_q22")
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE) / count(*) AS a
+          FROM _cust_q22 WHERE c_acctbal > 0
+        ),
+        idle AS (
+          SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+          FROM _cust_q22 c
+          WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+            AND NOT EXISTS (SELECT 1 FROM _ord_q22 o
+                            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        )
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE) AS totacctbal
+        FROM idle GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "sq_correlated_group_max",
+    survey_ref="J3,G7",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal = (
+  SELECT max(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_mktsegment = c.c_mktsegment
+)
+""",
+)
+def sq_correlated_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated scalar subquery: rows matching their
+    group's extreme value.  Catalyst decorrelates this into a
+    broadcast-joined per-group aggregate — asserted by value parity;
+    max() on doubles is order-insensitive so no decimal dance needed."""
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    c.createOrReplaceTempView("_cust_corr")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+        FROM _cust_corr c
+        WHERE c.c_acctbal = (
+          SELECT max(c2.c_acctbal) FROM _cust_corr c2
+          WHERE c2.c_mktsegment = c.c_mktsegment
+        )
+        """
+    )
