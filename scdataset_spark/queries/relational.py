@@ -888,3 +888,98 @@ def sq_correlated_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "q7_volume_shipping",
+    survey_ref="J3,G7,§2.10",
+    oracle="""
+WITH flows AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE ns.n_nationkey <> nc.n_nationkey
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(volume AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM flows GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue: five-way join (fact chain lineitem-orders +
+    three dimension hops, nation twice under different roles).  The two
+    nation sides and supplier/customer broadcast; only the
+    lineitem-orders equi-join shuffles."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    c = load_table(spark, "customer", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    ns = n.select(F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("_nc_key"), F.col("n_name").alias("cust_nation"))
+    flows = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_nc_key"))
+        .where(F.col("_ns_key") != F.col("_nc_key"))
+    )
+    return flows.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "q8_market_share",
+    survey_ref="J3,G7",
+    oracle="""
+WITH all_flows AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         r.r_name AS supp_region
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+)
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN supp_region = 'ASIA' THEN CAST(volume AS DECIMAL(24,8))
+                          ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+            / CAST(sum(CAST(volume AS DECIMAL(24,8))) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM all_flows GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue: one region's share of yearly order volume —
+    conditional decimal sum over a snowflake join (supplier→nation→
+    region all broadcast), ratio taken in double AFTER both exact
+    decimal sums."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    r = load_table(spark, "region", sf_dir, with_row_id=False)
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    zero = F.lit(0).cast("decimal(24,8)")
+    flows = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+    )
+    return flows.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        (
+            F.sum(F.when(F.col("r_name") == "ASIA", vol).otherwise(zero)).cast("double")
+            / F.sum(vol).cast("double")
+        ).cast("double").alias("mkt_share")
+    )
