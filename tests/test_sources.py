@@ -117,6 +117,49 @@ class TestAnnDataIngest:
         assert all(r["obs_names"] == f"cell_{r['row_id']}" for r in rows)
 
 
+class TestIncrementalIngest:
+    """Append-only ingest: row_id continues, k-step == one-shot, exact
+    dedup-on-ingest."""
+
+    def test_two_step_equals_one_shot(self, spark, tmp_path):
+        from scdataset_spark.sources.incremental import append_increment
+
+        cust = load_table(spark, "customer", SF_DIR_SMALL, with_row_id=False)
+        lo = cust.where("c_custkey <= 750")
+        hi = cust.where("c_custkey > 750")
+
+        two = str(tmp_path / "two_step")
+        assert append_increment(spark, two, lo, ["c_custkey"]) == lo.count()
+        assert append_increment(spark, two, hi, ["c_custkey"]) == hi.count()
+
+        one = str(tmp_path / "one_shot")
+        append_increment(spark, one, cust, ["c_custkey"])
+
+        a = sorted(map(tuple, spark.read.parquet(two).collect()))
+        b = sorted(map(tuple, spark.read.parquet(one).collect()))
+        assert a == b
+        # row_id dense 0..n-1 after both appends
+        n = cust.count()
+        ids = sorted(r.row_id for r in spark.read.parquet(two).collect())
+        assert ids == list(range(n))
+
+    def test_dedup_on_ingest(self, spark, tmp_path):
+        from scdataset_spark.sources.incremental import append_increment
+
+        cust = load_table(spark, "customer", SF_DIR_SMALL, with_row_id=False)
+        half = cust.where("c_custkey <= 750")
+        out = str(tmp_path / "dedup")
+        n1 = append_increment(spark, out, half, ["c_custkey"], dedup_on=["c_custkey"])
+        # replay the same increment: everything is a duplicate
+        n2 = append_increment(spark, out, half, ["c_custkey"], dedup_on=["c_custkey"])
+        assert n1 == half.count() and n2 == 0
+        # mixed increment: only genuinely-new keys append
+        mixed = cust.where("c_custkey > 700")
+        n3 = append_increment(spark, out, mixed, ["c_custkey"], dedup_on=["c_custkey"])
+        assert n3 == cust.where("c_custkey > 750").count()
+        assert spark.read.parquet(out).count() == cust.count()
+
+
 class TestFetchCallback:
     def test_external_store_fetch(self, spark):
         """T1 fetch_callback: the plan carries only (row_id, pos); the
