@@ -98,3 +98,12 @@ def test_embed_cosine_has_no_cartesian_product(spark):
     plan = _plan(spark, "dd_embed_cosine")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_dims_broadcast_no_cartesian(spark):
+    """Five-way join: dimension sides (supplier, both nation roles)
+    must broadcast; no cartesian/nested-loop anywhere."""
+    plan = _plan(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
