@@ -71,6 +71,10 @@ def run_hook_pipeline(
             pdf = fetch_callback(pdf)
         if fetch_transform is not None:
             pdf = fetch_transform(pdf)
+        if batch_callback is None and batch_transform is None and not drop_last:
+            # batches are contiguous slices of the fetch and no batch
+            # hook runs — slicing and re-concatenating would be a no-op
+            return pdf
         out = []
         for start in range(0, len(pdf), batch_size):
             batch_indices = np.arange(start, min(start + batch_size, len(pdf)))
