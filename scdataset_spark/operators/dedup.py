@@ -121,20 +121,21 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
     threshold: float = 0.5,
-    max_df: int | None = 10_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index join: explode distinct
     shingles, self-join on the shingle, count shared per pair, then
     J = |A∩B| / (|A| + |B| - |A∩B|).
 
-    ``max_df`` (default on) drops shingles whose document frequency
+    ``max_df`` (opt-in — the default keeps "exact" exact; production
+    callers at scale SHOULD set it) drops shingles whose document frequency
     exceeds it from the inverted index BEFORE the pair join
     (``skew.cap_hot_tokens``) — a shingle shared by d documents fans out
     d² join rows, so one viral shingle would otherwise dominate the
     whole job at scale.  The Jaccard denominator still uses the FULL
     shingle-set sizes, so a capped pair's score can only shrink (capped
     shingles carry ~no discriminative signal; this is standard
-    stop-shingle removal).  ``max_df=None`` disables the cap."""
+    stop-shingle removal)."""
     from scdataset_spark.operators.skew import cap_hot_tokens
 
     sized = df.withColumn("n_sh", F.size(F.col(shingle_col)))

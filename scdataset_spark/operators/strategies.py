@@ -353,6 +353,21 @@ class BlockWeightedSampling(SamplingStrategy):
     def _reservoir_rounds(self, df: DataFrame, s: int) -> DataFrame:
         k = self.sampling_size or self.total_size
         n_rounds = (self.total_size + k - 1) // k
+        # same weight validation as the with-replacement path: negative
+        # weights raise in-plan (JVM-side, no extra job), zero-weight
+        # rows are undrawable and leave the pool — otherwise -ln(u)/0
+        # is a DIVIDE_BY_ZERO under ANSI mode (or a NULL key whose sort
+        # position differs between engines with ANSI off)
+        guarded = F.when(
+            F.col(self.weight_col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"negative weight in column {self.weight_col!r}: "),
+                    F.col(self.weight_col).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col(self.weight_col).cast("double"))
+        pool = df.withColumn("_w", guarded).where(F.col("_w") > 0)
         rounds = []
         for r in range(n_rounds):
             take = min(k, self.total_size - r * k)
@@ -363,17 +378,15 @@ class BlockWeightedSampling(SamplingStrategy):
             # and the oracle's libm near the top-k boundary; after the
             # floor, a 1-ulp ln() difference can only matter within
             # ~1e-10 of a fixed-point boundary instead of anywhere.
-            key = F.expr(
-                f"CAST(floor((-ln({u}) / {self.weight_col}) * 1000000.0) AS BIGINT)"
-            )
+            key = F.expr(f"CAST(floor((-ln({u}) / _w) * 1000000.0) AS BIGINT)")
             # top-k smallest keys: orderBy+limit plans as
             # TakeOrderedAndProject (per-partition heaps + driver merge
             # of k rows), not a global sort
             rounds.append(
-                df.withColumn("_key", key)
+                pool.withColumn("_key", key)
                 .orderBy(F.col("_key").asc(), F.col("row_id"))
                 .limit(take)
-                .drop("_key")
+                .drop("_key", "_w")
                 .withColumn("draw_id", F.lit(r))
             )
         out = rounds[0]

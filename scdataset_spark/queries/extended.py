@@ -233,8 +233,13 @@ def s3_anndata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"scds_s3_{_S3_CELLS}x{_S3_GENES}_s{_S3_SEED}.parquet",
     )
     if not os.path.exists(path):
+        # write-then-rename: an interrupted writer leaves a VALID-footer
+        # truncated parquet (close() runs in finally), which a bare
+        # exists() check would trust forever
+        tmp = path + f".tmp{os.getpid()}"
         adata = SyntheticAnnData(_S3_CELLS, _S3_GENES, _S3_NNZ, _S3_SEED)
-        anndata_to_parquet(adata, path, chunk_rows=256, obs_columns=["total_counts"])
+        anndata_to_parquet(adata, tmp, chunk_rows=256, obs_columns=["total_counts"])
+        os.replace(tmp, path)
     cells = spark.read.parquet(path)
     dense = densify_sparse_rows(cells, num_genes=_S3_GENES, id_col="row_id")
     return dense.join(cells.select("row_id", "total_counts"), "row_id").select(

@@ -146,13 +146,21 @@ def anndata_to_parquet(
             }
             if sparse:
                 ip = X.indptr
-                offsets = np.asarray(ip[lo:hi + 1], dtype=np.int32) - int(ip[lo])
+                # subtract the chunk base BEFORE narrowing: cumulative
+                # counts are int64 and exceed int32 past ~2.1e9 total
+                # nonzeros; per-chunk offsets never do
+                offsets = (np.asarray(ip[lo:hi + 1]) - int(ip[lo])).astype(np.int32)
                 idx = np.asarray(X.indices[ip[lo]:ip[hi]], dtype=np.int32)
                 val = np.asarray(X.data[ip[lo]:ip[hi]], dtype=np.float32)
                 cols["genes"] = pa.ListArray.from_arrays(offsets, pa.array(idx))
                 cols["expressions"] = pa.ListArray.from_arrays(offsets, pa.array(val))
             else:
-                chunk = np.asarray(X[lo:hi], dtype=np.float32)
+                chunk = X[lo:hi]
+                if hasattr(chunk, "toarray"):
+                    # scipy-sparse slice from a backed/dense-looking X
+                    # (e.g. anndata CSRDataset rows) — densify per chunk
+                    chunk = chunk.toarray()
+                chunk = np.asarray(chunk, dtype=np.float32)
                 flat = pa.array(chunk.ravel())
                 offsets = np.arange(0, (hi - lo + 1) * chunk.shape[1],
                                     chunk.shape[1], dtype=np.int32)

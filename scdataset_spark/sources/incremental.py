@@ -47,7 +47,11 @@ def append_increment(
     inc = increment
     if exists:
         existing = spark.read.parquet(table_dir)
-        start = existing.agg(F.max("row_id")).first()[0] + 1
+        # coalesce: a table created by an all-duplicate/empty first
+        # append has _SUCCESS but zero rows — max() would be NULL
+        start = existing.agg(
+            F.coalesce(F.max("row_id") + 1, F.lit(0)).alias("_s")
+        ).first()["_s"]
         if dedup_on:
             inc = inc.join(
                 existing.select(*dedup_on).distinct(), dedup_on, "left_anti"

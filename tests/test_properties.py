@@ -41,16 +41,18 @@ class TestMixerProperties:
         assert 64 <= lo <= 192
 
     @given(
-        k=st.integers(min_value=0, max_value=2**33),
         s1=st.integers(min_value=0, max_value=2**20),
         s2=st.integers(min_value=0, max_value=2**20),
     )
-    @settings(max_examples=100, deadline=None)
-    def test_different_seeds_decorrelate(self, k, s1, s2):
-        if s1 != s2:
-            # not a proof, but a cheap regression tripwire: equal
-            # outputs for different seeds should be ~1/2^31 rare
-            assert mix_py(k, s1) != mix_py(k, s2) or True
+    @settings(max_examples=30, deadline=None)
+    def test_different_seeds_decorrelate(self, s1, s2):
+        """Two different seeds must produce essentially disjoint output
+        streams: over 256 consecutive keys, collisions should be ~256
+        in 2^31 — allow a handful, fail on systematic seed-ignoring."""
+        if s1 == s2:
+            return
+        collisions = sum(1 for k in range(256) if mix_py(k, s1) == mix_py(k, s2))
+        assert collisions <= 3
 
 
 class TestPermutationProperty:

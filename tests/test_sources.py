@@ -143,6 +143,20 @@ class TestIncrementalIngest:
         ids = sorted(r.row_id for r in spark.read.parquet(two).collect())
         assert ids == list(range(n))
 
+    def test_append_to_empty_table_continues_from_zero(self, spark, tmp_path):
+        from scdataset_spark.sources.incremental import append_increment
+
+        cust = load_table(spark, "customer", SF_DIR_SMALL, with_row_id=False)
+        out = str(tmp_path / "empty_first")
+        # first append writes _SUCCESS but zero rows (empty increment)
+        none = cust.where("c_custkey < 0")
+        assert append_increment(spark, out, none, ["c_custkey"]) == 0
+        # next append must start at row_id 0, not crash on NULL max
+        some = cust.where("c_custkey <= 10")
+        n = append_increment(spark, out, some, ["c_custkey"])
+        ids = sorted(r.row_id for r in spark.read.parquet(out).collect())
+        assert ids == list(range(n))
+
     def test_dedup_on_ingest(self, spark, tmp_path):
         from scdataset_spark.sources.incremental import append_increment
 

@@ -33,6 +33,37 @@ class TestValidation:
         with pytest.raises(ValueError):
             ctor()
 
+    def test_negative_weight_raises_in_reservoir_path_too(self, spark):
+        """replace=False (A-Res) must enforce the same weight contract
+        as the inverse-CDF path: negatives raise, zeros leave the pool
+        (no ANSI divide-by-zero from -ln(u)/0)."""
+        from pyspark.sql import functions as F
+
+        cust = load_table(spark, "customer", SF_DIR_SMALL)
+        bad = cust.withColumn("w", (F.col("c_custkey") % 5 - 1).cast("double"))
+        strat = BlockWeightedSampling(
+            weight_col="w", total_size=10, block_size=4, replace=False, sampling_size=10
+        )
+        # surfaces as Py4JJavaError or the converted SparkRuntimeException
+        # depending on which operator evaluates the expression first
+        with pytest.raises(Exception, match="negative weight"):
+            strat.plan(bad, seed=1).collect()
+
+        # zero weights are silently undrawable, not an error
+        zero_ok = cust.withColumn(
+            "w", F.when(F.col("c_custkey") % 2 == 0, 0.0).otherwise(1.0)
+        )
+        drawn = (
+            BlockWeightedSampling(
+                weight_col="w", total_size=20, block_size=4,
+                replace=False, sampling_size=20,
+            )
+            .plan(zero_ok, seed=1)
+            .join(zero_ok.select("row_id", "w"), "row_id")
+            .collect()
+        )
+        assert len(drawn) == 20 and all(r["w"] > 0 for r in drawn)
+
     def test_negative_weight_raises_at_execution(self, spark):
         """Reference raises ValueError on negative weights; here the
         check rides in-plan (raise_error) so it costs no extra job and
