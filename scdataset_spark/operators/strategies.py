@@ -197,35 +197,18 @@ def _rank_by_key(
     out_col: str,
     buckets: int = 64,
 ) -> DataFrame:
-    """0-based rank by (``key_col`` ASC, ``tiebreak_col`` DESC) without a
-    global window: the same bucket-offset pattern as ``with_pos`` —
-    range-bucket on the key, per-bucket counts → broadcast offsets,
-    partition-local numbering.  Equal keys land in the same bucket, so
-    the tiebreak stays bucket-local and the global order is exact."""
-    stats = df.agg(F.min(key_col).alias("_klo"), F.max(key_col).alias("_khi"))
-    b = df.crossJoin(F.broadcast(stats)).withColumn(
-        "_kb",
-        F.least(
-            F.lit(buckets - 1),
-            (
-                (F.col(key_col) - F.col("_klo"))
-                * buckets
-                / (F.col("_khi") - F.col("_klo") + 1)
-            ).cast("bigint"),
-        ),
-    )
-    counts = b.groupBy("_kb").count()
-    w_off = Window.orderBy("_kb").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_koff", F.coalesce(F.sum("count").over(w_off), F.lit(0))
-    ).drop("count")
-    w_in = Window.partitionBy("_kb").orderBy(
-        F.col(key_col).asc(), F.col(tiebreak_col).desc()
-    )
-    return (
-        b.join(F.broadcast(offsets), "_kb")
-        .withColumn(out_col, F.row_number().over(w_in) - F.lit(1) + F.col("_koff"))
-        .drop("_kb", "_koff", "_klo", "_khi")
+    """0-based rank by (``key_col`` ASC, ``tiebreak_col`` DESC) — the
+    shared :func:`plans.plan.bucketed_rank` primitive with a descending
+    tiebreak (equal keys share a bucket, so the tiebreak stays
+    bucket-local and the global order is exact)."""
+    from scdataset_spark.plans.plan import bucketed_rank
+
+    return bucketed_rank(
+        df,
+        key_col,
+        [(key_col, "asc"), (tiebreak_col, "desc")],
+        out_col=out_col,
+        buckets=buckets,
     )
 
 

@@ -29,6 +29,56 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bucketed_rank(
+    df: DataFrame,
+    bucket_col: str,
+    order: list[tuple[str, str]],
+    out_col: str = "pos",
+    buckets: int = 64,
+) -> DataFrame:
+    """THE distributed exact-rank primitive: 0-based global rank by the
+    composite ``order`` spec (list of ``(column, "asc"|"desc")``)
+    WITHOUT a single-partition global window.
+
+    Rows are range-bucketed on ``bucket_col`` — which MUST be the
+    leading order column, ascending, so equal values share a bucket and
+    every tiebreak stays bucket-local — then per-bucket counts become
+    broadcast offsets and the numbering window runs within buckets.
+    One cheap stats agg + one tiny (``buckets``-row) window + one
+    broadcast join; the O(n) data is never globally sorted.
+
+    Shared by ``with_pos``, the strategies' drop-key ranking, and the
+    lineitem ingest numbering — one implementation, one set of
+    boundary-condition bugs.
+    """
+    stats = df.agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        F.least(
+            F.lit(buckets - 1),
+            (
+                (F.col(bucket_col) - F.col("_lo"))
+                * buckets
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ).cast("bigint"),
+        ),
+    )
+    counts = b.groupBy("_bucket").count()
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).drop("count")
+    sort_cols = [
+        F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order
+    ]
+    w_in = Window.partitionBy("_bucket").orderBy(*sort_cols)
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, F.row_number().over(w_in) - F.lit(1) + F.col("_offset"))
+        .drop("_bucket", "_offset", "_lo", "_hi")
+    )
+
+
 def with_pos(
     df: DataFrame,
     order_col: str = "row_id",
@@ -40,35 +90,14 @@ def with_pos(
     ``buckets=None``: single global window (one total-order sort — exact
     semantics, acceptable below ~10M rows).
 
-    ``buckets=k``: scalable path.  Rows are hashed into k contiguous
-    ranges of ``order_col`` (range boundaries from the max key, one cheap
-    agg), counts per bucket are aggregated (k rows), offsets are a
-    running sum over that tiny frame, broadcast-joined back, and the
-    expensive numbering happens *within* buckets — no global shuffle to
-    one partition.
+    ``buckets=k``: the scalable :func:`bucketed_rank` path — no global
+    shuffle to one partition.
     """
     if buckets is None:
         w = Window.orderBy(F.col(order_col))
         return df.withColumn(pos_col, F.row_number().over(w) - F.lit(1))
-
-    stats = df.agg(
-        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
-    )
-    b = df.crossJoin(F.broadcast(stats)).withColumn(
-        "_bucket",
-        F.least(
-            F.lit(buckets - 1),
-            ((F.col(order_col) - F.col("_lo")) * buckets / (F.col("_hi") - F.col("_lo") + 1)).cast("bigint"),
-        ),
-    )
-    counts = b.groupBy("_bucket").count()
-    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))).drop("count")
-    w_in = Window.partitionBy("_bucket").orderBy(F.col(order_col))
-    return (
-        b.join(F.broadcast(offsets), "_bucket")
-        .withColumn(pos_col, F.row_number().over(w_in) - F.lit(1) + F.col("_offset"))
-        .drop("_bucket", "_offset", "_lo", "_hi")
+    return bucketed_rank(
+        df, order_col, [(order_col, "asc")], out_col=pos_col, buckets=buckets
     )
 
 
