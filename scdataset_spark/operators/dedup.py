@@ -165,3 +165,70 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of the (undirected) near-dup pair graph by
+    iterative min-label propagation: every node starts labeled with its
+    own id; each round a node takes the min of its label and its
+    neighbors' labels; fixed point = component id = min node id in the
+    component.
+
+    This is the step that turns candidate PAIRS into dedup GROUPS (one
+    representative per component).  Near-dup graphs are dense
+    cliques-of-duplicates with tiny diameter, so rounds ≈ 2-3; each
+    round is one equi-join + one groupBy (both shuffle on node id) and
+    the per-round frame is ``localCheckpoint``-ed so the iterative
+    lineage never compounds.  The convergence probe is a cheap
+    ``limit(1).count()`` on the changed-label set.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("id"))
+        .unionByName(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neigh = (
+            und.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("_nc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nc").alias("_mn"))
+            .select(F.col("src").alias("id"), "_mn")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_mn"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -274,6 +274,80 @@ def dd_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components_oracle() -> str:
+    """Exact components via transitive closure (recursive CTE) over the
+    SAME banded-LSH pair graph: min reachable id == component id, so
+    equality proves the Spark label propagation reached its fixed
+    point."""
+    return f"""
+WITH RECURSIVE cand AS ({_minhash_oracle()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+@query("dd_components", survey_ref="§2.14 dedup", oracle=_components_oracle())
+def dd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the banded-LSH
+    candidate-pair graph by iterative min-label propagation
+    (``operators/dedup.py::connected_components``) — the step that
+    turns pairs into dedup groups.  The oracle computes exact
+    transitive closure with a recursive CTE, so parity proves the
+    distributed iteration converged to the true components."""
+    c = dd.with_minhash(dd.with_shingles(corpus(spark, sf_dir)), num_hashes=12)
+    edges = dd.lsh_candidate_pairs(c, num_hashes=12, bands=4)
+    comp = dd.connected_components(edges)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+@query(
+    "dd_dedup_corpus",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH RECURSIVE cand AS ({_minhash_oracle()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+{CORPUS_SQL}
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+""",
+)
+def dd_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: drop every non-representative member of a
+    near-dup component (keep = min doc_id), keep all unpaired docs —
+    the surviving corpus a training pipeline would feed downstream.
+    One anti-join against the (tiny) non-representative set."""
+    c = dd.with_minhash(dd.with_shingles(corpus(spark, sf_dir)), num_hashes=12)
+    edges = dd.lsh_candidate_pairs(c, num_hashes=12, bands=4)
+    comp = dd.connected_components(edges)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return corpus(spark, sf_dir).select("doc_id").join(
+        F.broadcast(drop), "doc_id", "left_anti"
+    )
+
+
 # document-frequency cap for the inverted-index join (mirrored in the
 # oracle, so the cap logic itself is value-checked — not just bypassed)
 NGRAM_MAX_DF = 10_000

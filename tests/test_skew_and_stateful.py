@@ -180,3 +180,29 @@ class TestClosedFormProperties:
         v = mix(k, seed)
         assert 0 <= v < MIX_MOD
         assert v == mix(k, seed)
+
+
+class TestConnectedComponents:
+    def test_chain_clique_and_pair(self, spark):
+        """A 5-node chain (worst diameter), a 4-clique, and an isolated
+        pair — components must be exact min-ids despite multi-hop
+        propagation."""
+        from scdataset_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            # chain 10-11-12-13-14; clique 20..23; pair 30-31
+            [(10, 11), (11, 12), (12, 13), (13, 14),
+             (20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23),
+             (30, 31)],
+            "doc_a bigint, doc_b bigint",
+        )
+        comp = {r.id: r.component for r in connected_components(edges).collect()}
+        assert comp == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                        20: 20, 21: 20, 22: 20, 23: 20,
+                        30: 30, 31: 30}
+
+    def test_empty_edges(self, spark):
+        from scdataset_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+        assert connected_components(edges).count() == 0
