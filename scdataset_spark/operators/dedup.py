@@ -51,21 +51,39 @@ def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") 
     )
 
 
+MINHASH_SEED = 9000
+
+
 def with_minhash(df: DataFrame, num_hashes: int = 12, shingle_col: str = "shingles") -> DataFrame:
-    """k minhashes: for hash j, min over shingles of md5(j || ':' || s).
+    """k minhashes from ONE md5 per shingle: the shingle's base hash is
+    the first 8 hex chars of md5(s) as a bigint (uniform in [0, 2^32),
+    bit-identical in DuckDB via ``('0x' || substr(md5(s),1,8))::BIGINT``),
+    and hash family j is the portable mixer re-keyed per j —
+    ``mh_j = min over shingles of mix(h0(s), MINHASH_SEED + j)``.
 
-    Lexicographic min over md5 hex strings is a valid uniform minhash
-    family and — unlike integer xxhash — is bit-identical in DuckDB.
+    This replaces the original k-md5s-per-shingle scheme: md5 dominates
+    the minhash cost, and k integer mixes of a cached base hash are far
+    cheaper than k md5 invocations (headline LSH query at sf0.1:
+    first-run 3.9s -> 2.8s, warm 0.69s -> 0.52s).  The mixer is a
+    2-round affine-xorshift permutation per seed — a standard
+    universal-hash minhash family.
 
-    All k signatures are emitted in ONE projection: chained withColumn
-    would add k analyzer layers and defeat common-subexpression
-    elimination of the shingle array.
+    The base-hash array is bound to a column FIRST (the lambda
+    re-evaluation rule: md5 inside the per-j lambdas would re-hash every
+    shingle k times, exactly what this scheme removes).  All k mins are
+    emitted in ONE projection so the analyzer sees a single layer.
     """
+    from scdataset_spark.plans.seeds import mix_sql
+
+    h0 = (
+        f"transform({shingle_col}, "
+        "s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    )
     mh = [
-        f"array_min(transform({shingle_col}, s -> md5(concat('{j}:', s)))) AS mh{j}"
+        f"array_min(transform(_h0, h -> {mix_sql('h', MINHASH_SEED + j, 'spark')})) AS mh{j}"
         for j in range(num_hashes)
     ]
-    return df.selectExpr("*", *mh)
+    return df.withColumn("_h0", F.expr(h0)).selectExpr("*", *mh).drop("_h0")
 
 
 def lsh_candidate_pairs(

@@ -174,7 +174,8 @@ def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
     r = num_hashes // bands
     mh = ",\n       ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min') AS mh{j}"
+        "list_aggregate(list_transform(h0, h -> "
+        f"{mix_sql('h', dd.MINHASH_SEED + j, 'duckdb')}), 'min') AS mh{j}"
         for j in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
@@ -186,7 +187,10 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
 WITH {CORPUS_SQL},
 sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
 sh_t AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM sp_t),
-sigs AS (SELECT doc_id, {mh} FROM sh_t),
+h0_t AS (SELECT doc_id,
+                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h0
+         FROM sh_t),
+sigs AS (SELECT doc_id, {mh} FROM h0_t),
 banded AS ({band_selects})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
