@@ -206,3 +206,91 @@ class TestConnectedComponents:
 
         edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
         assert connected_components(edges).count() == 0
+
+
+class TestCappedSessionsStateful:
+    def test_closed_chunks_match_batch_twin_across_restarts(self, spark, tmp_path):
+        """The applyInPandasWithState capped-session operator must emit
+        exactly the batch operator's CLOSED chunks, with open chunks
+        surviving in checkpointed state across availableNow restarts."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from scdataset_spark.streaming.events import capped_session_stats
+        from scdataset_spark.streaming.stateful import capped_sessions_stateful
+
+        base = 1_700_000_000_000_000
+        MIN = 60_000_000
+        data = tmp_path / "data"
+        data.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+
+        def write(name, rows):
+            t = pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([base + r[1] for r in rows], pa.timestamp("us")),
+                    "event_id": pa.array(list(range(len(rows))), pa.int64()),
+                }
+            )
+            pq.write_table(t, str(data / name))
+
+        def run():
+            stream = spark.readStream.schema(
+                "user_id bigint, ts timestamp, event_id bigint"
+            ).parquet(str(data))
+            q = (
+                capped_sessions_stateful(stream, gap_minutes=10, cap_minutes=30)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return sorted(
+                map(tuple, spark.read.parquet(sink).collect()),
+            )
+
+        # user 1: one 45-min-active session (cap 30 => 2 chunks, first
+        # closes at the cap boundary) then a gap and a new session;
+        # user 2: a single short session, still open at stream end
+        u1 = [(1, 0), (1, 5 * MIN), (1, 35 * MIN), (1, 60 * MIN), (1, 61 * MIN)]
+        u2 = [(2, 0), (2, 1 * MIN)]
+        write("f1.parquet", u1 + u2)
+        got1 = run()
+        # closed: u1 chunk [0,5m] (cap-split at 30m) and u1 chunk [35m]
+        # (gap-closed by 60m); open: u1 [60m,61m], u2 [0,1m]
+        assert got1 == sorted(
+            [
+                (1, _ts(base), _ts(base + 5 * MIN), 2, 5 * MIN),
+                (1, _ts(base + 35 * MIN), _ts(base + 35 * MIN), 1, 0),
+            ]
+        )
+
+        # a much-later event per user closes the open chunks
+        write("f2.parquet", [(1, 120 * MIN), (2, 120 * MIN)])
+        got2 = run()
+        assert (1, _ts(base + 60 * MIN), _ts(base + 61 * MIN), 2, 1 * MIN) in got2
+        assert (2, _ts(base), _ts(base + 1 * MIN), 2, 1 * MIN) in got2
+
+        # cross-check against the batch twin on the full data: every
+        # emitted (closed) chunk must be a row of the batch result
+        from pyspark.sql import functions as F
+
+        full = spark.read.parquet(str(data)).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        batch = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_us)
+            for r in capped_session_stats(full, 10, 30).collect()
+        }
+        assert set(got2) <= batch
+
+
+def _ts(us):
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
