@@ -71,6 +71,30 @@ def main() -> None:
 
     n_rows = load_table(spark, "lineitem", SF_DIR).count()
     samples_per_sec = round(n_rows / times["t_hook_pipeline"], 1)
+
+    # BASELINE.md's headline row is BlockShuffling random-access
+    # loading (4,634.5 samples/s multi-worker / 4,032.9 single-core);
+    # measure the same shape here: block-shuffled plan -> fetch/batch
+    # planner -> Arrow hook stage, full row stream materialized.
+    from scdataset_spark.operators.strategies import BlockShuffling
+    from scdataset_spark.pipeline.hooks import run_hook_pipeline
+    from scdataset_spark.plans.plan import with_batches
+
+    t0 = time.perf_counter()
+    li = load_table(spark, "lineitem", SF_DIR)
+    planned = with_batches(
+        BlockShuffling(block_size=256, assume_dense=True)
+        .plan(li, seed=7)
+        .select("row_id", "pos", "l_quantity"),
+        batch_size=64,
+        fetch_factor=256,
+    )
+    run_hook_pipeline(
+        planned.select("row_id", "pos", "fetch_id", "l_quantity"),
+        "row_id bigint, pos bigint, fetch_id bigint, l_quantity double",
+        batch_size=64,
+    ).write.format("noop").mode("overwrite").save()
+    bs_sps = round(n_rows / (time.perf_counter() - t0), 1)
     ent = (
         REGISTRY["g3_batch_entropy"].fn(spark, SF_DIR)
         .agg(SF.avg("entropy"))
@@ -90,6 +114,7 @@ def main() -> None:
                 "warm_total_sec": warm_total,
                 "ingest_sec": ingest_sec,
                 "loading_samples_per_sec": samples_per_sec,
+                "block_shuffle_loading_samples_per_sec": bs_sps,
                 "block_shuffle_avg_entropy_bits": round(ent, 3),
             }
         )
