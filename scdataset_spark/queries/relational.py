@@ -983,3 +983,80 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(vol).cast("double")
         ).cast("double").alias("mkt_share")
     )
+
+
+@query(
+    "q15_top_supplier",
+    survey_ref="J3,G7,W4",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue: a revenue CTE consumed twice (join side +
+    scalar-max subquery).  The decimal-exact revenue makes the equality
+    against max() engine-safe — with raw double sums the winner could
+    differ by partial-agg order."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("_m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    survey_ref="J3,G7",
+    oracle="""
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: NOT IN subquery (null-sensitive anti-join
+    semantics — Catalyst plans a null-aware anti join) + count distinct
+    per group."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    p = load_table(spark, "part", sf_dir, with_row_id=False)
+    li.createOrReplaceTempView("_li_q16")
+    p.createOrReplaceTempView("_part_q16")
+    load_table(spark, "supplier", sf_dir, with_row_id=False).createOrReplaceTempView(
+        "_supp_q16"
+    )
+    return spark.sql(
+        """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM _li_q16 l JOIN _part_q16 p ON p.p_partkey = l.l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM _supp_q16 WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        """
+    )
