@@ -1060,3 +1060,25 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand, p_size
         """
     )
+
+
+@query("g7_approx_sketches", survey_ref="G7")
+def g7_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path where exact distinct/
+    percentile would shuffle every value: HLL++ approx distinct and
+    quantile-summary approx median per group.  Deliberately has NO SQL
+    oracle (sketch internals are engine-specific; DuckDB's approx
+    functions use different sketches) — the driver records the weaker
+    rows-only check, and tests/test_strategies_stats.py asserts both
+    sketches land within their documented error bands of the exact
+    answers."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "approx_parts", "approx_median", "n")
+    )

@@ -179,3 +179,39 @@ class TestStreamingSubset:
         n = li.where("l_returnflag = 'R'").count()
         assert plan.count() == n
         assert plan.agg(F.max("pos")).first()[0] == n - 1
+
+
+class TestApproxSketches:
+    def test_sketches_within_error_bands(self, spark):
+        """HLL++ (rsd=2%) and quantile summaries (accuracy 10000) must
+        land within their documented bounds of the exact answers."""
+        from scdataset_spark.queries import REGISTRY
+
+        sk = {
+            r.l_returnflag: r
+            for r in REGISTRY["g7_approx_sketches"].fn(spark, SF_DIR_SMALL).collect()
+        }
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        exact = {
+            r.l_returnflag: r
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("nd"),
+                F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+            )
+            .collect()
+        }
+        for flag, e in exact.items():
+            a = sk[flag]
+            assert abs(a.approx_parts - e.nd) / e.nd < 0.05  # 2% rsd, 5% band
+            # quantile summaries: rank error <= n/accuracy; value check
+            # via percentile band [0.45, 0.55]
+            lo, hi = (
+                li.where(F.col("l_returnflag") == flag)
+                .agg(
+                    F.expr("percentile(l_extendedprice, 0.45)"),
+                    F.expr("percentile(l_extendedprice, 0.55)"),
+                )
+                .first()
+            )
+            assert lo <= a.approx_median <= hi
