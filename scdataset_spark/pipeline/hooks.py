@@ -38,6 +38,7 @@ def run_hook_pipeline(
     batch_callback: Callable[[pd.DataFrame, "object"], pd.DataFrame] | None = None,
     batch_transform: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     drop_last: bool = False,
+    sort_before_fetch: bool = True,
 ) -> DataFrame:
     """Run the hook pipeline over a planned frame (needs ``pos``,
     ``fetch_id`` columns from plans.with_batches / a strategy).
@@ -66,9 +67,13 @@ def run_hook_pipeline(
     def process_fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values("pos").reset_index(drop=True)
         if fetch_callback is not None:
-            pdf = fetch_callback(pdf)
+            # reference scdataset.py:224,520: indices are ALWAYS sorted
+            # before the external fetch (sequential I/O against the
+            # store); yield order is restored by the pos sort below
+            key = "row_id" if sort_before_fetch and "row_id" in pdf.columns else "pos"
+            pdf = fetch_callback(pdf.sort_values(key).reset_index(drop=True))
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
         if fetch_transform is not None:
             pdf = fetch_transform(pdf)
         if batch_callback is None and batch_transform is None and not drop_last:

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from scdataset_spark.catalog import load_table
-from scdataset_spark.operators.strategies import Streaming
+from scdataset_spark.operators.strategies import BlockShuffling, Streaming
 from scdataset_spark.pipeline.export import iterate_batches
 from scdataset_spark.pipeline.hooks import run_hook_pipeline
 from scdataset_spark.pipeline.multiindexable import MultiIndexable
@@ -146,6 +146,37 @@ class TestHookOrder:
         assert len(rows) == li.count()
         # same coverage, custom extraction order inside each batch
         assert [r["pos"] for r in rows] == list(range(len(rows)))
+
+
+class TestSortBeforeFetch:
+    def test_fetch_callback_sees_row_id_sorted_frame(self, spark):
+        """O8/reference scdataset.py:224: the external-store fetch gets
+        row_id-ASCENDING indices (sequential I/O), while the output
+        stays in the strategy's pos order."""
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        planned = with_batches(
+            BlockShuffling(block_size=32).plan(li, seed=9).select("row_id", "pos"),
+            batch_size=32,
+            fetch_factor=4,
+        )
+
+        def fetch_callback(pdf):
+            assert (pdf["row_id"].diff().dropna() > 0).all(), "fetch not sorted"
+            pdf = pdf.copy()
+            pdf["fetched"] = pdf["row_id"] * 2
+            return pdf
+
+        out = run_hook_pipeline(
+            planned.select("row_id", "pos", "fetch_id"),
+            "row_id bigint, pos bigint, fetch_id bigint, fetched bigint",
+            batch_size=32,
+            fetch_callback=fetch_callback,
+        )
+        rows = out.orderBy("pos").collect()
+        assert len(rows) == li.count()
+        assert all(r["fetched"] == 2 * r["row_id"] for r in rows)
+        # output order is the strategy's pos order, not fetch order
+        assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)
 
 
 class TestHookDropLast:
