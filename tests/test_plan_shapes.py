@@ -107,3 +107,27 @@ def test_q7_dims_broadcast_no_cartesian(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_epoch_plan_resume_prunes_partitions(spark, tmp_path):
+    """Resuming from a written epoch plan must PRUNE fetch directories
+    (partition filter), not scan-and-filter — at 100 TB the resume
+    predicate is the difference between touching one fetch and the
+    whole epoch."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.strategies import Streaming
+    from scdataset_spark.pipeline.export import write_epoch_plan
+    from scdataset_spark.plans.plan import with_batches
+    from tests.conftest import SF_DIR_SMALL
+
+    li = load_table(spark, "lineitem", SF_DIR_SMALL)
+    planned = with_batches(Streaming().plan(li, seed=3), batch_size=64, fetch_factor=8)
+    out = str(tmp_path / "epoch0")
+    write_epoch_plan(planned, out, columns=["row_id", "l_quantity"])
+    back = spark.read.parquet(out).where("fetch_id >= 5")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(fetch_id" in plan.replace("#", "").replace(
+        "L", ""
+    ) or "PartitionFilters: [" in plan and "fetch_id" in plan.split("PartitionFilters")[1][:80]
+    n_all = spark.read.parquet(out).count()
+    assert back.count() < n_all

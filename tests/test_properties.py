@@ -70,3 +70,41 @@ class TestPermutationProperty:
             for strat in (BlockShuffling(block_size=17), Streaming(shuffle=True)):
                 pos = [r.pos for r in strat.plan(li, seed=seed).select("pos").collect()]
                 assert sorted(pos) == list(range(n)), f"{strat} seed={seed}"
+
+
+class TestBucketedRankProperty:
+    """bucketed_rank is the primitive everything rests on — compare it
+    against the single-window reference on adversarial key sets
+    (duplicates, skew, negatives, tiny ranges)."""
+
+    @given(
+        keys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=300),
+        buckets=st.sampled_from([1, 2, 7, 64]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_global_window(self, keys, buckets):
+        # no pytest fixture: hypothesis forbids function-scoped fixtures
+        # across examples; grab the shared session directly
+        import pandas as pd
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from scdataset_spark.plans.plan import bucketed_rank
+        from scdataset_spark.session import get_spark
+
+        spark = get_spark("scdataset_spark_tests")
+        pdf = pd.DataFrame({"k": keys, "tb": list(range(len(keys)))})
+        df = spark.createDataFrame(pdf)
+        got = {
+            (r.k, r.tb): r.rk
+            for r in bucketed_rank(
+                df, "k", [("k", "asc"), ("tb", "desc")], out_col="rk", buckets=buckets
+            ).collect()
+        }
+        w = Window.orderBy(F.col("k").asc(), F.col("tb").desc())
+        want = {
+            (r.k, r.tb): r.rk
+            for r in df.withColumn("rk", F.row_number().over(w) - 1).collect()
+        }
+        assert got == want
