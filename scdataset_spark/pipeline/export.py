@@ -78,3 +78,50 @@ def to_torch(batch: dict[str, np.ndarray]):  # pragma: no cover - torch optional
             "torch is not installed in this environment; consume numpy batches"
         ) from None
     return {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in batch.items()}
+
+
+def write_arrow_fetches(
+    planned: DataFrame,
+    out_dir: str,
+    columns: list[str],
+    order_col: str = "pos",
+) -> DataFrame:
+    """Arrow-IPC export: one ``fetch_{id}.arrow`` stream file per fetch,
+    rows pos-sorted inside — the zero-copy trainer hand-off (torch/JAX
+    readers mmap Arrow record batches directly; no parquet decode on
+    the hot loop).  Files are written BY THE EXECUTORS (one fetch group
+    = one task = one file, same layout discipline as
+    ``write_epoch_plan``), so there is no driver bottleneck; ``out_dir``
+    must be a shared filesystem path in a real cluster.
+
+    Returns the manifest DataFrame (fetch_id, n_rows, path) — also the
+    action that triggers the write.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_fetch(pdf):
+        # function-local import + def: pickled by value to the workers
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        fetch_id = int(pdf["fetch_id"].iloc[0])
+        path = os.path.join(out_dir, f"fetch_{fetch_id:08d}.arrow")
+        table = pa.Table.from_pandas(pdf[columns], preserve_index=False)
+        tmp = path + ".tmp"
+        with ipc.new_stream(tmp, table.schema) as w:
+            w.write_table(table)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {"fetch_id": [fetch_id], "n_rows": [len(pdf)], "path": [path]}
+        )
+
+    manifest = planned.select("fetch_id", order_col, *columns).groupBy(
+        "fetch_id"
+    ).applyInPandas(write_fetch, schema="fetch_id bigint, n_rows bigint, path string")
+    return manifest

@@ -198,3 +198,35 @@ class TestHookDropLast:
         # (partial) fetch disappears
         expected = (n // 128) * 128 + ((n % 128) // 32) * 32
         assert out.count() == expected
+
+
+class TestArrowExport:
+    def test_arrow_fetch_files_roundtrip(self, spark, tmp_path):
+        import os
+
+        import pyarrow.ipc as ipc
+
+        from scdataset_spark.pipeline.export import write_arrow_fetches
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        planned = with_batches(
+            Streaming().plan(li, seed=4), batch_size=64, fetch_factor=8
+        )
+        out = str(tmp_path / "arrow_epoch")
+        manifest = write_arrow_fetches(
+            planned, out, columns=["row_id", "l_quantity"]
+        ).collect()
+        n_fetches = planned.select("fetch_id").distinct().count()
+        assert len(manifest) == n_fetches
+        assert sum(m["n_rows"] for m in manifest) == li.count()
+        # every file is a readable IPC stream, pos-ordered rows
+        total = 0
+        for m in sorted(manifest, key=lambda m: m["fetch_id"]):
+            assert os.path.exists(m["path"])
+            with ipc.open_stream(m["path"]) as r:
+                t = r.read_all()
+            assert t.num_rows == m["n_rows"]
+            rid = t.column("row_id").to_pylist()
+            assert rid == sorted(rid)  # Streaming: pos order == row_id order
+            total += t.num_rows
+        assert total == li.count()
