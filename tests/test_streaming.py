@@ -154,3 +154,86 @@ def test_streaming_dedup_within_watermark(spark):
     # one surviving event per key (all data fits one watermark window here)
     assert got.count() == n_keys
     assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no purchase in its
+    attribution window emits with NULL purchase columns — but only
+    once the watermark provably closes its window; an open window
+    emits nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000_000
+    MIN = 60_000_000
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    cdir.mkdir(); pdir.mkdir()
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def write(d, name, rows):
+        t = pa.Table.from_pydict(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([base + r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    def run():
+        clicks = (
+            spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp")
+            .parquet(str(cdir))
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "5 minutes")
+        )
+        purchases = (
+            spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp")
+            .parquet(str(pdir))
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "5 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 10 MINUTES"
+            ),
+            "leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["click_id"], r["purchase_id"]) for r in spark.read.parquet(sink).collect()
+        )
+
+    # click 1 matches purchase 100; click 2 never matches
+    write(cdir, "c1.parquet", [(1, 1, 0), (2, 2, 1 * MIN)])
+    write(pdir, "p1.parquet", [(1, 100, 5 * MIN)])
+    got1 = run()
+    assert (1, 100) in got1
+    assert all(p is not None for _, p in got1)  # no premature NULL emit
+
+    # far-future events on BOTH sides push the watermark past click 2's
+    # window end (10:01 + 10m + 5m delay); its NULL row then emits
+    write(cdir, "c2.parquet", [(9, 9, 60 * MIN)])
+    write(pdir, "p2.parquet", [(9, 900, 61 * MIN)])
+    got2 = run()
+    assert (2, None) in got2
