@@ -138,3 +138,50 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataF
     return votes.withColumn("simhash", F.expr(f"CAST({combine} AS BIGINT)")).drop(
         "_dtoks", *[f"s{b}" for b in range(bits)]
     )
+
+
+# ------------------------------------------------- normalize / PII scrub
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IP_RE = "[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}"
+
+
+def with_normalized_text(
+    df: DataFrame, text_col: str = "text", out: str = "norm_text"
+) -> DataFrame:
+    """Standard pre-dedup normalization: lowercase, strip everything
+    but [a-z0-9 ], collapse whitespace runs, trim.  Pure JVM regexp —
+    and expressible identically in DuckDB for the oracle."""
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return df.withColumn(out, F.trim(collapsed))
+
+
+def with_pii_scrubbed(
+    df: DataFrame, text_col: str = "text", out: str = "scrubbed"
+) -> DataFrame:
+    """Training-data PII redaction: emails → <EMAIL>, phone numbers →
+    <PHONE>, IPv4 → <IP>, with per-row match counts (the audit trail a
+    compliance pipeline needs).  Counts are computed BEFORE redaction;
+    order matters — emails first, since the phone/ip patterns can match
+    inside addresses otherwise."""
+    t = F.col(text_col)
+    n_email = F.size(F.expr(f"regexp_extract_all({text_col}, '{EMAIL_RE}', 0)"))
+    n_phone = F.size(F.expr(f"regexp_extract_all({text_col}, '{PHONE_RE}', 0)"))
+    n_ip = F.size(F.expr(f"regexp_extract_all({text_col}, '{IP_RE}', 0)"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE.replace("\\\\", "\\"), "<EMAIL>"),
+            PHONE_RE.replace("\\\\", "\\"),
+            "<PHONE>",
+        ),
+        IP_RE.replace("\\\\", "\\"),
+        "<IP>",
+    )
+    return (
+        df.withColumn("n_emails", n_email)
+        .withColumn("n_phones", n_phone)
+        .withColumn("n_ips", n_ip)
+        .withColumn(out, scrub)
+    )

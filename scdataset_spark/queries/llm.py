@@ -669,3 +669,78 @@ def mm_multimodal_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"round({norm}, 4)").alias("emb_norm"),
         )
     )
+
+
+# --------------------------------------------- normalization / PII scrub
+PII_CORPUS_SQL = """
+pii_corpus AS (
+  SELECT doc_id,
+         text ||
+           (CASE WHEN doc_id % 5 = 0 THEN ' contact john.doe@example.com now' ELSE '' END) ||
+           (CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END) ||
+           (CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.100' ELSE '' END)
+         AS text
+  FROM documents
+)
+"""
+
+
+def pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically planted PII (emails / phones /
+    IPs on doc_id residues) — identical construction in the oracle, so
+    the scrubber is checked against known-planted positives."""
+    d = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, " contact john.doe@example.com now").otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, " call 555-123-4567").otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0, " from 192.168.1.100").otherwise(""),
+        ).alias("text"),
+    )
+
+
+@query(
+    "tx_normalize",
+    survey_ref="§2.14 text",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+FROM documents
+""",
+)
+def tx_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup text normalization (lowercase / strip non-alnum /
+    collapse whitespace) — the canonical cleaning step before exact
+    fingerprinting."""
+    d = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return tx.with_normalized_text(d).select("doc_id", "norm_text")
+
+
+@query(
+    "tx_pii_scrub",
+    survey_ref="§2.14 text",
+    oracle=f"""
+WITH {PII_CORPUS_SQL.strip()}
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) AS n_emails,
+       len(regexp_extract_all(text, '\\+?[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS n_phones,
+       len(regexp_extract_all(text, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+           '\\+?[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
+         '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g') AS scrubbed
+FROM pii_corpus
+""",
+)
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the planted corpus: per-row audit counts
+    (emails / phones / IPv4) computed pre-redaction, then ordered
+    regexp replacement (emails first — phone/ip patterns can match
+    inside addresses).  A compliance step every training pipeline
+    runs before export."""
+    return tx.with_pii_scrubbed(pii_corpus(spark, sf_dir)).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "scrubbed"
+    )
