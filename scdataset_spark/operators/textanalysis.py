@@ -141,9 +141,15 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataF
 
 
 # ------------------------------------------------- normalize / PII scrub
-EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}"
-PHONE_RE = "\\\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
-IP_RE = "[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}"
+# Patterns stored ONCE in plain Java-regex form; _sql_re() escapes for
+# embedding in a Spark SQL string literal (which processes backslashes).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _sql_re(pattern: str) -> str:
+    return pattern.replace("\\", "\\\\")
 
 
 def with_normalized_text(
@@ -167,16 +173,16 @@ def with_pii_scrubbed(
     order matters — emails first, since the phone/ip patterns can match
     inside addresses otherwise."""
     t = F.col(text_col)
-    n_email = F.size(F.expr(f"regexp_extract_all({text_col}, '{EMAIL_RE}', 0)"))
-    n_phone = F.size(F.expr(f"regexp_extract_all({text_col}, '{PHONE_RE}', 0)"))
-    n_ip = F.size(F.expr(f"regexp_extract_all({text_col}, '{IP_RE}', 0)"))
+    n_email = F.size(F.expr(f"regexp_extract_all({text_col}, '{_sql_re(EMAIL_RE)}', 0)"))
+    n_phone = F.size(F.expr(f"regexp_extract_all({text_col}, '{_sql_re(PHONE_RE)}', 0)"))
+    n_ip = F.size(F.expr(f"regexp_extract_all({text_col}, '{_sql_re(IP_RE)}', 0)"))
     scrub = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE.replace("\\\\", "\\"), "<EMAIL>"),
-            PHONE_RE.replace("\\\\", "\\"),
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
             "<PHONE>",
         ),
-        IP_RE.replace("\\\\", "\\"),
+        IP_RE,
         "<IP>",
     )
     return (

@@ -94,16 +94,23 @@ def write_arrow_fetches(
     ``write_epoch_plan``), so there is no driver bottleneck; ``out_dir``
     must be a shared filesystem path in a real cluster.
 
-    Returns the manifest DataFrame (fetch_id, n_rows, path) — also the
-    action that triggers the write.
+    The export runs EAGERLY (exactly once, results checkpointed) and
+    stale ``fetch_*.arrow`` files from a previous export into the same
+    directory are removed first — a trainer globbing the directory sees
+    only this epoch's files.  Returns the materialized manifest
+    DataFrame (fetch_id, n_rows, path).
     """
+    import glob
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "fetch_*.arrow")):
+        os.remove(stale)
 
     def write_fetch(pdf):
         # function-local import + def: pickled by value to the workers
         import os
+        import uuid
 
         import pandas as pd
         import pyarrow as pa
@@ -112,8 +119,10 @@ def write_arrow_fetches(
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
         fetch_id = int(pdf["fetch_id"].iloc[0])
         path = os.path.join(out_dir, f"fetch_{fetch_id:08d}.arrow")
-        table = pa.Table.from_pandas(pdf[columns], preserve_index=False)
-        tmp = path + ".tmp"
+        table = pa.Table.from_pandas(pdf[out_cols], preserve_index=False)
+        # per-attempt unique tmp: speculative/zombie duplicate attempts
+        # must not interleave writes before the atomic rename
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         with ipc.new_stream(tmp, table.schema) as w:
             w.write_table(table)
         os.replace(tmp, path)
@@ -121,7 +130,12 @@ def write_arrow_fetches(
             {"fetch_id": [fetch_id], "n_rows": [len(pdf)], "path": [path]}
         )
 
-    manifest = planned.select("fetch_id", order_col, *columns).groupBy(
-        "fetch_id"
-    ).applyInPandas(write_fetch, schema="fetch_id bigint, n_rows bigint, path string")
-    return manifest
+    # dedupe: callers may list order_col/fetch_id among columns
+    out_cols = list(dict.fromkeys(columns))
+    sel = list(dict.fromkeys(["fetch_id", order_col, *columns]))
+    manifest = planned.select(*sel).groupBy("fetch_id").applyInPandas(
+        write_fetch, schema="fetch_id bigint, n_rows bigint, path string"
+    )
+    # localCheckpoint(eager): the write happens NOW, exactly once; re-
+    # evaluating the returned manifest cannot re-run the export tasks
+    return manifest.localCheckpoint(eager=True)

@@ -70,8 +70,20 @@ def run_hook_pipeline(
         if fetch_callback is not None:
             # reference scdataset.py:224,520: indices are ALWAYS sorted
             # before the external fetch (sequential I/O against the
-            # store); yield order is restored by the pos sort below
-            key = "row_id" if sort_before_fetch and "row_id" in pdf.columns else "pos"
+            # store); yield order is restored by the pos sort below.
+            # Missing row_id is a broken contract, not a silent
+            # fallback — pass sort_before_fetch=False to fetch in the
+            # strategy's (shuffled) pos order deliberately.
+            if sort_before_fetch:
+                if "row_id" not in pdf.columns:
+                    raise ValueError(
+                        "sort_before_fetch=True requires a row_id column on the "
+                        "planned frame (sequential-I/O contract); pass "
+                        "sort_before_fetch=False to fetch in pos order"
+                    )
+                key = "row_id"
+            else:
+                key = "pos"
             pdf = fetch_callback(pdf.sort_values(key).reset_index(drop=True))
         pdf = pdf.sort_values("pos").reset_index(drop=True)
         if fetch_transform is not None:

@@ -113,8 +113,14 @@ def capped_sessions_stateful(
         def emit():
             closed.append((user_id, start, last, n, last - start))
 
-        for pdf in pdfs:
-            ts_us = (pdf["ts"].astype("int64") // 1000).sort_values()
+        # concatenate ALL Arrow chunks of this group before sorting:
+        # >maxRecordsPerBatch events arrive as multiple pdfs in arbitrary
+        # order, and a per-chunk sort would let a later chunk rewind
+        # `last` and corrupt the gap/cap decisions
+        frames = [pdf for pdf in pdfs]
+        if frames:
+            all_ts = pd.concat([f["ts"] for f in frames], ignore_index=True)
+            ts_us = (all_ts.astype("int64") // 1000).sort_values()
             for t in ts_us:
                 t = int(t)
                 if anchor is None:

@@ -250,8 +250,18 @@ class TestCappedSessionsStateful:
                 .start()
             )
             q.awaitTermination(120)
+            # compare in epoch-µs: PySpark converts timestamps to naive
+            # driver-LOCAL datetimes on collect; .timestamp() inverts
+            # the same local conversion, so this is TZ-independent
             return sorted(
-                map(tuple, spark.read.parquet(sink).collect()),
+                (
+                    r["user_id"],
+                    int(r["session_start"].timestamp() * 1e6),
+                    int(r["session_end"].timestamp() * 1e6),
+                    r["n_events"],
+                    r["duration_us"],
+                )
+                for r in spark.read.parquet(sink).collect()
             )
 
         # user 1: one 45-min-active session (cap 30 => 2 chunks, first
@@ -265,16 +275,16 @@ class TestCappedSessionsStateful:
         # (gap-closed by 60m); open: u1 [60m,61m], u2 [0,1m]
         assert got1 == sorted(
             [
-                (1, _ts(base), _ts(base + 5 * MIN), 2, 5 * MIN),
-                (1, _ts(base + 35 * MIN), _ts(base + 35 * MIN), 1, 0),
+                (1, base, base + 5 * MIN, 2, 5 * MIN),
+                (1, base + 35 * MIN, base + 35 * MIN, 1, 0),
             ]
         )
 
         # a much-later event per user closes the open chunks
         write("f2.parquet", [(1, 120 * MIN), (2, 120 * MIN)])
         got2 = run()
-        assert (1, _ts(base + 60 * MIN), _ts(base + 61 * MIN), 2, 1 * MIN) in got2
-        assert (2, _ts(base), _ts(base + 1 * MIN), 2, 1 * MIN) in got2
+        assert (1, base + 60 * MIN, base + 61 * MIN, 2, 1 * MIN) in got2
+        assert (2, base, base + 1 * MIN, 2, 1 * MIN) in got2
 
         # cross-check against the batch twin on the full data: every
         # emitted (closed) chunk must be a row of the batch result
@@ -284,13 +294,14 @@ class TestCappedSessionsStateful:
             "ts", F.col("ts").cast("timestamp")
         )
         batch = {
-            (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_us)
+            (
+                r.user_id,
+                int(r.session_start.timestamp() * 1e6),
+                int(r.session_end.timestamp() * 1e6),
+                r.n_events,
+                r.duration_us,
+            )
             for r in capped_session_stats(full, 10, 30).collect()
         }
         assert set(got2) <= batch
 
-
-def _ts(us):
-    from datetime import datetime, timezone
-
-    return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
