@@ -395,6 +395,59 @@ class BlockWeightedSampling(SamplingStrategy):
         return _block_permute_pos(out, self.block_size, s + 500).drop("block_id")
 
 
+@dataclass
+class MixtureSampling(SamplingStrategy):
+    """Data mixing by SOURCE PROPORTIONS — the LLM-pretraining mixture
+    draw ("40% web, 30% code, ..."): per-row weight for source s is
+    ``floor(p_ppm[s] * weight_scale / count_s)``, so each listed source
+    contributes ~its proportion of the drawn stream regardless of its
+    corpus share; unlisted sources get weight 0 and are excluded.
+    Pure integer arithmetic end-to-end (proportions given in parts per
+    million) → engine-exact through the same inverse-CDF path as O3/O6.
+    One groupBy-count + one broadcast join, then BlockWeightedSampling.
+    """
+
+    source_col: str = "source"
+    proportions_ppm: dict[str, int] | None = None
+    block_size: int = 16
+    total_size: int = 1000
+    replace: bool = True
+    sampling_size: int | None = None
+    weight_scale: int = 1_000_000
+
+    def __post_init__(self):
+        if not self.proportions_ppm:
+            raise ValueError("proportions_ppm is required (source -> parts-per-million)")
+        if any(p <= 0 for p in self.proportions_ppm.values()):
+            raise ValueError("proportions must be positive")
+
+    def plan(self, df: DataFrame, seed: int = 42, epoch: int = 0) -> DataFrame:
+        spark = df.sparkSession
+        base = self._subset(df)
+        counts = base.groupBy(self.source_col).agg(F.count(F.lit(1)).alias("_cnt"))
+        prop = spark.createDataFrame(
+            list(self.proportions_ppm.items()),
+            f"{self.source_col} string, _ppm bigint",
+        )
+        weights = counts.join(F.broadcast(prop), self.source_col).withColumn(
+            "_w_src",
+            F.expr(f"CAST((_ppm * {self.weight_scale}) div _cnt AS BIGINT)"),
+        )
+        weighted = (
+            base.join(F.broadcast(weights), self.source_col)
+            .withColumn("w", F.col("_w_src"))
+            .drop("_cnt", "_ppm", "_w_src")
+        )
+        inner = BlockWeightedSampling(
+            block_size=self.block_size,
+            weight_col="w",
+            total_size=self.total_size,
+            replace=self.replace,
+            sampling_size=self.sampling_size,
+        )
+        return inner.plan(weighted, seed=seed, epoch=epoch)
+
+
 def attach_weights(
     df: DataFrame,
     weights: DataFrame,

@@ -468,3 +468,65 @@ def o7_smoothed_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / (F.col("k") * (F.col("cnt") + F.lit(1000.0))), 6).alias("w"),
         )
     )
+
+
+# ------------------------------------------------------------ mixture
+@query(
+    "o16_mixture_sample",
+    survey_ref="O3,O6,§2.14",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, count(*) AS cnt FROM documents GROUP BY 1
+),
+prop AS (
+  SELECT * FROM (VALUES ('src0', CAST(500000 AS BIGINT)), ('src1', CAST(300000 AS BIGINT)), ('src2', CAST(200000 AS BIGINT)))
+           p(source, p_ppm)
+),
+wtab AS (
+  SELECT d.doc_id AS row_id,
+         CAST((p.p_ppm * 1000000) // k.cnt AS BIGINT) AS w
+  FROM documents d
+  JOIN counts k ON d.source = k.source
+  JOIN prop p ON d.source = p.source
+),
+base AS (
+  SELECT row_id, CAST(ceil(w * 1000000) AS BIGINT) AS wi FROM wtab
+),
+cum AS (
+  SELECT row_id, wi, sum(wi) OVER (ORDER BY row_id ROWS UNBOUNDED PRECEDING) AS hi
+  FROM base
+),
+cum2 AS (SELECT row_id, hi - wi AS lo, hi FROM cum),
+tot AS (SELECT max(hi) AS t FROM cum2),
+draws AS (
+  SELECT i AS draw_id, {_T62} % (SELECT t FROM tot) AS t
+  FROM range(0, 400) r(i)
+),
+sel AS (
+  SELECT d.draw_id, c.row_id FROM draws d JOIN cum2 c ON d.t >= c.lo AND d.t < c.hi
+),
+p0 AS (
+  SELECT draw_id, row_id, row_number() OVER (ORDER BY row_id, draw_id) - 1 AS pos0
+  FROM sel
+),
+b AS (SELECT row_id, pos0, ({_mix('pos0 // 16', SEED + 500)}) AS block_key FROM p0)
+SELECT row_id, row_number() OVER (ORDER BY block_key, pos0) - 1 AS pos
+FROM b
+""",
+)
+def o16_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining data mixing: draw 400 documents at 50/30/20%
+    from three listed sources (every other source excluded), regardless
+    of corpus shares — proportions in integer ppm through the exact
+    inverse-CDF path, so the mixture itself is value-checked."""
+    from scdataset_spark.operators.strategies import MixtureSampling
+
+    docs = load_table(spark, "documents", sf_dir)
+    strat = MixtureSampling(
+        source_col="source",
+        proportions_ppm={"src0": 500_000, "src1": 300_000, "src2": 200_000},
+        block_size=16,
+        total_size=400,
+        replace=True,
+    )
+    return strat.plan(docs, seed=SEED).select("row_id", "pos")

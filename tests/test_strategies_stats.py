@@ -215,3 +215,36 @@ class TestApproxSketches:
                 .first()
             )
             assert lo <= a.approx_median <= hi
+
+
+class TestMixtureSampling:
+    def test_proportions_within_band(self, spark):
+        """Drawn mixture ≈ requested 50/30/20 within ±8 points; unlisted
+        sources never appear."""
+        from scdataset_spark.operators.strategies import MixtureSampling
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL)
+        strat = MixtureSampling(
+            source_col="source",
+            proportions_ppm={"src0": 500_000, "src1": 300_000, "src2": 200_000},
+            block_size=16,
+            total_size=2000,
+        )
+        drawn = strat.plan(docs, seed=11).join(
+            docs.select("row_id", "source"), "row_id"
+        )
+        shares = {
+            r["source"]: r["count"] / 2000
+            for r in drawn.groupBy("source").count().collect()
+        }
+        assert set(shares) == {"src0", "src1", "src2"}
+        for src, want in (("src0", 0.5), ("src1", 0.3), ("src2", 0.2)):
+            assert abs(shares[src] - want) < 0.08, (src, shares)
+
+    def test_validation(self, spark):
+        from scdataset_spark.operators.strategies import MixtureSampling
+
+        with pytest.raises(ValueError, match="proportions_ppm is required"):
+            MixtureSampling(source_col="source")
+        with pytest.raises(ValueError, match="positive"):
+            MixtureSampling(source_col="source", proportions_ppm={"a": -1})
