@@ -744,3 +744,120 @@ def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_pii_scrubbed(pii_corpus(spark, sf_dir)).select(
         "doc_id", "n_emails", "n_phones", "n_ips", "scrubbed"
     )
+
+
+# ------------------------------------------------ curation pipeline
+@query(
+    "tx_token_budget",
+    survey_ref="§2.14 text,W2",
+    oracle="""
+WITH sp_t AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents),
+q AS (
+  SELECT doc_id, len(sp) AS n_tokens,
+         len(list_filter(sp, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+  FROM sp_t
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         (500000 * n_stop) // n_tokens AS q_int
+  FROM q
+),
+ranked AS (
+  SELECT doc_id, n_tokens, q_int,
+         sum(n_tokens) OVER (ORDER BY q_int DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 5000
+""",
+)
+def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: fill a 5k-token training budget with the
+    highest-quality documents first (integer quality rank, doc_id
+    tiebreak) — a running token sum in quality order with a budget
+    cutoff.  The everyday 'give me the best N tokens' selection."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    toks = docs.withColumn("_sp", F.split("text", " ")).select(
+        "doc_id",
+        F.size("_sp").alias("n_tokens"),
+        F.expr(
+            "size(filter(_sp, t -> array_contains(array('the','a','of','and','to','in'), t)))"
+        ).alias("n_stop"),
+    )
+    scored = toks.withColumn(
+        "q_int", F.expr("(500000 * n_stop) div n_tokens")
+    )
+    w = Window.orderBy(F.col("q_int").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # corpus-level curation list is small; the bucketed running-sum
+    # (plans.with_running_sum) is the 100TB path — at sf the plain
+    # window keeps the oracle 1:1
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.where(F.col("cum_tokens") <= 5000).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )
+
+
+@query(
+    "pipe_curation",
+    survey_ref="§2.14 text,§2.14 dedup",
+    oracle=f"""
+WITH RECURSIVE cand AS ({_minhash_oracle()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+{CORPUS_SQL},
+sp_t AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM corpus),
+q AS (
+  SELECT doc_id, len(sp) AS n_tokens,
+         len(list_filter(sp, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+  FROM sp_t
+)
+SELECT q.doc_id, q.n_tokens
+FROM q
+WHERE q.n_tokens >= 30
+  AND (500000 * q.n_stop) // q.n_tokens >= 50000
+  AND q.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+""",
+)
+def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline over the planted
+    corpus: length filter + quality filter + near-dup removal (keep
+    each component's representative) in ONE plan — filters stay JVM,
+    the only heavy op is the LSH pair graph, and the final anti-join is
+    a broadcast of the (tiny) non-representative set."""
+    c = corpus(spark, sf_dir)
+    edges = dd.lsh_candidate_pairs(
+        dd.with_minhash(dd.with_shingles(c), num_hashes=12), num_hashes=12, bands=4
+    )
+    comp = dd.connected_components(edges)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    toks = c.withColumn("_sp", F.split("text", " ")).select(
+        "doc_id",
+        F.size("_sp").alias("n_tokens"),
+        F.expr(
+            "size(filter(_sp, t -> array_contains(array('the','a','of','and','to','in'), t)))"
+        ).alias("n_stop"),
+    )
+    return (
+        toks.where(
+            (F.col("n_tokens") >= 30)
+            & (F.expr("(500000 * n_stop) div n_tokens") >= 50000)
+        )
+        .join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+    )
