@@ -861,3 +861,50 @@ def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(drop), "doc_id", "left_anti")
         .select("doc_id", "n_tokens")
     )
+
+
+@query(
+    "tx_sequence_pack",
+    survey_ref="§2.14 text,W2",
+    oracle="""
+WITH sp_t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_off
+  FROM sp_t
+)
+SELECT doc_id, n_tokens,
+       start_off // 2048 AS window_id,
+       start_off % 2048 AS offset_in_window,
+       CAST((start_off % 2048) + n_tokens > 2048 AS BOOLEAN) AS crosses_boundary
+FROM c
+""",
+)
+def tx_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents are concatenated in
+    a deterministic order and cut into fixed 2048-token context
+    windows; each document gets its window id, offset, and a
+    crosses-boundary flag (the documents a packer must split or mask
+    across contexts).  One running token sum — the bucketed
+    ``with_running_sum`` shape at scale — and pure integer window
+    arithmetic, so packing layout is value-checked exactly."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("start_off div 2048").alias("window_id"),
+        (F.col("start_off") % 2048).alias("offset_in_window"),
+        ((F.col("start_off") % 2048) + F.col("n_tokens") > 2048).alias(
+            "crosses_boundary"
+        ),
+    )
