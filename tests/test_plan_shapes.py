@@ -131,3 +131,45 @@ def test_epoch_plan_resume_prunes_partitions(spark, tmp_path):
     ) or "PartitionFilters: [" in plan and "fetch_id" in plan.split("PartitionFilters")[1][:80]
     n_all = spark.read.parquet(out).count()
     assert back.count() < n_all
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join layout: orders and lineitem bucketed on the
+    order key join WITHOUT a shuffle exchange on either side — the
+    one-time-layout-cost-vs-per-query-shuffle trade the 100 TB
+    deployment makes for its recurring fact-to-fact joins."""
+    from scdataset_spark.catalog import load_table, write_bucketed
+    from tests.conftest import SF_DIR_SMALL
+
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # clean any stale managed-table locations from crashed runs
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    o = load_table(spark, "orders", SF_DIR_SMALL, with_row_id=False)
+    li = load_table(spark, "lineitem", SF_DIR_SMALL, with_row_id=False)
+    write_bucketed(spark, o, "b_orders", "o_orderkey", buckets=8)
+    write_bucketed(
+        spark,
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        buckets=8,
+    )
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and the result is right
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
