@@ -160,27 +160,3 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, with_row_id: 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
-
-
-def write_bucketed(
-    spark: SparkSession,
-    df: DataFrame,
-    table: str,
-    key: str,
-    buckets: int = 16,
-    sort: bool = True,
-) -> None:
-    """Persist ``df`` as a BUCKETED table on ``key`` — the co-located
-    join layout: two tables bucketed (and sorted) on the same key with
-    the same bucket count join with NO shuffle exchange on either side
-    (Spark reads matching buckets pairwise).  At 100 TB this turns the
-    recurring fact-to-fact join (lineitem-orders, events-sessions) from
-    an every-query shuffle of both tables into a one-time layout cost.
-
-    Uses the session catalog's managed-table warehouse (parquet +
-    Spark-native bucketing metadata).
-    """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
-    if sort:
-        w = w.sortBy(key)
-    w.saveAsTable(table)

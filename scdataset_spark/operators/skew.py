@@ -69,6 +69,7 @@ def write_bucketed(
     analogue of repartitioning before every join."""
     (
         df.write.mode("overwrite")
+        .format("parquet")
         .bucketBy(buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .saveAsTable(table_name)

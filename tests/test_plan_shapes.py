@@ -138,7 +138,8 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     order key join WITHOUT a shuffle exchange on either side — the
     one-time-layout-cost-vs-per-query-shuffle trade the 100 TB
     deployment makes for its recurring fact-to-fact joins."""
-    from scdataset_spark.catalog import load_table, write_bucketed
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.skew import write_bucketed
     from tests.conftest import SF_DIR_SMALL
 
     import os
@@ -154,12 +155,11 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     o = load_table(spark, "orders", SF_DIR_SMALL, with_row_id=False)
     li = load_table(spark, "lineitem", SF_DIR_SMALL, with_row_id=False)
-    write_bucketed(spark, o, "b_orders", "o_orderkey", buckets=8)
+    write_bucketed(o, "b_orders", ["o_orderkey"], buckets=8)
     write_bucketed(
-        spark,
         li.withColumnRenamed("l_orderkey", "o_orderkey"),
         "b_lineitem",
-        "o_orderkey",
+        ["o_orderkey"],
         buckets=8,
     )
     try:
