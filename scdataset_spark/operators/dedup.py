@@ -52,36 +52,45 @@ def with_shingles(df: DataFrame, text_col: str = "text", out: str = "shingles") 
 
 
 MINHASH_SEED = 9000
+_MH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = MINHASH_SEED) -> list[tuple[int, int]]:
+    """Carter-Wegman coefficients (a_j, b_j) for the j-th hash family,
+    derived from the portable mixer driver-side so both engines embed
+    the SAME literal constants; a_j is forced odd/nonzero."""
+    from scdataset_spark.plans.seeds import mix_py
+
+    return [
+        (mix_py(2 * j, seed) | 1, mix_py(2 * j + 1, seed)) for j in range(num_hashes)
+    ]
 
 
 def with_minhash(df: DataFrame, num_hashes: int = 12, shingle_col: str = "shingles") -> DataFrame:
     """k minhashes from ONE md5 per shingle: the shingle's base hash is
     the first 8 hex chars of md5(s) as a bigint (uniform in [0, 2^32),
     bit-identical in DuckDB via ``('0x' || substr(md5(s),1,8))::BIGINT``),
-    and hash family j is the portable mixer re-keyed per j —
-    ``mh_j = min over shingles of mix(h0(s), MINHASH_SEED + j)``.
+    and family j is Carter-Wegman universal hashing over it —
+    ``mh_j = min over shingles of (a_j * h0(s) + b_j) mod (2^31-1)``
+    with mixer-derived literal coefficients (``minhash_coeffs``).
 
-    This replaces the original k-md5s-per-shingle scheme: md5 dominates
-    the minhash cost, and k integer mixes of a cached base hash are far
-    cheaper than k md5 invocations (headline LSH query at sf0.1:
-    first-run 3.9s -> 2.8s, warm 0.69s -> 0.52s).  The mixer is a
-    2-round affine-xorshift permutation per seed — a standard
-    universal-hash minhash family.
+    Versus the original k-md5s-per-shingle scheme this removes k-1 md5
+    calls per shingle AND keeps the per-j expression tiny (one
+    multiply-add-mod — large per-j expressions measurably inflate
+    whole-stage-codegen JIT time).  No 64-bit overflow:
+    a < 2^31, h0 < 2^32 → a*h0 + b < 2^63.
 
     The base-hash array is bound to a column FIRST (the lambda
     re-evaluation rule: md5 inside the per-j lambdas would re-hash every
-    shingle k times, exactly what this scheme removes).  All k mins are
-    emitted in ONE projection so the analyzer sees a single layer.
+    shingle k times).  All k mins are emitted in ONE projection.
     """
-    from scdataset_spark.plans.seeds import mix_sql
-
     h0 = (
         f"transform({shingle_col}, "
         "s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
     )
     mh = [
-        f"array_min(transform(_h0, h -> {mix_sql('h', MINHASH_SEED + j, 'spark')})) AS mh{j}"
-        for j in range(num_hashes)
+        f"array_min(transform(_h0, h -> ({a} * h + {b}) % {_MH_PRIME})) AS mh{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return df.withColumn("_h0", F.expr(h0)).selectExpr("*", *mh).drop("_h0")
 

@@ -175,8 +175,8 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
     r = num_hashes // bands
     mh = ",\n       ".join(
         "list_aggregate(list_transform(h0, h -> "
-        f"{mix_sql('h', dd.MINHASH_SEED + j, 'duckdb')}), 'min') AS mh{j}"
-        for j in range(num_hashes)
+        f"({a} * h + {b}) % 2147483647), 'min') AS mh{j}"
+        for j, (a, b) in enumerate(dd.minhash_coeffs(num_hashes))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
