@@ -58,11 +58,16 @@ _MH_PRIME = 2_147_483_647  # 2^31 - 1
 def minhash_coeffs(num_hashes: int, seed: int = MINHASH_SEED) -> list[tuple[int, int]]:
     """Carter-Wegman coefficients (a_j, b_j) for the j-th hash family,
     derived from the portable mixer driver-side so both engines embed
-    the SAME literal constants; a_j is forced odd/nonzero."""
+    the SAME literal constants; a_j is drawn from [1, p-1] so no family
+    can degenerate to a constant (a ≡ 0 mod p)."""
     from scdataset_spark.plans.seeds import mix_py
 
+    # a in [1, p-1]: an 'a' that is 0 mod p (possible with a naive |1,
+    # since p = 2^31-1 is odd) would degenerate the family to a
+    # constant and collapse its LSH band into an all-docs collision
     return [
-        (mix_py(2 * j, seed) | 1, mix_py(2 * j + 1, seed)) for j in range(num_hashes)
+        (mix_py(2 * j, seed) % (_MH_PRIME - 1) + 1, mix_py(2 * j + 1, seed) % _MH_PRIME)
+        for j in range(num_hashes)
     ]
 
 

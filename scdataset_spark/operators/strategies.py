@@ -429,21 +429,43 @@ class MixtureSampling(SamplingStrategy):
             list(self.proportions_ppm.items()),
             f"{self.source_col} string, _ppm bigint",
         )
+        # a LISTED source whose integer weight floors to 0 would be
+        # silently excluded — that is a configuration error (scale too
+        # coarse for this source's count), surfaced in-plan via
+        # raise_error rather than a distorted mixture
         weights = counts.join(F.broadcast(prop), self.source_col).withColumn(
             "_w_src",
-            F.expr(f"CAST((_ppm * {self.weight_scale}) div _cnt AS BIGINT)"),
+            F.when(
+                F.expr(f"(_ppm * {self.weight_scale}) div _cnt") <= 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit("mixture weight floors to 0 for source "),
+                        F.col(self.source_col),
+                        F.lit(
+                            f" (count too large for weight_scale={self.weight_scale};"
+                            " increase weight_scale)"
+                        ),
+                    )
+                ).cast("bigint"),
+            ).otherwise(
+                F.expr(f"CAST((_ppm * {self.weight_scale}) div _cnt AS BIGINT)")
+            ),
         )
         weighted = (
             base.join(F.broadcast(weights), self.source_col)
             .withColumn("w", F.col("_w_src"))
             .drop("_cnt", "_ppm", "_w_src")
         )
+        # weight_scale=1: w is ALREADY an exact integer weight — the
+        # inner default would rescale by another 1e6, burning 2^63
+        # headroom for nothing (overflow at mixture scales >= ~1e8)
         inner = BlockWeightedSampling(
             block_size=self.block_size,
             weight_col="w",
             total_size=self.total_size,
             replace=self.replace,
             sampling_size=self.sampling_size,
+            weight_scale=1,
         )
         return inner.plan(weighted, seed=seed, epoch=epoch)
 

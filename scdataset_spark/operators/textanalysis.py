@@ -191,3 +191,24 @@ def with_pii_scrubbed(
         .withColumn("n_ips", n_ip)
         .withColumn(out, scrub)
     )
+
+
+# Shared integer quality-rank pieces (used by with_quality_score above
+# and by the curation queries) — ONE stopword list, ONE formula.
+Q_INT_EXPR = "(500000 * n_stop) div n_tokens"
+Q_INT_DUCK = "(500000 * n_stop) // n_tokens"
+
+
+def duck_stop_list() -> str:
+    """The STOPWORDS tuple as a DuckDB list literal body."""
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def with_stop_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_tokens`` and ``n_stop`` (STOPWORDS hits) — the integer
+    inputs of the quality rank."""
+    toks = f"split({text_col}, ' ')"
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return df.withColumn("n_tokens", F.expr(f"size({toks})")).withColumn(
+        "n_stop", F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))")
+    )

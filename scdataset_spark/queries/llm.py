@@ -175,7 +175,7 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
     r = num_hashes // bands
     mh = ",\n       ".join(
         "list_aggregate(list_transform(h0, h -> "
-        f"({a} * h + {b}) % 2147483647), 'min') AS mh{j}"
+        f"({a} * h + {b}) % {dd._MH_PRIME}), 'min') AS mh{j}"
         for j, (a, b) in enumerate(dd.minhash_coeffs(num_hashes))
     )
     band_selects = " UNION ALL ".join(
@@ -747,19 +747,21 @@ def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ curation pipeline
+STOPS = tx.duck_stop_list()
+QDUCK = tx.Q_INT_DUCK
 @query(
     "tx_token_budget",
     survey_ref="§2.14 text,W2",
-    oracle="""
+    oracle=f"""
 WITH sp_t AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents),
 q AS (
   SELECT doc_id, len(sp) AS n_tokens,
-         len(list_filter(sp, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+         len(list_filter(sp, t -> list_contains([{STOPS}], t))) AS n_stop
   FROM sp_t
 ),
 scored AS (
   SELECT doc_id, n_tokens,
-         (500000 * n_stop) // n_tokens AS q_int
+         {QDUCK} AS q_int
   FROM q
 ),
 ranked AS (
@@ -779,16 +781,8 @@ def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
-    toks = docs.withColumn("_sp", F.split("text", " ")).select(
-        "doc_id",
-        F.size("_sp").alias("n_tokens"),
-        F.expr(
-            "size(filter(_sp, t -> array_contains(array('the','a','of','and','to','in'), t)))"
-        ).alias("n_stop"),
-    )
-    scored = toks.withColumn(
-        "q_int", F.expr("(500000 * n_stop) div n_tokens")
-    )
+    toks = tx.with_stop_counts(docs).select("doc_id", "n_tokens", "n_stop")
+    scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
     w = Window.orderBy(F.col("q_int").desc(), F.col("doc_id")).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -822,7 +816,7 @@ comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
 sp_t AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM corpus),
 q AS (
   SELECT doc_id, len(sp) AS n_tokens,
-         len(list_filter(sp, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+         len(list_filter(sp, t -> list_contains([{STOPS}], t))) AS n_stop
   FROM sp_t
 )
 SELECT q.doc_id, q.n_tokens
@@ -846,17 +840,10 @@ def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    toks = c.withColumn("_sp", F.split("text", " ")).select(
-        "doc_id",
-        F.size("_sp").alias("n_tokens"),
-        F.expr(
-            "size(filter(_sp, t -> array_contains(array('the','a','of','and','to','in'), t)))"
-        ).alias("n_stop"),
-    )
+    toks = tx.with_stop_counts(c).select("doc_id", "n_tokens", "n_stop")
     return (
         toks.where(
-            (F.col("n_tokens") >= 30)
-            & (F.expr("(500000 * n_stop) div n_tokens") >= 50000)
+            (F.col("n_tokens") >= 30) & (F.expr(tx.Q_INT_EXPR) >= 50000)
         )
         .join(F.broadcast(drop), "doc_id", "left_anti")
         .select("doc_id", "n_tokens")
@@ -889,16 +876,17 @@ def tx_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     across contexts).  One running token sum — the bucketed
     ``with_running_sum`` shape at scale — and pure integer window
     arithmetic, so packing layout is value-checked exactly."""
-    from pyspark.sql import Window
+    from scdataset_spark.plans.plan import with_running_sum
 
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
     toks = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = toks.withColumn(
-        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
+    # bucketed exact running sum (plans.with_running_sum) — packing is
+    # by definition over the whole corpus, exactly where a global
+    # single-partition window would bottleneck
+    c = with_running_sum(toks, "n_tokens", "doc_id", out="_cum", buckets=64)
+    c = c.withColumn("start_off", F.col("_cum") - F.col("n_tokens"))
     return c.select(
         "doc_id",
         "n_tokens",

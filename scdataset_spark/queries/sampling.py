@@ -490,7 +490,9 @@ wtab AS (
   JOIN prop p ON d.source = p.source
 ),
 base AS (
-  SELECT row_id, CAST(ceil(w * 1000000) AS BIGINT) AS wi FROM wtab
+  -- the strategy forwards weight_scale=1 to the inner sampler: the
+  -- mixture weights are already exact integers, no second rescale
+  SELECT row_id, w AS wi FROM wtab
 ),
 cum AS (
   SELECT row_id, wi, sum(wi) OVER (ORDER BY row_id ROWS UNBOUNDED PRECEDING) AS hi
