@@ -136,3 +136,43 @@ class TestSeedResolution:
         # without an initialized process group, two calls are
         # independent draws (driver == rank 0; plan bakes the seed in)
         assert isinstance(s, int)
+
+
+class TestEdgeCases:
+    """Reference tests/test_strategy.py:402-422 edge battery: empty
+    data, single sample, block_size larger than data, block_size=1."""
+
+    @pytest.mark.parametrize("n", [0, 1, 5])
+    def test_strategies_on_tiny_collections(self, spark, n):
+        from pyspark.sql import functions as F
+
+        from scdataset_spark.operators.strategies import (
+            BlockShuffling,
+            BlockWeightedSampling,
+            Streaming,
+        )
+
+        df = spark.range(n).withColumnRenamed("id", "row_id")
+        for strat in (
+            Streaming(assume_dense=True),
+            BlockShuffling(block_size=64, assume_dense=True),  # block > data
+            BlockShuffling(block_size=1, assume_dense=True),
+        ):
+            pos = sorted(r.pos for r in strat.plan(df, seed=1).collect())
+            assert pos == list(range(n)), strat
+        # drop_last with block > n: the whole (partial) block drops —
+        # reference remainder semantics
+        dropped = (
+            BlockShuffling(block_size=64, drop_last=True, assume_dense=True)
+            .plan(df, seed=1)
+            .count()
+        )
+        assert dropped == n - n % 64
+        # weighted draw with replacement works even from one row
+        w = df.withColumn("w", (F.col("row_id") + 1).cast("double"))
+        drawn = (
+            BlockWeightedSampling(block_size=4, weight_col="w", total_size=3)
+            .plan(w, seed=1)
+            .count()
+        )
+        assert drawn == (3 if n > 0 else 0)
