@@ -139,3 +139,19 @@ def write_arrow_fetches(
     # localCheckpoint(eager): the write happens NOW, exactly once; re-
     # evaluating the returned manifest cannot re-run the export tasks
     return manifest.localCheckpoint(eager=True)
+
+
+def epoch_plans(strategy, df: DataFrame, seed: int, start_epoch: int = 0):
+    """Auto-incrementing-epoch generator (reference
+    ``scdataset.py:466-475``: each full iteration re-shuffles without a
+    manual ``set_epoch``): yields ``(epoch, plan)`` pairs, one
+    deterministic plan per epoch — ``next()`` is the Spark analogue of
+    starting the next pass over an ``IterableDataset``.
+
+    >>> # for epoch, plan in epoch_plans(BlockShuffling(64), df, seed=1):
+    >>> #     train_one_epoch(with_batches(plan, 64, 16)); ...
+    """
+    epoch = start_epoch
+    while True:
+        yield epoch, strategy.plan(df, seed=seed, epoch=epoch)
+        epoch += 1

@@ -176,3 +176,22 @@ class TestEdgeCases:
             .count()
         )
         assert drawn == (3 if n > 0 else 0)
+
+
+class TestEpochAutoIncrement:
+    def test_successive_plans_reshuffle_and_reproduce(self, spark):
+        """Reference scdataset.py:466-475: every pass re-shuffles
+        without manual set_epoch; same (seed, epoch) reproduces."""
+        from itertools import islice
+
+        from scdataset_spark.pipeline.export import epoch_plans
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        strat = BlockShuffling(block_size=64)
+        plans = list(islice(epoch_plans(strat, li, seed=5), 2))
+        assert [e for e, _ in plans] == [0, 1]
+        a, b = (p.select("row_id", "pos") for _, p in plans)
+        assert a.exceptAll(b).count() > 0  # epochs differ
+        # restarting the generator reproduces epoch 0 exactly
+        (_, a2), = islice(epoch_plans(strat, li, seed=5), 1)
+        assert a.exceptAll(a2.select("row_id", "pos")).count() == 0
