@@ -1082,3 +1082,102 @@ def g7_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "approx_parts", "approx_median", "n")
     )
+
+
+@query(
+    "q9_product_profit",
+    survey_ref="J3,G7,§2.10",
+    oracle=f"""
+WITH profit AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity * 0.1
+           AS amount
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%a%'
+)
+SELECT nation, o_year, {dsum('amount', 'sum_profit')}
+FROM profit GROUP BY nation, o_year
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue (partsupp-free: supply cost proxied at 10% of
+    retail price): profit rollup by supplier nation and order year over
+    a four-dimension join with a LIKE filter pushed to the part scan."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    p = load_table(spark, "part", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(p.where(F.col("p_name").like("%a%"))), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum_col(amount).alias("sum_profit"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    survey_ref="J3,G7",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+""",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (receiptdate-free): for finalized orders with
+    multiple suppliers, count per supplier the lineitems where THEIRS
+    shipped last — a correlated EXISTS and NOT EXISTS against the same
+    fact table (Catalyst plans left-semi + null-safe left-anti
+    self-joins on the order key)."""
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    o = load_table(spark, "orders", sf_dir, with_row_id=False)
+    s.createOrReplaceTempView("_supp_q21")
+    li.createOrReplaceTempView("_li_q21")
+    o.createOrReplaceTempView("_ord_q21")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM _supp_q21 s
+        JOIN _li_q21 l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN _ord_q21 o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (
+            SELECT 1 FROM _li_q21 l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM _li_q21 l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s.s_name
+        """
+    )
