@@ -96,3 +96,48 @@ def frame_sample_plan(df: DataFrame, n_frames: int = 8, fps_col: str = "width") 
             f"transform(sequence(0, {n_frames - 1}), i -> CAST(i * width / {n_frames} AS INT))"
         ).alias("frame_indices"),
     )
+
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, f0 bigint, f1 bigint, f2 bigint, f3 bigint, "
+    "sample_rate int, duration_ms int, rms double"
+)
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "image"
+) -> DataFrame:
+    """Feature-extraction stub over opaque binary blobs (the
+    embed-the-image / fingerprint-the-audio step): a 4-bin byte-sum
+    'embedding' (stride-4 sums — stand-in for a CNN/CLAP forward pass)
+    plus audio-style metadata (fake sample rate / duration derived from
+    header bytes, real RMS over the payload).  One Arrow
+    ``mapInPandas`` stage; every output is a pure function of the bytes
+    so the DuckDB oracle replays it from the md5 hex."""
+
+    def extract(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in chunks:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(b)
+                f = [sum(b[j::4]) for j in range(4)]
+                rows.append(
+                    (
+                        int(i),
+                        *f,
+                        8000 + (b[2] % 8) * 4000,
+                        100 + (b[3] * b[4]) % 900,
+                        round(math.sqrt(sum(x * x for x in b) / len(b)), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "f0", "f1", "f2", "f3",
+                    "sample_rate", "duration_ms", "rms",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(extract, schema=FEATURE_SCHEMA)

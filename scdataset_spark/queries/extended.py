@@ -98,6 +98,40 @@ def mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "width", "height", "mean_byte", "resized_w", "resized_h")
 
 
+def _mm_feat_oracle() -> str:
+    """Replays extract_features from the md5 hex of doc_id: stride-4
+    byte sums, header-derived audio metadata, RMS over all 16 bytes."""
+    f = {
+        j: " + ".join(_byte("h", k) for k in range(j, 16, 4)) for j in range(4)
+    }
+    sq = " + ".join(f"({_byte('h', k)}) * ({_byte('h', k)})" for k in range(16))
+    return f"""
+WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+SELECT doc_id,
+       CAST({f[0]} AS BIGINT) AS f0,
+       CAST({f[1]} AS BIGINT) AS f1,
+       CAST({f[2]} AS BIGINT) AS f2,
+       CAST({f[3]} AS BIGINT) AS f3,
+       CAST(8000 + (({_byte('h', 2)}) % 8) * 4000 AS INT) AS sample_rate,
+       CAST(100 + (({_byte('h', 3)}) * ({_byte('h', 4)})) % 900 AS INT) AS duration_ms,
+       round(sqrt(({sq}) / 16.0), 6) AS rms
+FROM hx
+"""
+
+
+@query("mm_feature_extract", survey_ref="§2.14 multimodal", oracle=_mm_feat_oracle())
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-blob feature extraction (the embed/fingerprint step for
+    image/audio modalities): stride-4 byte-sum 'embedding' + fake audio
+    metadata + real RMS, one Arrow mapInPandas stage over the synthetic
+    binary column — every output a pure function of the bytes, replayed
+    by the oracle from the md5 hex."""
+    from scdataset_spark.operators.multimodal import extract_features, with_fake_image
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return extract_features(with_fake_image(docs))
+
+
 # ------------------------------------------------- S4/S5 sparse densify
 _SP_GENES = 128  # power of two: odd stride => distinct gene indices
 
