@@ -122,6 +122,13 @@ def extract_features(
             rows = []
             for i, b in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(b)
+                if len(b) < 5:
+                    # fail fast WITH context: one truncated payload
+                    # should name its row, not die as a bare IndexError
+                    raise ValueError(
+                        f"blob for {id_col}={i} has {len(b)} bytes; "
+                        "extract_features needs >= 5 (header) bytes"
+                    )
                 f = [sum(b[j::4]) for j in range(4)]
                 rows.append(
                     (
@@ -129,7 +136,11 @@ def extract_features(
                         *f,
                         8000 + (b[2] % 8) * 4000,
                         100 + (b[3] * b[4]) % 900,
-                        round(math.sqrt(sum(x * x for x in b) / len(b)), 6),
+                        # raw value — callers round ENGINE-side
+                        # (F.round) so both engines share one rounding
+                        # rule; Python round() is half-even decimal,
+                        # subtly different near ...5 boundaries
+                        math.sqrt(sum(x * x for x in b) / len(b)),
                     )
                 )
             yield pd.DataFrame(

@@ -351,17 +351,26 @@ class BlockWeightedSampling(SamplingStrategy):
             ).cast("double"),
         ).otherwise(F.col(self.weight_col).cast("double"))
         pool = df.withColumn("_w", guarded).where(F.col("_w") > 0)
+        # normalize by max weight: A-Res ordering is invariant under a
+        # positive scaling of every key, and -ln(u)/(w/wmax) keeps the
+        # coarsened keys in a healthy range for ANY weight magnitude —
+        # raw integer mixture weights (1e6-1e10) would otherwise floor
+        # every key to 0 and degrade the draw to lowest-row_id-first
+        wmax = pool.agg(F.max("_w").alias("_wmax"))
+        pool = pool.crossJoin(F.broadcast(wmax))
         rounds = []
         for r in range(n_rounds):
             take = min(k, self.total_size - r * k)
             u = f"(({mix_sql('row_id', s + r * 7919, 'spark')}) + 1) / {MIX_MOD + 1}.0"
-            # A-Res key -ln(u)/w, COARSENED to fixed 1e-6 precision with a
-            # row_id tiebreak: raw double ordering would make reservoir
-            # membership depend on bit-identical ln() between Spark's JVM
-            # and the oracle's libm near the top-k boundary; after the
-            # floor, a 1-ulp ln() difference can only matter within
-            # ~1e-10 of a fixed-point boundary instead of anywhere.
-            key = F.expr(f"CAST(floor((-ln({u}) / _w) * 1000000.0) AS BIGINT)")
+            # A-Res key -ln(u)/(w/wmax), COARSENED to fixed 1e-6 precision
+            # with a row_id tiebreak: raw double ordering would make
+            # reservoir membership depend on bit-identical ln() between
+            # Spark's JVM and the oracle's libm near the top-k boundary;
+            # after the floor, a 1-ulp ln() difference can only matter
+            # within ~1e-10 of a fixed-point boundary instead of anywhere.
+            key = F.expr(
+                f"CAST(floor((-ln({u}) * _wmax / _w) * 1000000.0) AS BIGINT)"
+            )
             # top-k smallest keys: orderBy+limit plans as
             # TakeOrderedAndProject (per-partition heaps + driver merge
             # of k rows), not a global sort
@@ -369,7 +378,7 @@ class BlockWeightedSampling(SamplingStrategy):
                 pool.withColumn("_key", key)
                 .orderBy(F.col("_key").asc(), F.col("row_id"))
                 .limit(take)
-                .drop("_key", "_w")
+                .drop("_key", "_w", "_wmax")
                 .withColumn("draw_id", F.lit(r))
             )
         out = rounds[0]

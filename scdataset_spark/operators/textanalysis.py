@@ -25,6 +25,7 @@ LANG_MARKERS = {
 }
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
+STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def tokens_col(text_col: str = "text") -> F.Column:
@@ -53,21 +54,20 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score: stopword ratio + length band + mean token
     length (the reference-free scoring bundle an LLM-data pipeline runs
     before training; cf. C4-style quality filters)."""
-    toks = f"split({text_col}, ' ')"
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     # quality_score is computed in integer micro-units and divided ONCE:
     # weighted sums of rounded doubles land on exact decimal ties
     # (e.g. 0.5 * k/64) where Spark rounds half-up but DuckDB half-even.
     # Integer arithmetic + a single exact division sidesteps rounding
-    # rules entirely.
+    # rules entirely.  Stop counts and the base rank come from the
+    # SHARED pieces (with_stop_counts / Q_INT_EXPR) — one list, one
+    # formula across scoring and the curation queries.
     return (
-        df.withColumn("n_tokens", F.expr(f"size({toks})"))
-        .withColumn("n_stop", F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))"))
+        with_stop_counts(df, text_col)
         .withColumn("stopword_ratio", F.expr("round(n_stop / n_tokens, 6)"))
         .withColumn(
             "quality_score",
             F.expr(
-                "CAST((500000 * n_stop) div n_tokens"
+                f"CAST({Q_INT_EXPR}"
                 " + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 300000 ELSE 0 END)"
                 f" + (CASE WHEN length({text_col}) BETWEEN 100 AND 500 THEN 200000 ELSE 0 END)"
                 " AS DOUBLE) / 1000000"
@@ -200,15 +200,15 @@ Q_INT_DUCK = "(500000 * n_stop) // n_tokens"
 
 
 def duck_stop_list() -> str:
-    """The STOPWORDS tuple as a DuckDB list literal body."""
-    return ", ".join(f"'{w}'" for w in STOPWORDS)
+    """The STOPWORDS tuple as a DuckDB list literal body (same
+    ``STOP_SQL`` constant the Spark expressions embed)."""
+    return STOP_SQL
 
 
 def with_stop_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``n_tokens`` and ``n_stop`` (STOPWORDS hits) — the integer
     inputs of the quality rank."""
     toks = f"split({text_col}, ' ')"
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return df.withColumn("n_tokens", F.expr(f"size({toks})")).withColumn(
-        "n_stop", F.expr(f"size(filter({toks}, t -> t IN ({stop_list})))")
+        "n_stop", F.expr(f"size(filter({toks}, t -> t IN ({STOP_SQL})))")
     )

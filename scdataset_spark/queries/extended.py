@@ -129,7 +129,10 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scdataset_spark.operators.multimodal import extract_features, with_fake_image
 
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
-    return extract_features(with_fake_image(docs))
+    feats = extract_features(with_fake_image(docs))
+    # engine-side rounding (matches the oracle's DuckDB round; Python
+    # round() in the UDF would use a different rule near .5 boundaries)
+    return feats.withColumn("rms", F.round("rms", 6))
 
 
 # ------------------------------------------------- S4/S5 sparse densify

@@ -354,7 +354,10 @@ def _o4_oracle() -> str:
         rounds.append(f"""
 SELECT {r} AS draw_id, row_id FROM (
   SELECT row_id,
-         row_number() OVER (ORDER BY floor((-ln({u}) / w) * 1000000.0) ASC, row_id) AS rk
+         row_number() OVER (
+           ORDER BY floor((-ln({u}) * (SELECT max(w) FROM wtab) / w) * 1000000.0) ASC,
+                    row_id
+         ) AS rk
   FROM wtab
 ) WHERE rk <= {take}
 """)
