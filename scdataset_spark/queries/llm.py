@@ -864,7 +864,7 @@ c AS (
 SELECT doc_id, n_tokens,
        start_off // 2048 AS window_id,
        start_off % 2048 AS offset_in_window,
-       CAST((start_off % 2048) + n_tokens > 2048 AS BOOLEAN) AS crosses_boundary
+       CAST((start_off % 2048) + n_tokens > 2048 AS INT) AS crosses_boundary
 FROM c
 """,
 )
@@ -892,7 +892,7 @@ def tx_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("start_off div 2048").alias("window_id"),
         (F.col("start_off") % 2048).alias("offset_in_window"),
-        ((F.col("start_off") % 2048) + F.col("n_tokens") > 2048).alias(
-            "crosses_boundary"
-        ),
+        ((F.col("start_off") % 2048) + F.col("n_tokens") > 2048)
+        .cast("int")
+        .alias("crosses_boundary"),
     )
