@@ -264,3 +264,55 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming`` via
+    PIGEONHOLE BANDING — the scale-correct simhash join: split the
+    ``bits``-bit signature into ``bands`` equal bands; two signatures
+    within ``max_hamming`` (< bands) bit flips MUST agree on at least
+    one whole band, so candidates come from an equi-self-join on
+    (band_index, band_value) and only candidates pay the exact
+    ``bit_count(xor)`` verification.  No all-pairs product, same join
+    shape as MinHash banding — one short-key shuffle at any scale.
+    """
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"({sig_col} >> {b * width}) & {mask}").alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.col(sig_col), F.explode(band_structs).alias("_b")
+    ).select(
+        id_col, sig_col,
+        F.col("_b.band_idx").alias("band_idx"),
+        F.col("_b.band_val").alias("band_val"),
+    )
+    banded = persist_bounded(banded)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(b2, ["band_idx", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr(f"bit_count(a.{sig_col} ^ b.{sig_col})").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

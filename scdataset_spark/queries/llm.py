@@ -234,6 +234,35 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.with_simhash(corpus(spark, sf_dir)).select("doc_id", "simhash")
 
 
+def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 32, bands: int = 4) -> str:
+    base = _simhash_oracle(bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * width}) & {mask} AS band_val FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS ({base}),
+banded AS ({band_sel})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@query("dd_simhash_pairs", survey_ref="§2.14 dedup", oracle=_simhash_pairs_oracle(max_hamming=1))
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup PAIRS on the planted corpus via pigeonhole
+    banding (hamming ≤ 1 over 4 bands ⇒ ≥ 1 identical band): equi-join
+    candidates, exact bit_count(xor) verification — no cross product,
+    the production simhash dedup shape."""
+    sigs = tx.with_simhash(corpus(spark, sf_dir)).select("doc_id", "simhash")
+    return dd.simhash_hamming_pairs(sigs, max_hamming=1)
+
+
 def _minhash_verified_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
     base = _minhash_oracle(num_hashes, bands)
     return f"""
