@@ -263,6 +263,36 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_hamming_pairs(sigs, max_hamming=1)
 
 
+@query(
+    "dd_decontamination",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH base AS ({_minhash_oracle()})
+SELECT doc_a AS eval_doc, doc_b AS train_doc
+FROM base WHERE doc_a % 10 = 3 AND doc_b % 10 <> 3
+UNION
+SELECT doc_b AS eval_doc, doc_a AS train_doc
+FROM base WHERE doc_b % 10 = 3 AND doc_a % 10 <> 3
+""",
+)
+def dd_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents that near-duplicate
+    EVAL-split documents (split by doc_id residue here; by benchmark
+    membership in production) must be dropped before pretraining.  The
+    cross-split LSH candidate join — same banded equi-join, restricted
+    to pairs that cross the split, so eval text never leaks into
+    training via paraphrase-level copies."""
+    c = dd.with_minhash(dd.with_shingles(corpus(spark, sf_dir)), num_hashes=12)
+    pairs = dd.lsh_candidate_pairs(c, num_hashes=12, bands=4)
+    a_eval = pairs.where((F.col("doc_a") % 10 == 3) & (F.col("doc_b") % 10 != 3)).select(
+        F.col("doc_a").alias("eval_doc"), F.col("doc_b").alias("train_doc")
+    )
+    b_eval = pairs.where((F.col("doc_b") % 10 == 3) & (F.col("doc_a") % 10 != 3)).select(
+        F.col("doc_b").alias("eval_doc"), F.col("doc_a").alias("train_doc")
+    )
+    return a_eval.unionByName(b_eval).distinct()
+
+
 def _minhash_verified_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
     base = _minhash_oracle(num_hashes, bands)
     return f"""
