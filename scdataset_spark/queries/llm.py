@@ -560,6 +560,49 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd_embed_components",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_embed_cosine_oracle()}),
+und AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+)
+SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
+""",
+)
+def dd_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup CLUSTERS: connected components over the
+    cosine>=0.98 pair graph (banded hyperplane LSH candidates + exact
+    verification), min-label propagation vs the oracle's recursive-CTE
+    closure — the semantic-dedup groups an embedding-based curation
+    pipeline keeps one representative from."""
+    c = emb_corpus(spark, sf_dir)
+    cand = sim.lsh_banded_pairs(
+        c, id_col="vec_id", vec="v", bands=EMB_BANDS, rows_per_band=EMB_ROWS_PER_BAND
+    )
+    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"))
+    b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"))
+    verified = (
+        cand.select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
+        .join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cosine", sim.cosine_expr("_va", "_vb"))
+        .where(F.col("cosine") >= 0.98)
+        .select("vec_a", "vec_b")
+    )
+    comp = dd.connected_components(verified, src_col="vec_a", dst_col="vec_b")
+    return comp.select(F.col("id").alias("vec_id"), "component")
+
+
 # --------------------------------------------------------- similarity
 @query(
     "sim_topk_cosine",
