@@ -10,17 +10,32 @@ about lifetime, not size).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _CACHE: list[DataFrame] = []
 _CACHE_MAX = 4
+_LOCK = threading.Lock()
 
 
 def persist_bounded(df: DataFrame) -> DataFrame:
     """Persist ``df``, evicting the oldest registered frame beyond the
-    bound.  Callers that need a longer lifetime own their own persist."""
+    bound.  Callers that need a longer lifetime own their own persist.
+
+    Thread-safe (multi-threaded drivers build queries concurrently).
+    Eviction is registration-ordered, so constructing more than
+    ``_CACHE_MAX`` frames before EXECUTING the queries that use them can
+    evict a frame whose plan hasn't run yet — correctness is preserved
+    (Spark recomputes the lineage), only the cache benefit is lost; keep
+    construct→execute cycles short or persist explicitly for longer
+    lifetimes."""
     df = df.persist()
-    _CACHE.append(df)
-    while len(_CACHE) > _CACHE_MAX:
-        _CACHE.pop(0).unpersist()
+    with _LOCK:
+        _CACHE.append(df)
+        evict = []
+        while len(_CACHE) > _CACHE_MAX:
+            evict.append(_CACHE.pop(0))
+    for old in evict:
+        old.unpersist()
     return df

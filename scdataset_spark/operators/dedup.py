@@ -231,6 +231,7 @@ def connected_components(
     )
     und = und.localCheckpoint(eager=True)
     labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         neigh = (
             und.join(
@@ -262,7 +263,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # partial labels are WRONG labels (distinct ids for one true
+        # component) — surface it instead of silently returning them
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise "
+            "max_iterations — rounds needed ≈ longest chain of near-dup "
+            "links, typically 2-3 for duplicate cliques"
+        )
     return labels
 
 

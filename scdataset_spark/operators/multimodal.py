@@ -51,23 +51,38 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", image_col: str = "image
     """
 
     def decode(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["doc_id", "width", "height", "mean_byte"]
         for pdf in chunks:
             if HAVE_PIL:  # pragma: no cover
                 raise NotImplementedError(
                     "real decode path: Image.open(BytesIO(b)) -> size/mean"
                 )
-            rows = []
-            for i, b in zip(pdf[id_col], pdf[image_col]):
-                b = bytes(b)
-                rows.append(
-                    (
-                        int(i),
-                        32 + b[0] % 97,
-                        32 + b[1] % 97,
-                        sum(b) / len(b),
-                    )
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            # vectorized over the whole Arrow chunk: one byte buffer +
+            # per-blob offsets; no per-row Python (a real decoder is
+            # inherently per-row, but the stub shouldn't be)
+            blobs = [bytes(b) for b in pdf[image_col]]
+            lens = np.fromiter((len(b) for b in blobs), np.int64, len(blobs))
+            if (lens < 2).any():
+                bad = int(pdf[id_col].iloc[int(np.argmax(lens < 2))])
+                raise ValueError(
+                    f"blob for {id_col}={bad} is shorter than the 2-byte "
+                    "dimension header"
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_byte"])
+            data = np.frombuffer(b"".join(blobs), np.uint8).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(np.int64),
+                    "width": (32 + data[starts] % 97).astype(np.int32),
+                    "height": (32 + data[starts + 1] % 97).astype(np.int32),
+                    "mean_byte": np.add.reduceat(data, starts) / lens,
+                }
+            )
 
     return df.select(id_col, image_col).mapInPandas(decode, schema=DECODE_SCHEMA)
 
@@ -116,39 +131,61 @@ def extract_features(
     so the DuckDB oracle replays it from the md5 hex."""
 
     def extract(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+        import numpy as np
 
+        cols = [
+            "doc_id", "f0", "f1", "f2", "f3",
+            "sample_rate", "duration_ms", "rms",
+        ]
         for pdf in chunks:
-            rows = []
-            for i, b in zip(pdf[id_col], pdf[blob_col]):
-                b = bytes(b)
-                if len(b) < 5:
-                    # fail fast WITH context: one truncated payload
-                    # should name its row, not die as a bare IndexError
-                    raise ValueError(
-                        f"blob for {id_col}={i} has {len(b)} bytes; "
-                        "extract_features needs >= 5 (header) bytes"
-                    )
-                f = [sum(b[j::4]) for j in range(4)]
-                rows.append(
-                    (
-                        int(i),
-                        *f,
-                        8000 + (b[2] % 8) * 4000,
-                        100 + (b[3] * b[4]) % 900,
-                        # raw value — callers round ENGINE-side
-                        # (F.round) so both engines share one rounding
-                        # rule; Python round() is half-even decimal,
-                        # subtly different near ...5 boundaries
-                        math.sqrt(sum(x * x for x in b) / len(b)),
-                    )
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            blobs = [bytes(b) for b in pdf[blob_col]]
+            n = len(blobs)
+            lens = np.fromiter((len(b) for b in blobs), np.int64, n)
+            if (lens < 5).any():
+                # fail fast WITH context: one truncated payload should
+                # name its row, not die as a bare IndexError
+                i = int(np.argmax(lens < 5))
+                raise ValueError(
+                    f"blob for {id_col}={pdf[id_col].iloc[i]} has "
+                    f"{int(lens[i])} bytes; extract_features needs >= 5 "
+                    "(header) bytes"
                 )
+            data = np.frombuffer(b"".join(blobs), np.uint8).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            if (lens == lens[0]).all():
+                # uniform blob length (the common fixed-record case):
+                # reshape once, lane sums are pure strided reductions
+                m = data.reshape(n, int(lens[0]))
+                lanes = [m[:, j::4].sum(axis=1) for j in range(4)]
+                sq_sum = (m * m).sum(axis=1)
+            else:
+                # ragged: scatter-add each byte into its (row, pos%4)
+                # lane — still no per-row Python loop
+                seg = np.repeat(np.arange(n), lens)
+                lane = (np.arange(data.shape[0]) - np.repeat(starts, lens)) & 3
+                acc = np.zeros((n, 4), np.int64)
+                np.add.at(acc, (seg, lane), data)
+                lanes = [acc[:, j] for j in range(4)]
+                sq_sum = np.add.reduceat(data * data, starts)
+            b2 = data[starts + 2]
+            b3 = data[starts + 3]
+            b4 = data[starts + 4]
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "f0", "f1", "f2", "f3",
-                    "sample_rate", "duration_ms", "rms",
-                ],
+                {
+                    "doc_id": pdf[id_col].to_numpy(np.int64),
+                    "f0": lanes[0],
+                    "f1": lanes[1],
+                    "f2": lanes[2],
+                    "f3": lanes[3],
+                    "sample_rate": (8000 + (b2 % 8) * 4000).astype(np.int32),
+                    "duration_ms": (100 + (b3 * b4) % 900).astype(np.int32),
+                    # raw value — callers round ENGINE-side (F.round) so
+                    # both engines share one rounding rule
+                    "rms": np.sqrt(sq_sum / lens),
+                }
             )
 
     return df.select(id_col, blob_col).mapInPandas(extract, schema=FEATURE_SCHEMA)

@@ -64,6 +64,14 @@ def run_hook_pipeline(
     (``docs/source/transforms.rst:39-63``).
     """
 
+    def _in_pos_order(pdf: pd.DataFrame) -> pd.DataFrame:
+        # O(n) monotonicity probe before the O(n log n) sort+copy: the
+        # group usually already arrives in plan (pos) order, and the
+        # hooks' contract is about ORDER, not about which object holds it
+        if pdf["pos"].is_monotonic_increasing:
+            return pdf
+        return pdf.sort_values("pos", ignore_index=True)
+
     def process_fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -84,23 +92,28 @@ def run_hook_pipeline(
                 key = "row_id"
             else:
                 key = "pos"
-            pdf = fetch_callback(pdf.sort_values(key).reset_index(drop=True))
-        pdf = pdf.sort_values("pos").reset_index(drop=True)
+            if not pdf[key].is_monotonic_increasing:
+                pdf = pdf.sort_values(key, ignore_index=True)
+            pdf = fetch_callback(pdf)
+        pdf = _in_pos_order(pdf)
         if fetch_transform is not None:
             pdf = fetch_transform(pdf)
         if batch_callback is None and batch_transform is None and not drop_last:
             # batches are contiguous slices of the fetch and no batch
             # hook runs — slicing and re-concatenating would be a no-op
             return pdf
+        n = len(pdf)
         out = []
-        for start in range(0, len(pdf), batch_size):
-            batch_indices = np.arange(start, min(start + batch_size, len(pdf)))
-            if drop_last and len(batch_indices) < batch_size:
+        for start in range(0, n, batch_size):
+            stop = min(start + batch_size, n)
+            if drop_last and stop - start < batch_size:
                 continue
             if batch_callback is not None:
-                batch = batch_callback(pdf, batch_indices)
+                batch = batch_callback(pdf, np.arange(start, stop))
             else:
-                batch = pdf.iloc[batch_indices]
+                # contiguous iloc slice: a view-backed block take, no
+                # positional-index fancy indexing
+                batch = pdf.iloc[start:stop]
             if batch_transform is not None:
                 batch = batch_transform(batch)
             out.append(batch)

@@ -1062,25 +1062,53 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g7_approx_sketches", survey_ref="G7")
+@query(
+    "g7_approx_sketches",
+    survey_ref="G7",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n,
+       TRUE AS distinct_ok,
+       TRUE AS median_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def g7_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path where exact distinct/
     percentile would shuffle every value: HLL++ approx distinct and
-    quantile-summary approx median per group.  Deliberately has NO SQL
-    oracle (sketch internals are engine-specific; DuckDB's approx
-    functions use different sketches) — the driver records the weaker
-    rows-only check, and tests/test_strategies_stats.py asserts both
-    sketches land within their documented error bands of the exact
-    answers."""
+    quantile-summary approx median per group.  Sketch *values* are
+    engine-specific (DuckDB uses different sketches), so the checkable
+    contract is: exact answers (oracle-matched) plus booleans asserting
+    the sketch landed within its documented error band — the oracle
+    emits TRUE, so an out-of-band sketch FAILS the hash compare rather
+    than being unverifiable.  (The exact aggregates here are the sf0.01
+    verification harness; at 100 TB only the sketch side runs.)"""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx_median"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("_exact_median"),
         )
-        .select("l_returnflag", "approx_parts", "approx_median", "n")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n",
+            (
+                F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("distinct_ok"),
+            (
+                F.abs(F.col("_approx_median") - F.col("_exact_median"))
+                / F.col("_exact_median")
+                <= 0.01
+            ).alias("median_ok"),
+        )
     )
 
 

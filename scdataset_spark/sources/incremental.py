@@ -45,6 +45,21 @@ def append_increment(
     """
     exists = os.path.exists(os.path.join(table_dir, "_SUCCESS"))
     inc = increment
+    if dedup_on:
+        # dedup WITHIN the increment first, in both branches — a key
+        # duplicated inside one increment must collapse whether or not
+        # the table already exists (k-step == one-shot determinism).
+        # row_number over order_cols (not dropDuplicates, whose kept row
+        # is partition-order-dependent) makes the survivor deterministic:
+        # the first row in arrival order.
+        w_dedup = Window.partitionBy(*dedup_on).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        inc = (
+            inc.withColumn("_dedup_rn", F.row_number().over(w_dedup))
+            .where(F.col("_dedup_rn") == 1)
+            .drop("_dedup_rn")
+        )
     if exists:
         existing = spark.read.parquet(table_dir)
         # coalesce: a table created by an all-duplicate/empty first
@@ -58,8 +73,6 @@ def append_increment(
             )
     else:
         start = 0
-        if dedup_on:
-            inc = inc.dropDuplicates(dedup_on)
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     stamped = inc.withColumn("row_id", F.row_number().over(w) - 1 + F.lit(start))
     stamped.write.mode("append").parquet(table_dir)

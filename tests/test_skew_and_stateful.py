@@ -207,6 +207,26 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
         assert connected_components(edges).count() == 0
 
+    def test_nonconvergence_raises(self, spark):
+        """Hitting the iteration cap mid-propagation must raise, not
+        return partial (wrong) component labels."""
+        import pytest
+
+        from scdataset_spark.operators.dedup import connected_components
+
+        # 6-node chain: min-label needs ~5 rounds to reach the far end
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "doc_a bigint, doc_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iterations=2)
+        # same graph converges fine with an adequate cap
+        comp = {
+            r.id: r.component
+            for r in connected_components(edges, max_iterations=10).collect()
+        }
+        assert set(comp.values()) == {0}
+
 
 class TestCappedSessionsStateful:
     def test_closed_chunks_match_batch_twin_across_restarts(self, spark, tmp_path):

@@ -173,6 +173,31 @@ class TestIncrementalIngest:
         assert n3 == cust.where("c_custkey > 750").count()
         assert spark.read.parquet(out).count() == cust.count()
 
+    def test_dedup_within_increment_on_existing_table(self, spark, tmp_path):
+        """Duplicate keys INSIDE one increment must collapse even when the
+        table already exists (regression: the anti-join only removed keys
+        already in the table, so [5,5,6] appended both 5s)."""
+        from scdataset_spark.sources.incremental import append_increment
+
+        out = str(tmp_path / "inc_dup")
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        assert append_increment(spark, out, base, ["k"], dedup_on=["k"]) == 2
+        inc = spark.createDataFrame(
+            [(5, "x1"), (5, "x2"), (6, "y")], "k int, v string"
+        )
+        n = append_increment(spark, out, inc, ["k"], dedup_on=["k"])
+        assert n == 2
+        rows = {r.k: r.v for r in spark.read.parquet(out).collect()}
+        assert set(rows) == {1, 2, 5, 6}
+        # deterministic survivor: first in (order_cols) arrival order —
+        # for k=5 both rows tie on k, so orderBy("k") keeps ONE row
+        # stably; crucially not both
+        assert rows[6] == "y"
+        # k-step == one-shot determinism with intra-increment dups
+        one = str(tmp_path / "inc_dup_oneshot")
+        append_increment(spark, one, base.unionByName(inc), ["k"], dedup_on=["k"])
+        assert spark.read.parquet(one).count() == 4
+
 
 class TestFetchCallback:
     def test_external_store_fetch(self, spark):
