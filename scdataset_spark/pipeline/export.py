@@ -55,14 +55,22 @@ def write_epoch_plan(
 ) -> None:
     """Write one epoch as fetch-partitioned parquet (see module doc).
 
-    ``repartition(fetch_id)`` + ``sortWithinPartitions(pos)`` keeps one
-    fetch per task and yield order inside each file — sorted, block-
-    local I/O for the trainer, the reference's headline optimization
-    preserved across the export boundary."""
+    ``repartition(fetch_id)`` + ``sortWithinPartitions(fetch_id, pos)``
+    keeps one fetch per task and yield order inside each file — sorted,
+    block-local I/O for the trainer, the reference's headline
+    optimization preserved across the export boundary.
+
+    The sort MUST lead with ``fetch_id``: Spark's partitioned-file
+    writer requires its input ordered by the partition columns and
+    silently inserts its own (unstable) sort when it isn't — a
+    ``pos``-only sortWithinPartitions gets obliterated and fetch files
+    come out pos-UNsorted (caught by the multi-process consumer test).
+    Leading with ``fetch_id`` satisfies the writer's required ordering,
+    so no extra sort is added and the ``pos`` suborder survives."""
     (
         planned.select("fetch_id", "pos", *columns)
         .repartition("fetch_id")
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("fetch_id", "pos")
         .write.partitionBy("fetch_id")
         .mode("overwrite")
         .parquet(path)
