@@ -54,6 +54,53 @@ def estimate_row_bytes(df: DataFrame, sample_rows: int = 16, id_col: str = "row_
     return fixed + float(avg_var)
 
 
+def estimate_sample_bytes_measured(
+    df: DataFrame,
+    n_samples: int = 16,
+    id_col: str = "row_id",
+    fetch_callback=None,
+    fetch_transform=None,
+    batch_callback=None,
+    batch_transform=None,
+) -> float:
+    """C2, measured through the hooks (reference
+    ``src/scdataset/experimental/auto_config.py:164-275``
+    ``estimate_sample_size``): pull the ``n_samples`` smallest-id rows
+    to the driver and run them through the SAME user hooks the training
+    pipeline will run — fetch_callback → fetch_transform →
+    batch_callback → batch_transform — then measure actual pandas
+    memory.  A transform that inflates rows (tokenize, densify, decode)
+    is *measured*, not schema-guessed; :func:`estimate_row_bytes` stays
+    the zero-hook fast path.
+
+    Driver-side by design: 16 rows, exactly like the reference.  The
+    hook order here is intentionally a copy of
+    ``pipeline/hooks.py::run_hook_pipeline`` — the two cannot share one
+    callable because the pipeline's copy must stay function-local to
+    pickle by value into executors; ``tests/test_autoconfig.py`` pins
+    them together with an output-parity check.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (hooks receive pandas frames)
+
+    if n_samples <= 0:
+        raise ValueError(f"n_samples must be positive, got {n_samples}")
+    pdf = df.orderBy(id_col).limit(n_samples).toPandas()
+    if len(pdf) == 0:
+        return 0.0
+    if "pos" not in pdf.columns:
+        pdf = pdf.assign(pos=np.arange(len(pdf), dtype=np.int64))
+    if fetch_callback is not None:
+        pdf = fetch_callback(pdf)
+    if fetch_transform is not None:
+        pdf = fetch_transform(pdf)
+    if batch_callback is not None:
+        pdf = batch_callback(pdf, np.arange(len(pdf)))
+    if batch_transform is not None:
+        pdf = batch_transform(pdf)
+    return float(pdf.memory_usage(deep=True, index=False).sum()) / len(pdf)
+
+
 @dataclass
 class SuggestedConfig:
     fetch_factor: int

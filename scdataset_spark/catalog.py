@@ -97,13 +97,21 @@ def ensure_ingested(
     reads the ingested copy, whose parquet is range-partitioned on
     row_id so fetch-ordered scans are sequential I/O.
     """
+    # One range partition per core (cluster width), not a constant:
+    # each output file is written with a single row group, so the file
+    # count IS the maximum scan parallelism every downstream query gets.
+    # A fixed 8 capped lineitem scans at 8 concurrent tasks on a 32-core
+    # box; at cluster scale the same constant would idle ~97% of
+    # executors.  defaultParallelism tracks local[N] cores locally and
+    # total executor cores on a real cluster.
+    parts = max(8, spark.sparkContext.defaultParallelism)
     for name in tables:
         out = os.path.join(ingest_dir(sf_dir), f"{name}.parquet")
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             continue
         df = load_table(spark, name, sf_dir, with_row_id=True, use_ingested=False)
         (
-            df.repartitionByRange(8, "row_id")
+            df.repartitionByRange(parts, "row_id")
             .sortWithinPartitions("row_id")
             .write.mode("overwrite")
             .parquet(out)
