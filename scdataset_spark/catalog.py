@@ -118,6 +118,55 @@ def ensure_ingested(
         )
 
 
+# Opt-in co-located join layout (sf_dir, table) -> managed bucketed
+# table name.  Populated by ensure_bucketed; consulted by load_table so
+# existing queries pick the layout up with zero code changes.
+_BUCKETED: dict[tuple[str, str], str] = {}
+
+BUCKET_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = ("orders", "lineitem"),
+    buckets: int = 32,
+) -> dict[str, str]:
+    """Opt-in ONE-TIME layout for the recurring fact-to-fact joins: write
+    each table bucketed+sorted on its order key as a managed parquet
+    table, then register it so :func:`load_table` serves it to every
+    query in the session.  Equi-joins and aggregations on the bucket key
+    then run with NO exchange on either side (SortMergeJoin reads
+    co-located buckets) — the trade a 100 TB deployment makes: pay one
+    bucketed write at ingest, skip the orderkey shuffle in every q3/q18/
+    q21-shaped query afterwards.  Both sides get the SAME bucket count
+    (mismatched counts re-shuffle one side).
+
+    Returns {table_name: managed_table} for the registered tables.
+    """
+    from scdataset_spark.operators.skew import write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    key = os.path.normpath(sf_dir)
+    out: dict[str, str] = {}
+    base = os.path.basename(key).replace(".", "_")
+    for name in tables:
+        if name not in BUCKET_KEYS:
+            raise ValueError(f"no bucket key defined for table {name!r}")
+        tbl = f"bkt_{base}_{name}_{buckets}"
+        if not spark.catalog.tableExists(tbl):
+            df = load_table(spark, name, sf_dir, with_row_id=True)
+            write_bucketed(df, tbl, [BUCKET_KEYS[name]], buckets=buckets)
+        _BUCKETED[(key, name)] = tbl
+        out[name] = tbl
+    return out
+
+
+def clear_bucketed() -> None:
+    """Deregister all bucketed layouts (tables stay in the warehouse)."""
+    _BUCKETED.clear()
+
+
 def load_table(
     spark: SparkSession,
     name: str,
@@ -138,6 +187,13 @@ def load_table(
     # session may default to a local timezone, which would shift every
     # timestamp literal and window boundary.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if use_ingested:
+        bucketed = _BUCKETED.get((os.path.normpath(sf_dir), name))
+        if bucketed is not None and spark.catalog.tableExists(bucketed):
+            df = spark.table(bucketed)
+            # dropping a non-key column does not disturb the table's
+            # bucketing metadata (outputPartitioning survives)
+            return df if with_row_id else df.drop("row_id")
     if with_row_id and use_ingested:
         cached = os.path.join(ingest_dir(sf_dir), f"{name}.parquet")
         if os.path.exists(os.path.join(cached, "_SUCCESS")):

@@ -801,9 +801,15 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_q") > 150)
         .select("l_orderkey")
     )
+    # customer is the dimension side: broadcast it explicitly so the
+    # o_orderkey partitioning from the big/orders join survives into the
+    # lineitem join (a customer shuffle join would repartition on
+    # c_custkey and force an orderkey re-exchange — with a bucketed
+    # layout that single hint is the difference between zero and one
+    # orderkey shuffle)
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
         .join(li.alias("l"), F.col("l.l_orderkey") == o.o_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum_col(F.col("l.l_quantity")).alias("total_qty"))
@@ -1192,7 +1198,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.createOrReplaceTempView("_ord_q21")
     return spark.sql(
         """
-        SELECT s.s_name, count(*) AS numwait
+        SELECT /*+ BROADCAST(s) */ s.s_name, count(*) AS numwait
         FROM _supp_q21 s
         JOIN _li_q21 l1 ON l1.l_suppkey = s.s_suppkey
         JOIN _ord_q21 o ON o.o_orderkey = l1.l_orderkey

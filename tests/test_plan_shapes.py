@@ -173,3 +173,57 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_layout_removes_orderkey_exchanges_from_q3_q18_q21(spark, tmp_path):
+    """ensure_bucketed routes load_table through the co-located layout:
+    the o_orderkey/l_orderkey joins AND the l_orderkey partial aggs in
+    the real q3/q18/q21 queries then need NO orderkey exchange — the
+    one-time-bucketed-write-vs-per-query-shuffle trade at 100 TB.
+    (Small-dim broadcast joins remain; the assertion is key-specific.)"""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from scdataset_spark.catalog import clear_bucketed, ensure_bucketed
+    from scdataset_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR_SMALL
+
+    def orderkey_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(
+            re.findall(r"Exchange hashpartitioning\((?:[lo]\.)?[lo]_orderkey", plan)
+        )
+
+    queries = ["q3_shipping_priority", "q18_large_orders", "q21_waiting_supplier"]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        baseline = {
+            q: orderkey_exchanges(REGISTRY[q].fn(spark, SF_DIR_SMALL)) for q in queries
+        }
+        assert all(n > 0 for n in baseline.values()), baseline
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in ("bkt_sf0_001_orders_8", "bkt_sf0_001_lineitem_8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        ensure_bucketed(spark, SF_DIR_SMALL, buckets=8)
+        try:
+            for q in queries:
+                df = REGISTRY[q].fn(spark, SF_DIR_SMALL)
+                assert orderkey_exchanges(df) == 0, (
+                    f"{q} still shuffles on the order key with bucketed layout:\n"
+                    + df._jdf.queryExecution().executedPlan().toString()[:4000]
+                )
+            # layout changes the plan, not the answer
+            rows = REGISTRY["q3_shipping_priority"].fn(spark, SF_DIR_SMALL).collect()
+            clear_bucketed()
+            plain = REGISTRY["q3_shipping_priority"].fn(spark, SF_DIR_SMALL).collect()
+            assert rows == plain
+        finally:
+            clear_bucketed()
+            for t in ("bkt_sf0_001_orders_8", "bkt_sf0_001_lineitem_8"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
