@@ -9,6 +9,17 @@ Replica ``c`` offsets every scalable key by ``c * OFFSET``; dimension
 tables (region, nation) are shared, so foreign keys into them stay
 valid.  One projection pass per table (explode over the replica
 sequence, no shuffle), written with row-group-sized files.
+
+CONTENT is varied per replica, not copied: verbatim replication would
+make every document/embedding a member of a size-``factor`` exact-dup
+clique, so dedup audits would measure the fixture's artificial cluster
+structure (superlinear pair counts by construction), not the algorithm.
+Replica ``c`` Caesar-rotates document letters by ``c`` (JVM
+``translate``, one pass — every shingle containing a letter changes, so
+minhash/simhash/Jaccard see genuinely distinct content, while intra-
+replica dup structure is preserved exactly) and perturbs each embedding
+element with a deterministic hash-seeded offset (direction changes, so
+cosine near-dup cliques don't replicate).
 """
 
 from __future__ import annotations
@@ -45,6 +56,36 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, factor: int
         # source keys are INT32; widen before shifting or the offset overflows
         rep = rep.withColumn(
             k, F.col(k).cast("bigint") + F.col("_c").cast("bigint") * F.lit(OFFSET)
+        )
+    if table == "documents":
+        # Caesar-rotate letters by replica index: replica 0 is the
+        # original corpus; every other replica is distinct content with
+        # identical length/shape statistics
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        rot = F.lit(None)
+        for c in range(factor):
+            mapped = alpha[c % 26 :] + alpha[: c % 26]
+            expr = F.translate(
+                F.col("text"), alpha + alpha.upper(), mapped + mapped.upper()
+            )
+            rot = F.when(F.col("_c") == c, expr) if c == 0 else rot.when(
+                F.col("_c") == c, expr
+            )
+        rep = rep.withColumn("text", rot)
+    if table == "embeddings":
+        # element-wise deterministic perturbation (±10%, seeded by
+        # (vec_id, element, replica)): rotates each replica's vectors to
+        # a different direction so cosine cliques don't replicate;
+        # replica 0 keeps the original vectors bit-exact
+        rep = rep.withColumn(
+            "embedding",
+            F.when(F.col("_c") == 0, F.col("embedding")).otherwise(
+                F.expr(
+                    "transform(embedding, (x, i) -> CAST(x * (1.0 + "
+                    "(pmod(xxhash64(vec_id, i, _c), 200) - 100) / 1000.0) "
+                    "AS FLOAT))"
+                )
+            ),
         )
     # spread across enough files that a scan parallelizes: one ~2M-row
     # file is ONE parquet row group => one scan task no matter how many
