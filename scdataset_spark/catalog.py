@@ -74,6 +74,23 @@ def _lineitem_row_id(df: DataFrame, buckets: int = 64) -> DataFrame:
     return out.withColumn("row_id", F.col("row_id").cast("bigint"))
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-TZ TIMESTAMP regardless of the
+    parquet encoding the generator used.  The driver's testdata has been
+    written both as TIMESTAMP(NANOS) (read as bigint under
+    ``nanosAsLong``, truncated to µs like DuckDB does) and as µs with
+    ``isAdjustedToUTC=false`` (read as TIMESTAMP_NTZ in Spark 4, which
+    functions like ``unix_micros`` reject).  Under the UTC session pinned
+    in :func:`load_table` the NTZ→TIMESTAMP cast is value-preserving, so
+    every downstream operator sees one type with identical instants."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def ingest_dir(sf_dir: str) -> str:
     """Location of the row_id-stamped ingested copy of a testdata dir.
 
@@ -197,12 +214,11 @@ def load_table(
     if with_row_id and use_ingested:
         cached = os.path.join(ingest_dir(sf_dir), f"{name}.parquet")
         if os.path.exists(os.path.join(cached, "_SUCCESS")):
-            return spark.read.parquet(cached)
+            df = spark.read.parquet(cached)
+            return _normalize_ts(df) if name == "events" else df
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if with_row_id and name in ROW_ID_SQL:

@@ -868,8 +868,10 @@ scored AS (
 ),
 ranked AS (
   SELECT doc_id, n_tokens, q_int,
-         sum(n_tokens) OVER (ORDER BY q_int DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         -- DuckDB sum(BIGINT) is HUGEINT, which pandas lowers to
+         -- float64 ("96.0" vs Spark's "96") — cast keeps it integral
+         CAST(sum(n_tokens) OVER (ORDER BY q_int DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM scored
 )
 SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 5000
@@ -958,9 +960,11 @@ def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH sp_t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
 c AS (
+  -- cast: DuckDB's HUGEINT window sum becomes float64 in pandas,
+  -- which would turn window_id/offset_in_window fractional
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS start_off
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tokens AS BIGINT) AS start_off
   FROM sp_t
 )
 SELECT doc_id, n_tokens,

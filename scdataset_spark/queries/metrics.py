@@ -31,7 +31,7 @@ k AS (SELECT row_id, l_returnflag, pos0, ({mix_sql('pos0 // 64', SEED, 'duckdb')
 o AS (SELECT l_returnflag, row_number() OVER (ORDER BY block_key, pos0) - 1 AS pos FROM k),
 c AS (SELECT pos // 64 AS batch_id, l_returnflag, count(*) AS cnt FROM o GROUP BY 1, 2)
 SELECT batch_id,
-       sum(cnt) AS n,
+       CAST(sum(cnt) AS BIGINT) AS n,
        round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6) AS entropy
 FROM c GROUP BY batch_id
 """,

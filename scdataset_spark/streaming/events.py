@@ -22,21 +22,34 @@ EVENTS_FIELDS = "event_id bigint, ts_ns bigint, user_id bigint, event_type strin
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet.  The driver writes
-    ``ts`` as TIMESTAMP(NANOS); streaming reads use the same
-    nanos-as-long + truncate-to-micros conversion as the batch catalog."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet.  The driver's
+    generator has written ``ts`` both as TIMESTAMP(NANOS) (needs the
+    nanos-as-long + truncate-to-micros conversion) and as µs
+    ``isAdjustedToUTC=false`` (TIMESTAMP_NTZ); streaming sources need
+    the schema declared up front, so peek at the parquet footer to pick
+    the matching one — batch and stream then see identical instants."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_metadata(f"{sf_dir}/events.parquet").schema
+    ts_col = next(schema.column(i) for i in range(len(schema)) if schema.column(i).name == "ts")
+    if "timeUnit=nanoseconds" in str(ts_col.logical_type):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_type = "bigint"
+    else:
+        ts_type = "timestamp_ntz"
     # streaming file sources ingest directories; pathGlobFilter scopes
     # the listing to the events file within the sf dir
     raw = (
         spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+            f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, value double, props string"
         )
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
@@ -94,6 +107,9 @@ def capped_session_stats(
 
     gap_us = gap_minutes * 60_000_000
     cap_us = cap_minutes * 60_000_000
+    # tolerate TIMESTAMP_NTZ input (unix_micros requires TIMESTAMP; the
+    # cast is a no-op when ts is already TIMESTAMP)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     ws = Window.partitionBy("user_id", "sid")

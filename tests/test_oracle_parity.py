@@ -9,7 +9,7 @@ stricter than a hash: on mismatch it prints the first differing rows.
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime
 
 import pytest
 
@@ -24,10 +24,22 @@ def _norm_cell(v):
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # SQL NULL doubles surface as NaN after .df() — fold both
+            # spellings so a NULL column compares engine-independently
+            return "NULL"
         return repr(v)  # full precision — we engineered bit-equality
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        if v != v:  # pandas NaT
+            return "NULL"
+        v = v.replace(tzinfo=None)
+        # DuckDB DATE lowers to datetime64 midnight in pandas while
+        # Spark keeps datetime.date — fold midnight to the date form
+        # (matches the driver, which passed date-typed queries)
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
     # duckdb may return Decimal/np types
     try:
         import numpy as np
@@ -57,11 +69,18 @@ def test_oracle_parity(name, spark, duck):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, SF_DIR)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # through pandas on BOTH sides, like the driver harness: nullable
+    # int columns lower to float64 symmetrically (so they still match),
+    # while a DuckDB HUGEINT vs Spark bigint asymmetry still fails.
+    s_rows = list(sdf.toPandas().itertuples(index=False, name=None))
 
-    cur = duck.execute(spec.oracle)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    # fetch through pandas (.df()), matching the driver harness: this is
+    # deliberately harsher than .fetchall() — DuckDB HUGEINT (any uncast
+    # integer sum) lowers to float64 here, so an oracle that forgets
+    # CAST(... AS BIGINT) fails locally the same way it fails the driver.
+    ddf = duck.execute(spec.oracle).df()
+    d_cols = list(ddf.columns)
+    d_rows = list(ddf.itertuples(index=False, name=None))
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: columns {s_cols} vs {d_cols}"
     assert len(s_rows) == len(d_rows), f"{name}: rowcount {len(s_rows)} vs {len(d_rows)}"
