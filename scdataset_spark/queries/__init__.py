@@ -25,66 +25,66 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  The explicit priority below front-loads the queries that have
-# not yet appeared in any external correctness sweep (streaming, similarity,
-# multimodal, hooks, newer dedup/text, scalar batteries) plus a small set of
-# canaries re-confirming previously-verified behavior (core sampling,
-# flagship relational, LSH dedup).  Names and semantics are frozen; only the
-# iteration order of the registry changes.
+# cosmetics.  After round 3 every registered query has at least one external
+# green row; the round-4 priority is (a) the five queries whose round-3 rows
+# were non-green — their fixes must be re-swept — then (b) queries by
+# staleness of their most recent external check (round-1-only first, then
+# the round-2 cohort), so no query's verification ages more than two rounds.
+# Names and semantics are frozen; only the iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- never externally verified (rounds 1-2 windows missed these) ---
-    "q9_product_profit",
-    "q21_waiting_supplier",
-    "dd_simhash_pairs",
-    "dd_decontamination",
-    "dd_components",
-    "dd_dedup_corpus",
-    "dd_embed_components",
-    "sim_topk_cosine",
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "mm_multimodal_zip",
-    "tx_normalize",
-    "tx_pii_scrub",
-    "tx_token_budget",
-    "pipe_curation",
-    "tx_sequence_pack",
-    "ev_tumbling_window",
-    "ev_sliding_window",
-    "ev_session_window",
-    "ev_stream_stream_join",
-    "ev_session_funnel",
-    "ev_session_capped",
-    "ev_first_event_dedup",
-    "g3_batch_entropy",
-    "g5_sample_size_estimate",
-    "g6_batch_normalize",
-    "t_hook_pipeline",
-    "src_custom_datasource",
-    "mm_binary_decode",
-    "mm_feature_extract",
-    "s4_sparse_densify",
-    "s3_anndata_ingest",
-    "ml_label_encode",
-    "ml_tfidf",
-    "g7_grouping_sets",
-    "g7_cube",
-    "sq_scalar_subquery",
-    "sq_in_subquery",
-    "dt_date_functions",
-    "str_functions",
-    "arr_functions",
-    # --- newly oracle-checkable this round ---
-    "g7_approx_sketches",
-    # --- canaries: previously green, re-confirm under the same sweep ---
-    "o1_block_shuffle",
-    "o3_weighted_replace",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "dd_exact_groups",
-    "dd_minhash_lsh",
-    "dd_embed_cosine",
-    "tx_quality_score",
+    # --- round-3 non-green, fixed this round: re-verify first ---
+    "ev_session_funnel",     # events.ts TIMESTAMP_NTZ normalization
+    "ev_session_capped",     # events.ts TIMESTAMP_NTZ normalization
+    "tx_token_budget",       # HUGEINT oracle sum cast to BIGINT
+    "tx_sequence_pack",      # HUGEINT oracle sum cast to BIGINT
+    "g3_batch_entropy",      # HUGEINT oracle sum cast to BIGINT
+    # --- last externally checked in round 1 ---
+    "tx_token_stats",
+    "tx_langid",
+    "tx_fingerprint",
+    "dd_simhash",
+    "dd_lsh_verified",
+    "dd_ngram_jaccard",
+    # --- last externally checked in round 2 ---
+    "o2_buffer_shuffle",
+    "o15_block_shuffle_droplast",
+    "o10_batch_plan",
+    "o11_drop_last_batches",
+    "o13_ddp_partition",
+    "o5_subset_weighted",
+    "o4_weighted_noreplace",
+    "o6_class_balanced",
+    "o7_smoothed_weights",
+    "o16_mixture_sample",
+    "q4_order_priority",
+    "q10_returned_revenue",
+    "j_anti_customers_without_orders",
+    "j_semi_active_customers",
+    "w5_top3_orders_per_customer",
+    "w5_running_revenue",
+    "w5_lag_lead_gaps",
+    "w5_range_frame",
+    "setops_repeat_customers",
+    "setops_lapsed_customers",
+    "g7_rollup_lineitem",
+    "g7_distinct_aggregates",
+    "g7_pivot_status_by_flag",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q19_disjunctive_predicates",
+    "null_handling",
+    "setops_union_distinct",
+    "g7_percentiles",
+    "g7_correlation",
+    "scalar_functions_events",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q22_idle_wealthy_customers",
+    "sq_correlated_group_max",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
 ]
 
 
