@@ -327,3 +327,51 @@ def simhash_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-token gram, then
+    keep the MINIMUM hash of each sliding window of ``window``
+    consecutive gram hashes.  Guarantee: any shared token run of length
+    ``>= k + window - 1`` between two documents contributes at least one
+    shared fingerprint — the substring-level dedup primitive (shared
+    boilerplate/quotation detection) that whole-document MinHash misses.
+
+    Density is ~2/(window+1) of positions, so the exploded frame is a
+    fraction of token count; candidate generation downstream is an
+    equi-join on the fingerprint value — one short-key shuffle, the same
+    scale shape as MinHash/SimHash banding.  Hot fingerprints (ubiquitous
+    boilerplate) are cappable with ``skew.cap_hot_tokens`` like shingles.
+
+    The gram hash is the portable 32-bit md5 prefix (same base hash as
+    ``with_minhash``) so a SQL oracle reproduces fingerprints exactly.
+    Output: one row per (id, fingerprint), distinct.
+    """
+    # token array bound to a column first (lambda re-evaluation rule)
+    toks = df.withColumn("_toks", F.split(F.col(text_col), " "))
+    kgram = (
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+        + "i -> concat_ws(' ', "
+        + ", ".join(
+            f"element_at(_toks, least(i + {j}, size(_toks)))" for j in range(k)
+        )
+        + "))"
+    )
+    hashes = "transform(_kg, s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    fps = (
+        f"array_distinct(transform(sequence(1, greatest(size(_h) - {window - 1}, 1)), "
+        f"i -> array_min(slice(_h, i, {window}))))"
+    )
+    return (
+        toks.withColumn("_kg", F.expr(kgram))
+        .withColumn("_h", F.expr(hashes))
+        .withColumn("_fps", F.expr(fps))
+        .select(id_col, F.explode("_fps").alias("fingerprint"))
+    )

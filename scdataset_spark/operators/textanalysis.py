@@ -212,3 +212,22 @@ def with_stop_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.expr(f"size({toks})")).withColumn(
         "n_stop", F.expr(f"size(filter({toks}, t -> t IN ({STOP_SQL})))")
     )
+
+
+# GPT-2-style pre-tokenizer, reduced to constructs whose semantics are
+# identical in Java regex (Spark) and RE2 (DuckDB): letter runs, digit
+# runs, and single non-alphanumeric marks, each with an optional leading
+# space (the BPE convention of gluing the space to the following token).
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting (§2.14 text): the number of pre-tokenizer
+    segments under :data:`BPE_PATTERN` — the standard budget estimate a
+    curation pipeline runs before the real tokenizer (which needs its
+    merges table and so lives outside the engine).  Pure JVM
+    ``regexp_extract_all``; scale cost is one linear scan, no shuffle."""
+    return df.withColumn(
+        "n_bpe",
+        F.expr(f"size(regexp_extract_all({text_col}, '{BPE_PATTERN}', 0))"),
+    )
