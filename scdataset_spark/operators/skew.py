@@ -17,6 +17,18 @@ from pyspark.sql import functions as F
 from scdataset_spark.plans.seeds import mix_sql
 
 
+def salt_expr(df: DataFrame, salts: int = 16, seed: int = 0) -> F.Column:
+    """Deterministic per-row salt in ``[0, salts)``: the seeded ``mix``
+    of ``row_id`` when one exists, else ``xxhash64`` over ALL columns
+    (+ seed) — a pure function of row values, so it is stable under
+    recompute, ``.repartition()``, and speculative re-execution (the
+    repo's seeded-expression rule, SURVEY §4).  Duplicate rows share a
+    salt, which only narrows the spread, never breaks counts."""
+    if "row_id" in df.columns:
+        return F.expr(mix_sql("row_id", seed, "spark")) % salts
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)), F.lit(salts))
+
+
 def salted_count(
     df: DataFrame, key_cols: list[str], salts: int = 16, seed: int = 0
 ) -> DataFrame:
@@ -31,10 +43,7 @@ def salted_count(
     dominates a reducer; the same two-phase shape applies to any
     reassociable aggregate.
     """
-    salt = (F.spark_partition_id() * 7919 + F.monotonically_increasing_id()) % salts
-    # deterministic variant when a row id exists
-    if "row_id" in df.columns:
-        salt = F.expr(mix_sql("row_id", seed, "spark")) % salts
+    salt = salt_expr(df, salts=salts, seed=seed)
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")

@@ -25,66 +25,74 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  After round 3 every registered query has at least one external
-# green row; the round-4 priority is (a) the five queries whose round-3 rows
-# were non-green — their fixes must be re-swept — then (b) queries by
-# staleness of their most recent external check (round-1-only first, then
-# the round-2 cohort), so no query's verification ages more than two rounds.
-# Names and semantics are frozen; only the iteration order changes.
+# cosmetics.  Round-5 priority: (a) the five queries new this round (never
+# externally checked), then (b) staleness of the most recent external check —
+# the six round-2-only queries, then the round-3 cohort (everything round 4
+# did not re-check).  106 registered > 50 per sweep, so the tail of the
+# round-3 cohort is ordered cheapest-and-most-stable last (pure scalar /
+# subquery relational forms) — those are the ones that can safely wait one
+# more round.  Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- round-3 non-green, fixed this round: re-verify first ---
-    "ev_session_funnel",     # events.ts TIMESTAMP_NTZ normalization
-    "ev_session_capped",     # events.ts TIMESTAMP_NTZ normalization
-    "tx_token_budget",       # HUGEINT oracle sum cast to BIGINT
-    "tx_sequence_pack",      # HUGEINT oracle sum cast to BIGINT
-    "g3_batch_entropy",      # HUGEINT oracle sum cast to BIGINT
-    # --- last externally checked in round 1 ---
-    "tx_token_stats",
-    "tx_langid",
-    "tx_fingerprint",
-    "dd_simhash",
-    "dd_lsh_verified",
-    "dd_ngram_jaccard",
+    # --- new in round 5: first external check ---
+    "j4_asof_join",
+    "dd_winnowing",
+    "dd_winnowing_pairs",
+    "tx_bpe_count",
+    "g4_shuffle_quality",
     # --- last externally checked in round 2 ---
-    "o2_buffer_shuffle",
-    "o15_block_shuffle_droplast",
-    "o10_batch_plan",
-    "o11_drop_last_batches",
-    "o13_ddp_partition",
-    "o5_subset_weighted",
-    "o4_weighted_noreplace",
-    "o6_class_balanced",
-    "o7_smoothed_weights",
-    "o16_mixture_sample",
-    "q4_order_priority",
-    "q10_returned_revenue",
-    "j_anti_customers_without_orders",
-    "j_semi_active_customers",
-    "w5_top3_orders_per_customer",
-    "w5_running_revenue",
-    "w5_lag_lead_gaps",
-    "w5_range_frame",
-    "setops_repeat_customers",
-    "setops_lapsed_customers",
-    "g7_rollup_lineitem",
-    "g7_distinct_aggregates",
-    "g7_pivot_status_by_flag",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q19_disjunctive_predicates",
-    "null_handling",
-    "setops_union_distinct",
-    "g7_percentiles",
-    "g7_correlation",
-    "scalar_functions_events",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q22_idle_wealthy_customers",
-    "sq_correlated_group_max",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
+    "s1_streaming_scan",
+    "s2_subset_split",
+    "o9_epoch_reshuffle",
+    "o12_exact_len",
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
+    # --- last externally checked in round 3 ---
+    "o1_block_shuffle",
+    "o3_weighted_replace",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "g7_approx_sketches",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "tx_quality_score",
+    "dd_exact_groups",
+    "dd_minhash_lsh",
+    "dd_simhash_pairs",
+    "dd_decontamination",
+    "dd_components",
+    "dd_dedup_corpus",
+    "dd_embed_cosine",
+    "dd_embed_components",
+    "sim_topk_cosine",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "mm_multimodal_zip",
+    "tx_normalize",
+    "tx_pii_scrub",
+    "pipe_curation",
+    "ev_tumbling_window",
+    "ev_sliding_window",
+    "ev_session_window",
+    "ev_stream_stream_join",
+    "ev_first_event_dedup",
+    "g5_sample_size_estimate",
+    "g6_batch_normalize",
+    "t_hook_pipeline",
+    "src_custom_datasource",
+    "mm_binary_decode",
+    "mm_feature_extract",
+    "s4_sparse_densify",
+    "s3_anndata_ingest",
+    "ml_label_encode",
+    "ml_tfidf",
+    "g7_grouping_sets",
+    # --- round-3 cohort tail: cheap, historically stable — may wait to r6 ---
+    "g7_cube",
+    "sq_scalar_subquery",
+    "sq_in_subquery",
+    "dt_date_functions",
+    "str_functions",
+    "arr_functions",
 ]
 
 

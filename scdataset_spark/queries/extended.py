@@ -504,3 +504,53 @@ def arr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l1_norm"),
         F.expr("size(filter(embedding, x -> x > 0))").alias("n_positive"),
     )
+
+
+# ------------------------------------------------- frame-sample plan
+@query(
+    "mm_frame_sample",
+    survey_ref="§2.14 multimodal",
+    oracle=f"""
+WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+dec AS (SELECT doc_id, 32 + {_byte('h', 0)} % 97 AS width FROM hx)
+SELECT doc_id, CAST(i AS INT) AS frame_pos,
+       CAST((i * width) // 8 AS INT) AS frame_idx
+FROM dec, range(0, 8) t(i)
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: 8 evenly spaced frame indices per
+    blob via pure sequence arithmetic over the decoded metadata (the
+    frame *decode* is the env-stubbed step; the sampling plan — which
+    frames a 100 TB video pipeline actually fetches — is real and
+    value-checked).  No Python, no shuffle beyond the decode stage."""
+    from scdataset_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    decoded = decode_images(with_fake_image(docs)).select("doc_id", "width")
+    planned = frame_sample_plan(decoded, n_frames=8)
+    return planned.select(
+        "doc_id", F.posexplode("frame_indices").alias("frame_pos", "frame_idx")
+    )
+
+
+# ------------------------------------------------- salted aggregation
+@query(
+    "skew_salted_count",
+    survey_ref="G1,G7",
+    oracle="""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys (operators/skew.py):
+    count within (key, salt) first — spreading each hot key over 16
+    reducers — then combine per key.  The salt is the deterministic
+    seeded mix of ``row_id`` (xxhash64 of all columns when no row_id),
+    so recompute/repartition never changes the result.  The oracle is
+    the plain GROUP BY the salting must be transparent to."""
+    from scdataset_spark.operators.skew import salted_count
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return salted_count(li, ["l_returnflag", "l_linestatus"], salts=16)

@@ -1002,3 +1002,95 @@ def tx_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("crosses_boundary"),
     )
+
+
+# ------------------------------------------------- winnowing fingerprints
+@query(
+    "dd_winnowing",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH {CORPUS_SQL},
+sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+kg_t AS (SELECT doc_id,
+  list_transform(range(1, greatest(len(sp) - 2, 1) + 1),
+    i -> sp[i] || ' ' || sp[least(i + 1, len(sp))] || ' ' || sp[least(i + 2, len(sp))]) AS kg
+  FROM sp_t),
+h_t AS (SELECT doc_id,
+  list_transform(kg, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h FROM kg_t),
+f_t AS (SELECT doc_id,
+  list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+    i -> list_aggregate(list_slice(h, i, i + 3), 'min'))) AS fps
+  FROM h_t)
+SELECT doc_id, unnest(fps) AS fingerprint FROM f_t
+""",
+)
+def dd_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS; Schleimer et al. SIGMOD'03) on the
+    planted corpus: min-hash of each 4-window of 3-gram hashes — the
+    substring-level dedup primitive whole-document MinHash misses
+    (shared boilerplate, quotations).  Pure JVM higher-order-function
+    expressions; candidate generation downstream is an equi-join on
+    ``fingerprint`` (same scale shape as MinHash banding)."""
+    return dd.winnowing_fingerprints(corpus(spark, sf_dir), k=3, window=4)
+
+
+@query(
+    "dd_winnowing_pairs",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH {CORPUS_SQL},
+sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+kg_t AS (SELECT doc_id,
+  list_transform(range(1, greatest(len(sp) - 2, 1) + 1),
+    i -> sp[i] || ' ' || sp[least(i + 1, len(sp))] || ' ' || sp[least(i + 2, len(sp))]) AS kg
+  FROM sp_t),
+h_t AS (SELECT doc_id,
+  list_transform(kg, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h FROM kg_t),
+f_t AS (SELECT doc_id,
+  list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+    i -> list_aggregate(list_slice(h, i, i + 3), 'min'))) AS fps
+  FROM h_t),
+fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM f_t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 8
+""",
+)
+def dd_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs from winnowing fingerprints:
+    equi-self-join on fingerprint, count shared fingerprints per pair,
+    keep pairs sharing >= 8 (the planted exact/near copies).  One
+    short-key shuffle — never all-pairs; hot boilerplate fingerprints
+    are cappable with ``skew.cap_hot_tokens`` before the join."""
+    fp = dd.winnowing_fingerprints(corpus(spark, sf_dir), k=3, window=4)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= 8)
+    )
+
+
+# ------------------------------------------------------ BPE token count
+@query(
+    "tx_bpe_count",
+    survey_ref="§2.14 text",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS n_bpe
+FROM documents
+""",
+)
+def tx_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer segment count (GPT-2-style pattern reduced
+    to Java-regex/RE2-identical constructs) — the token-budget estimate
+    a curation pipeline runs before the real tokenizer.  One linear
+    JVM ``regexp_extract_all`` scan, no shuffle."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return tx.with_bpe_token_count(docs).select("doc_id", "n_bpe")

@@ -21,25 +21,26 @@ LI_RID = "row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice)
 
 
 # ------------------------------------------------------------------- G3
-@query(
-    "g3_batch_entropy",
-    survey_ref="G3,G4",
-    oracle=f"""
-WITH base AS (SELECT {LI_RID} AS row_id, l_returnflag FROM lineitem),
+# Shared entropy-frame SQL (G3 body, reused by G4's rollup oracle)
+ENTROPY_SQL = f"""
+base AS (SELECT {LI_RID} AS row_id, l_returnflag FROM lineitem),
 p AS (SELECT row_id, l_returnflag, row_number() OVER (ORDER BY row_id) - 1 AS pos0 FROM base),
 k AS (SELECT row_id, l_returnflag, pos0, ({mix_sql('pos0 // 64', SEED, 'duckdb')}) AS block_key FROM p),
 o AS (SELECT l_returnflag, row_number() OVER (ORDER BY block_key, pos0) - 1 AS pos FROM k),
-c AS (SELECT pos // 64 AS batch_id, l_returnflag, count(*) AS cnt FROM o GROUP BY 1, 2)
+c AS (SELECT pos // 64 AS batch_id, l_returnflag, count(*) AS cnt FROM o GROUP BY 1, 2),
+e AS (
 SELECT batch_id,
        CAST(sum(cnt) AS BIGINT) AS n,
        round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6) AS entropy
 FROM c GROUP BY batch_id
-""",
 )
-def g3_batch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's shuffling-quality metric (benchmarks/utils.py:246-259):
-    Shannon entropy of the class distribution inside each yielded batch
-    of a block-shuffled stream.  H = log2(n) - Σ c·log2(c) / n."""
+"""
+
+
+def _entropy_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch Shannon entropy of the class distribution in a
+    block-shuffled stream (the reference's shuffling-quality metric,
+    benchmarks/utils.py:246-259).  H = log2(n) - Σ c·log2(c) / n."""
     li = load_table(spark, "lineitem", sf_dir)
     plan = BlockShuffling(block_size=64, assume_dense=True).plan(li, seed=SEED)
     counts = (
@@ -52,6 +53,46 @@ def g3_batch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.log2(F.sum("cnt")) - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt"), 6
         ).alias("entropy"),
+    )
+
+
+@query(
+    "g3_batch_entropy",
+    survey_ref="G3,G4",
+    oracle=f"WITH {ENTROPY_SQL} SELECT batch_id, n, entropy FROM e",
+)
+def g3_batch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch shuffle-quality entropy (see ``_entropy_frame``)."""
+    return _entropy_frame(spark, sf_dir)
+
+
+# ------------------------------------------------------------------- G4
+@query(
+    "g4_shuffle_quality",
+    survey_ref="G4",
+    oracle=f"""
+WITH {ENTROPY_SQL}
+SELECT CAST(count(*) AS BIGINT) AS n_batches,
+       round(avg(entropy), 5) AS avg_entropy,
+       round(stddev_samp(entropy), 5) AS std_entropy,
+       round(min(entropy), 6) AS min_entropy,
+       round(max(entropy), 6) AS max_entropy
+FROM e
+""",
+)
+def g4_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level shuffle-quality rollup (reference
+    benchmarks/utils.py:237-268 reports the mean batch entropy of each
+    strategy): avg/std/min/max of the per-batch entropies.  Per-batch
+    entropies are rounded to 6 decimals on BOTH sides first, so the
+    aggregate differs only by summation order (~1e-13) — rounded at 5."""
+    e = _entropy_frame(spark, sf_dir)
+    return e.agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.round(F.avg("entropy"), 5).alias("avg_entropy"),
+        F.round(F.stddev_samp("entropy"), 5).alias("std_entropy"),
+        F.round(F.min("entropy"), 6).alias("min_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
     )
 
 

@@ -218,3 +218,50 @@ FROM events GROUP BY 1, 2
 )
 def ev_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_event_dedup(load_table(spark, "events", sf_dir, with_row_id=False))
+
+
+@query(
+    "j4_asof_join",
+    survey_ref="J4",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts, value FROM events),
+p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+       q.asof_click_id, q.asof_click_value
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id AS asof_click_id, c.value AS asof_click_value
+  FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) q ON TRUE
+""",
+)
+def j4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.8 J4): every purchase gains the id/value of
+    the latest click with ``click.ts <= purchase.ts`` for the same user
+    (last-touch attribution).  The operator is the union+window
+    carry-forward plan in ``operators/asof.py`` — ONE keyed shuffle,
+    linear per key, no range nested-loop; the oracle is the equivalent
+    DuckDB lateral ``ORDER BY ts DESC, event_id DESC LIMIT 1`` (the
+    tiebreak contract ``asof_join`` documents; DuckDB's built-in
+    ``ASOF JOIN`` has the same <=-latest semantics but unpinned ties)."""
+    from scdataset_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    purchases = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts", "value")
+    out = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        ts="ts",
+        payload_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("asof_click_id"),
+        F.col("asof_value").alias("asof_click_value"),
+    )

@@ -1,0 +1,86 @@
+"""The every-operator-has-a-query contract, enforced.
+
+Round 4 shipped three operators with no query, no oracle, no test
+(caught by the round-4 audit).  This test makes that class of drift a
+test failure: every public top-level function/class in ``operators/``,
+``streaming/`` and ``sources/`` must be referenced from the query
+registry layer (queries/*.py, bench.py, __spark_entry__.py) or be
+explicitly allow-listed here as library-only WITH a reason.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "scdataset_spark"
+
+# name -> why it legitimately has no driver query of its own
+LIBRARY_ONLY = {
+    # building blocks consumed by other operators in the same layer;
+    # every *composition* that uses them is oracle-checked
+    "tokens_col": "expression helper used by textanalysis operators",
+    "simhash_exprs": "expression pieces behind with_simhash (dd_simhash)",
+    "persist_bounded": "bounded-cache helper used by dedup/similarity",
+    "salt_expr": "deterministic salt behind salted_count (skew_salted_count)",
+    "hyperplane_bucket_expr": "expression behind sim_lsh_ann buckets",
+    "SamplingStrategy": "abstract base of the checked strategies",
+    "attach_weights": "internal step of o3/o5 weighted sampling",
+    "SimpleCSR": "CSR container used by s3_anndata_ingest internals",
+    # env-gated or infrastructure-bound: no stable in-container oracle
+    "h5ad_to_parquet": "needs the anndata package (env-gated; "
+    "install is prohibited in this container, see README Environment gates)",
+    "decode_images_pil": "real Pillow decode path, env-gated like "
+    "h5ad_to_parquet; the oracle-checked twin is decode_images",
+    "ivf_topk": "MLlib-KMeans IVF variant; centroids are not "
+    "engine-portable — the seeded variant (sim_ivf_ann) is the "
+    "oracle-checked twin",
+    "write_bucketed": "writer-side layout utility; its effect is "
+    "asserted by the plan-shape test (shuffle-free bucketed join)",
+    # true streaming entry points: exercised by tests/test_streaming.py
+    # against their batch twins (the driver compares the batch forms)
+    "read_events_stream": "readStream entry; batch twin is ev_*",
+    "running_user_stats": "applyInPandasWithState op; rows-only check "
+    "by design (stateful streaming is not SQL-expressible)",
+    "capped_sessions_stateful": "stateful twin of ev_session_capped",
+    "append_increment": "incremental-source writer used by the "
+    "resume/validation tests",
+}
+
+
+def _public_names():
+    out = {}
+    for sub in ("operators", "streaming", "sources"):
+        for mod in sorted((PKG / sub).glob("*.py")):
+            if mod.name == "__init__.py":
+                continue
+            tree = ast.parse(mod.read_text())
+            for node in tree.body:
+                if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and not node.name.startswith("_"):
+                    out.setdefault(node.name, f"{sub}/{mod.name}")
+    return out
+
+
+def test_every_public_operator_is_wired_or_allowlisted():
+    registry_text = "".join(
+        p.read_text() for p in sorted((PKG / "queries").glob("*.py"))
+    )
+    for extra in ("bench.py", "__spark_entry__.py"):
+        registry_text += (PKG.parent / extra).read_text()
+
+    unwired = {
+        name: where
+        for name, where in _public_names().items()
+        if name not in registry_text and name not in LIBRARY_ONLY
+    }
+    assert not unwired, (
+        "public operators with no query-layer reference and no "
+        f"library-only justification: {unwired} — register a query "
+        "(+oracle) or add an entry to LIBRARY_ONLY with a reason"
+    )
+
+
+def test_allowlist_is_not_stale():
+    names = _public_names()
+    stale = [n for n in LIBRARY_ONLY if n not in names]
+    assert not stale, f"LIBRARY_ONLY entries no longer exist: {stale}"

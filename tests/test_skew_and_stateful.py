@@ -28,6 +28,41 @@ class TestSkew:
         }
         assert plain == salted
 
+    def test_salt_expr_stable_under_repartition(self, spark):
+        """The no-row_id salt fallback (xxhash64 of all columns + seed)
+        must assign every row the same salt regardless of physical
+        layout — recompute/speculation safety.  The old fallback
+        (partition_id * 7919 + monotonically_increasing_id) fails this."""
+        from scdataset_spark.operators.skew import salt_expr
+
+        docs = (
+            load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+            .select("doc_id", "lang")
+        )
+        assert "row_id" not in docs.columns  # exercises the fallback
+        a = {
+            r.doc_id: r.s
+            for r in docs.withColumn("s", salt_expr(docs, salts=16)).collect()
+        }
+        rep = docs.repartition(7)
+        b = {
+            r.doc_id: r.s
+            for r in rep.withColumn("s", salt_expr(rep, salts=16)).collect()
+        }
+        assert a == b
+        assert set(a.values()) <= set(range(16)) and len(set(a.values())) > 1
+
+    def test_salted_count_no_row_id(self, spark):
+        """salted_count on a frame WITHOUT row_id (deterministic
+        xxhash64 fallback) still matches the plain GROUP BY."""
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        plain = {(r.lang,): r["count"] for r in docs.groupBy("lang").count().collect()}
+        salted = {
+            (r.lang,): r["count"]
+            for r in salted_count(docs, ["lang"], salts=8).collect()
+        }
+        assert plain == salted
+
     def test_cap_hot_tokens(self, spark):
         docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
         sh = with_shingles(docs.select("doc_id", "text"))

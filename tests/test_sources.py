@@ -241,6 +241,24 @@ class TestMultimodal:
         again = {r.doc_id: r for r in decode_images(with_fake_image(docs)).collect()}
         assert rows[0] == again[0]
 
+    def test_pil_path_gated_not_inverted(self, spark):
+        """decode_images must be PIL-independent (it is the
+        oracle-checked stub); the REAL decoder is a separate function
+        that fails loudly — not the stub breaking — when Pillow is
+        absent.  Guards against the inverted-gate regression where
+        installing Pillow would have broken mm_binary_decode."""
+        from scdataset_spark.operators import multimodal as mm
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False).limit(4)
+        # the stub path never consults HAVE_PIL
+        assert decode_images(with_fake_image(docs)).count() == 4
+        if not mm.HAVE_PIL:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                mm.decode_images_pil(with_fake_image(docs))
+        else:  # pragma: no cover - Pillow not in this container
+            # fake md5 blobs are not valid images; the gate itself opens
+            assert callable(mm.decode_images_pil)
+
     def test_frame_sample_plan(self, spark):
         docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
         dec = decode_images(with_fake_image(docs))
