@@ -231,3 +231,32 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_bpe",
         F.expr(f"size(regexp_extract_all({text_col}, '{BPE_PATTERN}', 0))"),
     )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (Gopher-style repetition rules,
+    Rae et al. 2021 §A1.1): the fraction of duplicate tokens and
+    duplicate 2-grams within each document.  High values mark the
+    boilerplate/spam documents a curation pipeline drops BEFORE
+    corpus-level dedup ever sees them.  Pure higher-order-function
+    expressions — linear scan, no shuffle; integer/integer division is
+    exact so the ratios are engine-identical after one round."""
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(1, greatest(size(_rt) - 1, 1)), "
+        "i -> concat_ws(' ', element_at(_rt, i), "
+        "element_at(_rt, least(i + 1, size(_rt)))))"
+    )
+    return (
+        df.withColumn("_rt", F.expr(toks))
+        .withColumn("_g2", F.expr(grams))
+        .withColumn(
+            "dup_token_ratio",
+            F.expr("round(1.0 - size(array_distinct(_rt)) / size(_rt), 6)"),
+        )
+        .withColumn(
+            "dup_2gram_ratio",
+            F.expr("round(1.0 - size(array_distinct(_g2)) / size(_g2), 6)"),
+        )
+        .drop("_rt", "_g2")
+    )

@@ -39,6 +39,15 @@ _SWEEP_PRIORITY = [
     "dd_winnowing_pairs",
     "tx_bpe_count",
     "g4_shuffle_quality",
+    "mm_frame_sample",
+    "skew_salted_count",
+    "q17_small_quantity",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "tx_repetition",
+    "emb_quantize",
+    "dd_embed_exact",
     # --- last externally checked in round 2 ---
     "s1_streaming_scan",
     "s2_subset_split",

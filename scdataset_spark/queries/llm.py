@@ -1094,3 +1094,115 @@ def tx_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM ``regexp_extract_all`` scan, no shuffle."""
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
     return tx.with_bpe_token_count(docs).select("doc_id", "n_bpe")
+
+
+# -------------------------------------------- intra-doc repetition
+@query(
+    "tx_repetition",
+    survey_ref="§2.14 text",
+    oracle="""
+WITH sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+g_t AS (SELECT doc_id, sp,
+  list_transform(range(1, greatest(len(sp) - 1, 1) + 1),
+    i -> sp[i] || ' ' || sp[least(i + 1, len(sp))]) AS g2
+  FROM sp_t)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(sp)) / len(sp), 6) AS dup_token_ratio,
+       round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio
+FROM g_t
+""",
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition ratios (duplicate token /
+    duplicate 2-gram fractions) — the within-doc quality filter that
+    runs before any corpus-level dedup."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return tx.with_repetition_stats(docs).select(
+        "doc_id", "dup_token_ratio", "dup_2gram_ratio"
+    )
+
+
+# ---------------------------------------- embedding quantization
+@query(
+    "emb_quantize",
+    survey_ref="§2.14 similarity",
+    oracle="""
+WITH a_t AS (
+  SELECT vec_id,
+         embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30)
+           AS amax
+  FROM embeddings
+),
+q_t AS (
+  SELECT vec_id, amax,
+         list_transform(embedding, x -> CAST(trunc(x::DOUBLE / amax * 127) AS INT)) AS q
+  FROM a_t
+)
+SELECT vec_id,
+       round(amax, 8) AS scale_amax,
+       CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum,
+       CAST(list_aggregate(list_transform(q, x -> CAST(x AS BIGINT) * x), 'sum') AS BIGINT)
+         AS qnorm
+FROM q_t
+""",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (similarity.quantize_
+    embeddings): per-vector scale + the quantized vector, value-checked
+    via its exact integer sum and squared norm (the full 64-element
+    array is determined by these only up to permutation, but trunc of
+    identical doubles is exact, so sums pin every element in practice
+    while keeping the checked frame compact)."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = sim.quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.round("amax", 8).alias("scale_amax"),
+        F.expr("aggregate(qvec, 0L, (a, x) -> a + x)").alias("qsum"),
+        F.expr("aggregate(qvec, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)").alias("qnorm"),
+    )
+
+
+# ---------------------------------------- exact embedding dedup
+@query(
+    "dd_embed_exact",
+    survey_ref="§2.14 dedup",
+    oracle="""
+WITH ec AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 13 = 0
+)
+SELECT min(vec_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM ec
+GROUP BY embedding
+HAVING count(*) > 1
+""",
+)
+def dd_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate embedding vectors (the cheap pass BEFORE cosine
+    near-dup): group by the raw float array itself — bitwise equality
+    of identical parquet floats is engine-exact — on a corpus with
+    planted exact copies (vec_id % 13).  One hash-aggregation on the
+    vector bytes; at 100 TB the group key would be xxhash64 of the
+    vector to keep shuffle rows narrow, with the array compare only
+    inside buckets."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False).select(
+        "vec_id", "embedding"
+    )
+    planted = e.where("vec_id % 13 = 0").select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+    )
+    ec = e.unionByName(planted)
+    return (
+        ec.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("canonical_id", "n_copies")
+    )

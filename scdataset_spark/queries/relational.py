@@ -1215,3 +1215,226 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+# ---------------------------------------------- TPC-H Q17/Q2/Q11/Q20
+# The driver's TPC-H-ish schema has no partsupp table, so Q2/Q11/Q20
+# derive the supply relation from lineitem facts (cost = min unit
+# price, stock value = shipped value, availqty = shipped quantity);
+# the join/subquery PATTERN of each query is preserved exactly.
+@query(
+    "q17_small_quantity",
+    survey_ref="J3,G7",
+    oracle="""
+WITH pf AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13' AND p_size <= 10),
+lf AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+       FROM lineitem l JOIN pf ON pf.p_partkey = l.l_partkey),
+pa AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh FROM lf GROUP BY l_partkey)
+SELECT round(CAST(sum(CAST(lf.l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly
+FROM lf JOIN pa ON pa.l_partkey = lf.l_partkey
+WHERE lf.l_quantity < pa.qty_thresh
+""",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (container filter adapted to the schema's size band):
+    revenue loss from small-quantity orders — lineitems below 20% of
+    their part's average quantity.  Spark-first shape: broadcast the
+    filtered part keys into a semi-join FIRST, so both the per-part
+    average and the final sum aggregate only the ~1% of lineitem that
+    survives; the avg of integral quantities is an exact double, so the
+    `<` threshold compare is engine-identical."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    p = load_table(spark, "part", sf_dir, with_row_id=False)
+    pf = p.where((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)).select("p_partkey")
+    lf = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = lf.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("qty_thresh"))
+    return (
+        lf.join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(dsum_col(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    survey_ref="J3,G7",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+),
+pc AS (
+  SELECT c.l_partkey, c.l_suppkey, c.supply_cost
+  FROM cost c JOIN rs ON rs.s_suppkey = c.l_suppkey
+),
+mn AS (SELECT l_partkey, min(supply_cost) AS min_cost FROM pc GROUP BY 1)
+SELECT rs.s_acctbal, rs.s_name, rs.n_name, p.p_partkey, p.p_type, pc.supply_cost
+FROM pc
+JOIN mn ON mn.l_partkey = pc.l_partkey AND pc.supply_cost = mn.min_cost
+JOIN part p ON p.p_partkey = pc.l_partkey
+JOIN rs ON rs.s_suppkey = pc.l_suppkey
+WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern (supply cost derived as the min observed unit
+    price per part+supplier): for each qualifying part, the ASIA
+    supplier(s) achieving the part's minimum cost — the correlated
+    min-subquery decorrelated into a per-part aggregate joined back on
+    exact-double equality (min of identical IEEE divisions is
+    engine-identical).  Dims broadcast; the only shuffles are the two
+    keyed aggregations on l_partkey."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    p = load_table(spark, "part", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    r = load_table(spark, "region", sf_dir, with_row_id=False)
+    rs = (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    pc = cost.join(F.broadcast(rs.select("s_suppkey")), cost.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", "l_suppkey", "supply_cost"
+    )
+    mn = pc.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    pf = p.where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL")).select(
+        "p_partkey", "p_type"
+    )
+    winners = (
+        pc.alias("pc")
+        .join(
+            mn.alias("mn"),
+            (F.col("pc.l_partkey") == F.col("mn.l_partkey"))
+            & (F.col("pc.supply_cost") == F.col("mn.min_cost")),
+        )
+        .select("pc.l_partkey", "pc.l_suppkey", "pc.supply_cost")
+    )
+    return (
+        winners.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(rs), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+    )
+
+
+@query(
+    "q11_important_stock",
+    survey_ref="J3,G7",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM val
+WHERE value * 10000 > (SELECT sum(value) FROM val)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 pattern (stock value derived from shipped value): parts
+    whose NATION_7-supplied value exceeds 1/10000 of the nation total.
+    The global-total scalar subquery becomes a broadcast 1-row cross
+    join; the threshold compare stays in exact DECIMAL (value*10000 vs
+    total) so no double drift can flip a boundary row."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    sn = (
+        s.join(F.broadcast(n.where(F.col("n_name") == "NATION_7")), n.n_nationkey == s.s_nationkey)
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+            ).alias("value")
+        )
+    )
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value") * 10000 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    survey_ref="J3",
+    oracle="""
+WITH agg AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(qty) AS part_total FROM agg GROUP BY 1),
+qual AS (
+  SELECT DISTINCT a.l_suppkey
+  FROM agg a JOIN tot t ON t.l_partkey = a.l_partkey
+  WHERE a.qty > 0.25 * t.part_total
+)
+SELECT s.s_name, s.s_acctbal, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+""",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 pattern (availqty derived from shipped quantity):
+    NATION_3 suppliers who carried more than a quarter of some
+    'small%' part's 1996 volume — the nested IN-subquery chain planned
+    as broadcast-semi-joins.  Quantity sums are integral doubles and
+    0.25 is a power of two, so the threshold compare is exact in both
+    engines."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    p = load_table(spark, "part", sf_dir, with_row_id=False)
+    s = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    pf = p.where(F.col("p_name").like("small%")).select("p_partkey")
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum_col(F.col("l_quantity")).alias("qty"))
+    )
+    tot = agg.groupBy("l_partkey").agg(F.sum("qty").alias("part_total"))
+    qual = (
+        agg.join(tot, "l_partkey")
+        .where(F.col("qty") > 0.25 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n.where(F.col("n_name") == "NATION_3")), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal", "n_name")
+    )
