@@ -353,25 +353,32 @@ def winnowing_fingerprints(
     The gram hash is the portable 32-bit md5 prefix (same base hash as
     ``with_minhash``) so a SQL oracle reproduces fingerprints exactly.
     Output: one row per (id, fingerprint), distinct.
+
+    Expression shape (the sf0.1 lesson): the tokens→grams→hashes→mins
+    chain must NOT be separate single-use columns — CollapseProject
+    inlines a once-referenced alias into the downstream lambda body,
+    where it re-evaluates PER LAMBDA ITERATION (grams and md5 recomputed
+    for every window position: O(n³) per document; measured minutes on
+    5k docs).  Each stage is therefore let-bound with the
+    ``transform(array(X), v -> body)[0]`` idiom: ``array(X)`` is the
+    HOF's input argument, evaluated exactly once per row, and ``v`` is
+    a materialized value inside ``body``.  Total work per doc is the
+    intended O(n·window) with one md5 per gram.
     """
-    # token array bound to a column first (lambda re-evaluation rule)
-    toks = df.withColumn("_toks", F.split(F.col(text_col), " "))
     kgram = (
-        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)), "
         + "i -> concat_ws(' ', "
-        + ", ".join(
-            f"element_at(_toks, least(i + {j}, size(_toks)))" for j in range(k)
-        )
+        + ", ".join(f"element_at(t, least(i + {j}, size(t)))" for j in range(k))
         + "))"
     )
-    hashes = "transform(_kg, s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    hashes = f"transform({kgram}, s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    mins = (
+        f"array_distinct(transform(sequence(1, greatest(size(h) - {window - 1}, 1)), "
+        f"j -> array_min(slice(h, j, {window}))))"
+    )
     fps = (
-        f"array_distinct(transform(sequence(1, greatest(size(_h) - {window - 1}, 1)), "
-        f"i -> array_min(slice(_h, i, {window}))))"
+        f"transform(array(split({text_col}, ' ')), t -> "
+        f"  transform(array({hashes}), h -> {mins})[0]"
+        f")[0]"
     )
-    return (
-        toks.withColumn("_kg", F.expr(kgram))
-        .withColumn("_h", F.expr(hashes))
-        .withColumn("_fps", F.expr(fps))
-        .select(id_col, F.explode("_fps").alias("fingerprint"))
-    )
+    return df.select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))

@@ -227,3 +227,42 @@ def test_bucketed_layout_removes_orderkey_exchanges_from_q3_q18_q21(spark, tmp_p
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_q17_semi_filters_before_aggregate(spark):
+    """Q17's plan must broadcast the filtered part keys into lineitem
+    BEFORE the per-part average (aggregate only the surviving ~1%),
+    and never fall back to a cartesian form."""
+    plan = _plan(spark, "q17_small_quantity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_total_is_broadcast(spark):
+    """The Q11 global-total scalar subquery must attach as a broadcast
+    1-row join (either BNLJ on a single-row build side or a broadcast
+    hash join), never a shuffled cartesian."""
+    plan = _plan(spark, "q11_important_stock")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_q20_semi_join_chain(spark):
+    plan = _plan(spark, "q20_potential_promotion")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_keyed_shuffle(spark):
+    """The as-of join plan is one union + one per-key window: exactly
+    one exchange on the join key, no join operator at all."""
+    plan = _plan(spark, "j4_asof_join")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan  # union+window, not a join
