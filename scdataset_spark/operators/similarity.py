@@ -128,18 +128,41 @@ def lsh_banded_pairs(
     banding note: union-per-band would recompute the lineage ``bands``
     times), and the tiny banded frame is persisted across the self-join
     through a bounded cache registry.
+
+    The ±1 plane weights are seed-constants, so they are materialized
+    ONCE driver-side with ``mix_py`` (bit-identical to the SQL mixer —
+    the oracle still rederives them with ``mix_sql``) and embedded as a
+    constant-folded literal matrix.  The original ``banded_sig_expr``
+    form rederived all ``bands*rows*dim`` mixer values inside the
+    per-row expression; the unrolled tree also blew past whole-stage
+    codegen limits into interpreted evaluation — measured ~7 ms/row
+    (17 s for 2.4k vectors at sf0.1) vs ~0.1 ms/row for this form,
+    identical signatures.
     """
+    from scdataset_spark.plans.seeds import mix_py
+
+    weights = [
+        [float(2 * (mix_py(g * dim + d, seed) % 2) - 1) for d in range(dim)]
+        for g in range(bands * rows_per_band)
+    ]
+    sig = (
+        f"aggregate(sequence(0, {rows_per_band - 1}), 0L, (acc, p) -> acc + "
+        f"CASE WHEN aggregate(zip_with({vec}, element_at(_W, {{base}} + p + 1), "
+        "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0 "
+        "THEN shiftleft(1L, p) ELSE 0L END)"
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.expr(banded_sig_expr(vec, b, rows_per_band, dim, seed)).alias("sig"),
+                F.expr(sig.format(base=b * rows_per_band)).alias("sig"),
             )
             for b in range(bands)
         ]
     )
     banded = (
-        df.select(F.col(id_col), F.explode(band_structs).alias("_b"))
+        df.withColumn("_W", F.lit(weights))
+        .select(F.col(id_col), F.explode(band_structs).alias("_b"))
         .select(id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.sig").alias("sig"))
     )
     banded = persist_bounded(banded)

@@ -35,7 +35,15 @@ corpus AS (
 
 
 def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planted-duplicates corpus (see module docstring)."""
+    """Planted-duplicates corpus (see module docstring).
+
+    NOT width-repartitioned here: measured A/B at sf0.1 shows a blanket
+    corpus shuffle is a net loss for the cheap consumers (exact-dup
+    md5+groupBy 0.37s -> 0.71s, minhash banding 0.31s -> 0.49s warm) —
+    their downstream shuffles already spread the work.  Operators whose
+    PRE-shuffle compute is the dominant cost repartition internally
+    where the win is measured (``jaccard_pairs``,
+    ``winnowing_fingerprints``)."""
     docs = load_table(spark, "documents", sf_dir, with_row_id=False).select("doc_id", "text")
     exact = (
         docs.where("doc_id % 7 = 0")
