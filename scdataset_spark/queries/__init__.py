@@ -48,6 +48,8 @@ _SWEEP_PRIORITY = [
     "tx_repetition",
     "emb_quantize",
     "dd_embed_exact",
+    "o17_temperature_mixture",
+    "dd_ngram_decontam",
     # --- last externally checked in round 2 ---
     "s1_streaming_scan",
     "s2_subset_split",

@@ -1214,3 +1214,47 @@ def dd_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .select("canonical_id", "n_copies")
     )
+
+
+# ------------------------------------- exact n-gram decontamination
+@query(
+    "dd_ngram_decontam",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH {CORPUS_SQL},
+sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+sh_t AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM sp_t),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+ev AS (SELECT doc_id, s FROM inv WHERE doc_id % 10 = 3),
+tr AS (SELECT doc_id, s FROM inv WHERE doc_id % 10 <> 3)
+SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM ev e JOIN tr t ON e.s = t.s
+GROUP BY 1, 2
+HAVING count(*) >= 5
+""",
+)
+def dd_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style EXACT n-gram decontamination (Brown et al. 2020
+    Appendix C use 13-grams; 3-grams here for the short synthetic
+    docs): a training document sharing >= 5 distinct grams with an
+    eval-split document is flagged verbatim-contaminated.  Complements
+    ``dd_decontamination`` (MinHash, paraphrase-level): exact-gram
+    catches short verbatim quotes LSH banding can miss.  Inverted-index
+    equi-join restricted to cross-split pairs; at 100 TB the hot-gram
+    cap (``skew.cap_hot_tokens``) bounds fan-out exactly as in
+    ``jaccard_pairs``."""
+    sh = dd.with_shingles(corpus(spark, sf_dir))
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ev = inv.where(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    tr = inv.where(F.col("doc_id") % 10 != 3).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    return (
+        ev.join(tr, "s")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .where(F.col("shared_grams") >= 5)
+    )

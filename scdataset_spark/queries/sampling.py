@@ -535,3 +535,48 @@ def o16_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         replace=True,
     )
     return strat.plan(docs, seed=SEED).select("row_id", "pos")
+
+
+@query(
+    "o17_temperature_mixture",
+    survey_ref="O3,§2.14",
+    oracle="""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT sum(n) AS total FROM c),
+s AS (SELECT source, n, n / (SELECT total FROM t) AS share,
+             sqrt(n / (SELECT total FROM t)) AS ts
+      FROM c),
+z AS (SELECT sum(ts) AS zt FROM s)
+SELECT source, CAST(n AS BIGINT) AS n,
+       round(share, 6) AS raw_share,
+       round(ts / (SELECT zt FROM z), 6) AS temp_share
+FROM s
+""",
+)
+def o17_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (T=2): p_i ∝ share_i^(1/T) —
+    the standard multilingual/low-resource upsampling rule (used by
+    mBERT/XLM-R-style pipelines; T=1 is proportional, T→∞ uniform).
+    The weight table this emits is exactly what ``MixtureSampling``
+    consumes as proportions.  ``sqrt`` is IEEE-correctly-rounded in
+    both engines so shares are bit-identical before the final round.
+    One groupBy + two broadcast scalar attachments — no data movement
+    beyond the count."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    s = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n") / F.col("total"))
+        .withColumn("ts", F.sqrt("share"))
+    )
+    z = s.agg(F.sum("ts").alias("zt"))
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("share", 6).alias("raw_share"),
+            F.round(F.col("ts") / F.col("zt"), 6).alias("temp_share"),
+        )
+    )
