@@ -50,6 +50,7 @@ _SWEEP_PRIORITY = [
     "dd_embed_exact",
     "o17_temperature_mixture",
     "dd_ngram_decontam",
+    "ev_user_stats",
     # --- last externally checked in round 2 ---
     "s1_streaming_scan",
     "s2_subset_split",

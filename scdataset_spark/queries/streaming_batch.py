@@ -265,3 +265,29 @@ def j4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("asof_click_id"),
         F.col("asof_value").alias("asof_click_value"),
     )
+
+
+@query(
+    "ev_user_stats",
+    survey_ref="§2.11,G7",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS total_value,
+       CAST(max(ts::TIMESTAMP) AS TIMESTAMP) AS last_ts
+FROM events GROUP BY user_id
+""",
+)
+def ev_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState custom stateful operator
+    (``streaming/stateful.running_user_stats``): per-user event count,
+    decimal-exact value total, last timestamp.  The streaming run is
+    asserted equal to this frame in
+    ``tests/test_skew_and_stateful.TestStatefulStreaming`` — this entry
+    makes the shared semantics driver-checkable."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )

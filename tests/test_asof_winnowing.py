@@ -140,3 +140,39 @@ class TestBpeCount:
         # ' ?[^A-Za-z0-9 ]' never matches a bare space, so the stray
         # middle space joins no segment: 'a', ' b'
         assert got[3] == 2
+
+
+class TestAsofSimulation:
+    def test_matches_python_simulation(self, spark):
+        """Pseudo-random (mix-seeded) event set vs a brute-force Python
+        as-of: every (key, ts) shape — ties, no-match, multi-right —
+        must agree with the O(n²) reference computation."""
+        from scdataset_spark.plans.seeds import mix_py
+
+        left = [
+            (i, mix_py(i, 1) % 5, ts(mix_py(i, 2) % 30)) for i in range(120)
+        ]
+        right = [
+            (1000 + i, mix_py(i, 3) % 5, ts(mix_py(i, 4) % 30), float(i))
+            for i in range(80)
+        ]
+        ldf = spark.createDataFrame(left, "event_id bigint, user_id bigint, ts timestamp")
+        rdf = spark.createDataFrame(
+            right, "event_id bigint, user_id bigint, ts timestamp, value double"
+        )
+        out = asof_join(
+            ldf, rdf, by="user_id", ts="ts",
+            payload_cols=["event_id", "value"], tiebreak="event_id",
+        )
+        got = {r.event_id: (r.asof_event_id, r.asof_value) for r in out.collect()}
+
+        def brute(lid, lk, lts):
+            best = None
+            for rid, rk, rts, rv in right:
+                if rk == lk and rts <= lts:
+                    if best is None or (rts, rid) > (best[2], best[0]):
+                        best = (rid, rv, rts)
+            return (best[0], best[1]) if best else (None, None)
+
+        expected = {lid: brute(lid, lk, lts) for lid, lk, lts in left}
+        assert got == expected
