@@ -51,6 +51,8 @@ _SWEEP_PRIORITY = [
     "o17_temperature_mixture",
     "dd_ngram_decontam",
     "ev_user_stats",
+    "j_full_outer_nation_activity",
+    "g7_unpivot_flag_metrics",
     # --- last externally checked in round 2 ---
     "s1_streaming_scan",
     "s2_subset_split",

@@ -1438,3 +1438,77 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal", "n_name")
     )
+
+
+@query(
+    "j_full_outer_nation_activity",
+    survey_ref="J3",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+)
+def j_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the J3 join-type matrix's last cell): per-nation
+    high-balance customer vs supplier counts where either side may be
+    absent — nulls folded to zero.  Both inputs are pre-aggregated to
+    nation cardinality, so the outer join itself moves only dim-sized
+    frames."""
+    c = (
+        load_table(spark, "customer", sf_dir, with_row_id=False)
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, "supplier", sf_dir, with_row_id=False)
+        .where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "g7_unpivot_flag_metrics",
+    survey_ref="G7,§2.10",
+    oracle="""
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS total_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) AS total_price,
+         CAST(count(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, value
+FROM a UNPIVOT (value FOR metric IN (total_qty, total_price, n_rows))
+""",
+)
+def g7_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of g7's pivot): wide per-flag aggregate
+    columns reshaped to (flag, metric, value) rows — `DataFrame.unpivot`
+    on the Spark side, `UNPIVOT` in the oracle.  Runs on a 3-row
+    aggregate, so the reshape is metadata-cheap at any scale."""
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    a = li.groupBy("l_returnflag").agg(
+        dsum_col(F.col("l_quantity")).alias("total_qty"),
+        dsum_col(F.col("l_extendedprice")).alias("total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return a.unpivot(
+        ids=["l_returnflag"],
+        values=["total_qty", "total_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
