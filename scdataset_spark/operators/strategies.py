@@ -213,7 +213,10 @@ def _rank_by_key(
 
 
 def _interval_join_draws(
-    cum: DataFrame, draws: DataFrame, n_buckets: int = 1024
+    cum: DataFrame,
+    draws: DataFrame,
+    n_buckets: int = 1024,
+    total: DataFrame | None = None,
 ) -> DataFrame:
     """Equi-join draws (targets t in [0, total_w)) to cumulative-weight
     intervals [lo, hi) via bucketing — the scale path for inverse-CDF
@@ -229,17 +232,27 @@ def _interval_join_draws(
     # All bucket math is integer `div` — cumulative totals can exceed
     # 2^53, where double division would mis-bucket rows on one side of
     # the join and silently drop draws.
-    cum_b = cum.crossJoin(F.broadcast(cum.agg(F.max("hi").alias("_total"))))
+    #
+    # ``total``: 1-row frame holding the total weight in its single
+    # column.  Callers that already have a scan-fused total sum MUST
+    # pass it — deriving it here as max(hi) re-executes the caller's
+    # whole bucketed running-sum chain once per side (the same
+    # recompute trap the caller's own total avoids).
+    if total is None:
+        total = cum.agg(F.max("hi"))
+    _tcol = total.columns[0]
+    total = total.select(F.col(_tcol).alias("_total"))
+    cum_b = cum.crossJoin(F.broadcast(total))
     cum_b = cum_b.withColumn(
         "_w", F.expr(f"(_total + {n_buckets - 1}) div {n_buckets}")
     ).withColumn(
         "bucket",
         F.explode(F.sequence(F.expr("lo div _w"), F.expr("(hi - 1) div _w"))),
     )
-    draws_b = draws.crossJoin(F.broadcast(cum.agg(F.max("hi").alias("_total2"))))
+    draws_b = draws.crossJoin(F.broadcast(total))
     draws_b = draws_b.withColumn(
-        "bucket", F.expr(f"t div ((_total2 + {n_buckets - 1}) div {n_buckets})")
-    ).drop("_total2")
+        "bucket", F.expr(f"t div ((_total + {n_buckets - 1}) div {n_buckets})")
+    ).drop("_total")
     joined = draws_b.join(cum_b, "bucket").where(
         (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi"))
     )
@@ -329,9 +342,9 @@ class BlockWeightedSampling(SamplingStrategy):
         draws = draws.crossJoin(F.broadcast(total)).withColumn(
             "t", F.expr(t62) % F.col("_t")
         ).drop("_t")
-        return _interval_join_draws(cum.select("row_id", "lo", "hi"), draws).select(
-            "draw_id", "row_id"
-        )
+        return _interval_join_draws(
+            cum.select("row_id", "lo", "hi"), draws, total=total
+        ).select("draw_id", "row_id")
 
     def _reservoir_rounds(self, df: DataFrame, s: int) -> DataFrame:
         k = self.sampling_size or self.total_size
