@@ -90,3 +90,26 @@ def test_oracle_parity(name, spark, duck):
     if s_canon != d_canon:
         diffs = [(a, b) for a, b in zip(s_canon, d_canon) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs spark-vs-duck: {diffs}")
+
+
+# Partition-count independence: results must not depend on physical
+# parallelism (the verify recipe's second probe).  Run the most
+# order-sensitive oracle queries — seeded shuffles and running sums —
+# under a deliberately odd shuffle-partition count and compare to
+# DuckDB exactly as above.
+ORDER_SENSITIVE = ["o1_block_shuffle", "o3_weighted_replace", "g3_batch_entropy"]
+
+
+@pytest.mark.parametrize("name", ORDER_SENSITIVE)
+def test_parity_is_partition_count_independent(name, spark, duck):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        spec = REGISTRY[name]
+        sdf = spec.fn(spark, SF_DIR)
+        s_rows = list(sdf.toPandas().itertuples(index=False, name=None))
+        ddf = duck.execute(spec.oracle).df()
+        d_rows = list(ddf.itertuples(index=False, name=None))
+        assert _canonical(s_rows, sdf.columns) == _canonical(d_rows, list(ddf.columns))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
