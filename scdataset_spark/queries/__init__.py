@@ -53,6 +53,7 @@ _SWEEP_PRIORITY = [
     "ev_user_stats",
     "j_full_outer_nation_activity",
     "g7_unpivot_flag_metrics",
+    "tx_length_buckets",
     # --- last externally checked in round 2 ---
     "s1_streaming_scan",
     "s2_subset_split",

@@ -1258,3 +1258,54 @@ def dd_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .where(F.col("shared_grams") >= 5)
     )
+
+
+# ----------------------------------------- length-bucketed packing
+@query(
+    "tx_length_buckets",
+    survey_ref="§2.14 text,G7",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         least(n_tokens // 16, 7) AS bucket
+  FROM t
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(max(n_tokens) * count(*) AS BIGINT) AS padded_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / (max(n_tokens) * count(*)), 6)
+         AS pad_efficiency
+FROM b GROUP BY bucket
+""",
+)
+def tx_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning: bucket documents by token count
+    (16-token bands, capped) and report per-bucket padding efficiency —
+    real tokens over padded (batch-max × count) tokens.  Batching
+    within length buckets is the standard way to cut padding waste in
+    variable-length training; the efficiency column is the planner's
+    objective, computed exactly (integer token counts, one division).
+    One groupBy — same cost as any keyed agg at 100 TB."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    b = t.withColumn("bucket", F.least(F.expr("n_tokens div 16"), F.lit(7)))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        (F.max("n_tokens") * F.count(F.lit(1))).cast("bigint").alias("padded_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (F.max("n_tokens") * F.count(F.lit(1))),
+            6,
+        ).alias("pad_efficiency"),
+    )
