@@ -113,3 +113,40 @@ def test_parity_is_partition_count_independent(name, spark, duck):
         assert _canonical(s_rows, sdf.columns) == _canonical(d_rows, list(ddf.columns))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# Data-scale independence: the same queries must stay value-identical to
+# the oracle at a different SF (the verify recipe's first probe) — seeded
+# order, thresholds and rounding must not encode anything SF-specific.
+SCALE_PROBE = ["o1_block_shuffle", "g3_batch_entropy", "dd_minhash_lsh",
+               "q17_small_quantity", "tx_length_buckets"]
+
+
+@pytest.fixture(scope="module")
+def duck_small():
+    import duckdb
+
+    from tests.conftest import SF_DIR_SMALL
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_SMALL}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SCALE_PROBE)
+def test_parity_is_data_scale_independent(name, spark, duck_small):
+    from tests.conftest import SF_DIR_SMALL
+
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR_SMALL)
+    s_rows = list(sdf.toPandas().itertuples(index=False, name=None))
+    ddf = duck_small.execute(spec.oracle).df()
+    d_rows = list(ddf.itertuples(index=False, name=None))
+    assert len(s_rows) == len(d_rows), f"{name}: rowcount at sf0.001"
+    assert _canonical(s_rows, sdf.columns) == _canonical(d_rows, list(ddf.columns))
