@@ -1244,8 +1244,14 @@ def dd_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join restricted to cross-split pairs; at 100 TB the hot-gram
     cap (``skew.cap_hot_tokens``) bounds fan-out exactly as in
     ``jaccard_pairs``."""
-    sh = dd.with_shingles(corpus(spark, sf_dir))
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    from scdataset_spark.operators._cache import persist_bounded
+
+    # same posture as jaccard_pairs: width-repartition the narrow
+    # per-doc frame before the shingle explode, persist the inverted
+    # index once — it is consumed by BOTH split sides
+    width = max(8, spark.sparkContext.defaultParallelism)
+    sh = dd.with_shingles(corpus(spark, sf_dir).repartition(width))
+    inv = persist_bounded(sh.select("doc_id", F.explode("shingles").alias("s")))
     ev = inv.where(F.col("doc_id") % 10 == 3).select(
         F.col("doc_id").alias("eval_doc"), "s"
     )
