@@ -1072,7 +1072,13 @@ def dd_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep pairs sharing >= 8 (the planted exact/near copies).  One
     short-key shuffle — never all-pairs; hot boilerplate fingerprints
     are cappable with ``skew.cap_hot_tokens`` before the join."""
-    fp = dd.winnowing_fingerprints(corpus(spark, sf_dir), k=3, window=4)
+    from scdataset_spark.operators._cache import persist_bounded
+
+    # both sides of the self-join read the fingerprint frame — persist
+    # it once (same posture as the banded frames in lsh_candidate_pairs)
+    fp = persist_bounded(
+        dd.winnowing_fingerprints(corpus(spark, sf_dir), k=3, window=4)
+    )
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, "fingerprint")
