@@ -168,26 +168,23 @@ def jaccard_pairs(
     shingle-set sizes, so a capped pair's score can only shrink (capped
     shingles carry ~no discriminative signal; this is standard
     stop-shingle removal)."""
-    from scdataset_spark.operators._cache import persist_bounded
+    from scdataset_spark.operators._cache import persist_bounded, widen_if_narrow
     from scdataset_spark.operators.skew import cap_hot_tokens
 
-    # Spread the shingle/explode work to cluster width BEFORE it runs:
-    # a small input (few parquet splits) otherwise pins the whole
-    # pre-join pipeline at input-split parallelism (measured: 3 tasks on
-    # 32 cores at sf0.1, 6.6 s for the explode alone).  Repartition the
-    # narrow per-doc frame (cheap), not the exploded one.
-    spark = df.sparkSession
-    width = max(8, spark.sparkContext.defaultParallelism)
-    sized = df.withColumn("n_sh", F.size(F.col(shingle_col))).repartition(width)
-    inv = sized.select(
-        F.col(id_col), "n_sh", F.explode(F.col(shingle_col)).alias("sh")
+    # Spread the shingle/explode work to cluster width BEFORE it runs
+    # when the input is split-starved (measured: 3 tasks on 32 cores at
+    # sf0.1, 6.6 s for the explode alone); the guard leaves wide inputs
+    # alone.  Repartition the narrow per-doc frame, not the exploded one.
+    sized = widen_if_narrow(df.withColumn("n_sh", F.size(F.col(shingle_col))))
+    # persist BEFORE the df-cap: the cap's frequency aggregate and its
+    # semi-join, and then both sides of the pair self-join, all consume
+    # this frame — persisting after the cap would still re-derive the
+    # explode for the cap's two readers
+    inv = persist_bounded(
+        sized.select(F.col(id_col), "n_sh", F.explode(F.col(shingle_col)).alias("sh"))
     )
     if max_df is not None:
         inv = cap_hot_tokens(inv, token_col="sh", max_df=max_df)
-    # the inverted index is consumed three times (df-cap frequency agg +
-    # both sides of the self-join) — persist it once instead of
-    # re-deriving shingles per consumer
-    inv = persist_bounded(inv)
     a = inv.alias("a")
     b = inv.alias("b")
     shared = (
@@ -383,10 +380,12 @@ def winnowing_fingerprints(
     intended O(n·window) with one md5 per gram.
     """
     # heavy per-row compute (grams + md5 + window mins) happens BEFORE
-    # any shuffle — spread it to cluster width instead of input-split
-    # parallelism (measured 0.60s -> 0.25s warm at sf0.1 on 32 cores)
-    width = max(8, df.sparkSession.sparkContext.defaultParallelism)
-    df = df.repartition(width)
+    # any shuffle — spread a split-starved input to cluster width
+    # (measured 0.60s -> 0.25s warm at sf0.1 on 32 cores); wide inputs
+    # pass through untouched
+    from scdataset_spark.operators._cache import widen_if_narrow
+
+    df = widen_if_narrow(df)
     kgram = (
         f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)), "
         + "i -> concat_ws(' ', "

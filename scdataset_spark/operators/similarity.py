@@ -82,25 +82,12 @@ def hyperplane_bucket_expr(vec: str, planes: int = 6, dim: int = 64, seed: int =
     return F.expr("CAST(" + " + ".join(bits) + " AS BIGINT)")
 
 
-def banded_sig_expr(
-    vec: str, band: int, rows_per_band: int, dim: int = 64, seed: int = 7
-) -> str:
-    """Signature of one LSH band: ``rows_per_band`` sign-bits packed into
-    an integer.  Plane ``p`` of band ``b`` has global index
-    ``g = b*rows_per_band + p``; its ±1 weight for dimension ``d`` is the
-    parity of ``mix(g*dim + d, seed)`` — the portable mixer, so DuckDB
-    derives bit-identical signatures."""
-    bits = []
-    for p in range(rows_per_band):
-        g = band * rows_per_band + p
-        prods = (
-            f"zip_with({vec}, transform(sequence(0, {dim - 1}), "
-            f"d -> 2 * (({mix_sql(f'({g} * {dim} + d)', seed, 'spark')}) % 2) - 1), "
-            f"(x, w) -> CAST(x AS DOUBLE) * w)"
-        )
-        dot = f"aggregate({prods}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** p} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
+# Weight contract shared with the DuckDB oracle (_duck_banded_sig in
+# queries/llm.py): plane p of band b has global index
+# g = b*rows_per_band + p, and its ±1 weight for dimension d is the
+# parity of mix(g*dim + d, seed).  lsh_banded_pairs below materializes
+# exactly this matrix driver-side with mix_py (bit-identical to the SQL
+# mixer); the oracle rederives it with mix_sql.
 
 
 def lsh_banded_pairs(
@@ -132,8 +119,8 @@ def lsh_banded_pairs(
     The ±1 plane weights are seed-constants, so they are materialized
     ONCE driver-side with ``mix_py`` (bit-identical to the SQL mixer —
     the oracle still rederives them with ``mix_sql``) and embedded as a
-    constant-folded literal matrix.  The original ``banded_sig_expr``
-    form rederived all ``bands*rows*dim`` mixer values inside the
+    constant-folded literal matrix.  The original in-expression
+    signature form rederived all ``bands*rows*dim`` mixer values inside the
     per-row expression; the unrolled tree also blew past whole-stage
     codegen limits into interpreted evaluation — measured ~7 ms/row
     (17 s for 2.4k vectors at sf0.1) vs ~0.1 ms/row for this form,

@@ -25,13 +25,15 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-5 priority: (a) the five queries new this round (never
-# externally checked), then (b) staleness of the most recent external check —
-# the six round-2-only queries, then the round-3 cohort (everything round 4
-# did not re-check).  106 registered > 50 per sweep, so the tail of the
-# round-3 cohort is ordered cheapest-and-most-stable last (pure scalar /
-# subquery relational forms) — those are the ones that can safely wait one
-# more round.  Names and semantics are frozen; only iteration order changes.
+# cosmetics.  Round-5 priority: (a) the TWENTY queries new this round
+# (never externally checked), then (b) staleness of the most recent
+# external check — the six round-2-only queries, then the 45-query round-3
+# cohort (everything round 4 did not re-check).  121 registered > 50 per
+# sweep, so a 50-slot sweep reaches 20 + 6 + the first 24 of the round-3
+# cohort; the remaining 21 round-3 entries (from ev_sliding_window on,
+# ordered cheapest-and-historically-stable last) age to three rounds and
+# MUST lead the round-6 rotation.  Names and semantics are frozen; only
+# iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new in round 5: first external check ---
     "j4_asof_join",

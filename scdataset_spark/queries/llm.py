@@ -505,7 +505,8 @@ def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_banded_sig(band: int, rows_per_band: int = EMB_ROWS_PER_BAND, dim: int = 64, seed: int = 7) -> str:
-    """DuckDB twin of similarity.banded_sig_expr over column ``v``."""
+    """DuckDB twin of the lsh_banded_pairs weight contract over column ``v``
+    (see the comment above similarity.lsh_banded_pairs)."""
     bits = []
     for p in range(rows_per_band):
         g = band * rows_per_band + p
@@ -1250,13 +1251,12 @@ def dd_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join restricted to cross-split pairs; at 100 TB the hot-gram
     cap (``skew.cap_hot_tokens``) bounds fan-out exactly as in
     ``jaccard_pairs``."""
-    from scdataset_spark.operators._cache import persist_bounded
+    from scdataset_spark.operators._cache import persist_bounded, widen_if_narrow
 
-    # same posture as jaccard_pairs: width-repartition the narrow
-    # per-doc frame before the shingle explode, persist the inverted
-    # index once — it is consumed by BOTH split sides
-    width = max(8, spark.sparkContext.defaultParallelism)
-    sh = dd.with_shingles(corpus(spark, sf_dir).repartition(width))
+    # same posture as jaccard_pairs: widen a split-starved per-doc frame
+    # before the shingle explode, persist the inverted index once — it
+    # is consumed by BOTH split sides
+    sh = dd.with_shingles(widen_if_narrow(corpus(spark, sf_dir)))
     inv = persist_bounded(sh.select("doc_id", F.explode("shingles").alias("s")))
     ev = inv.where(F.col("doc_id") % 10 == 3).select(
         F.col("doc_id").alias("eval_doc"), "s"

@@ -1307,8 +1307,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
     )
-    pc = cost.join(F.broadcast(rs.select("s_suppkey")), cost.l_suppkey == F.col("s_suppkey")).select(
-        "l_partkey", "l_suppkey", "supply_cost"
+    # pc feeds both the per-part min derivation and the winners join —
+    # persist it so the lineitem aggregation runs once
+    from scdataset_spark.operators._cache import persist_bounded
+
+    pc = persist_bounded(
+        cost.join(
+            F.broadcast(rs.select("s_suppkey")), cost.l_suppkey == F.col("s_suppkey")
+        ).select("l_partkey", "l_suppkey", "supply_cost")
     )
     mn = pc.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
     pf = p.where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL")).select(
