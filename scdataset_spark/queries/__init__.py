@@ -25,17 +25,91 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-5 priority: (a) the TWENTY queries new this round
-# (never externally checked), then (b) staleness of the most recent
-# external check — the six round-2-only queries, then the 45-query round-3
-# cohort (everything round 4 did not re-check).  121 registered > 50 per
-# sweep, so a 50-slot sweep reaches 20 + 6 + the first 24 of the round-3
-# cohort; the remaining 21 round-3 entries (from ev_sliding_window on,
-# ordered cheapest-and-historically-stable last) age to three rounds and
-# MUST lead the round-6 rotation.  Names and semantics are frozen; only
-# iteration order changes.
+# cosmetics.  Round-6 priority: (a) any query NEW this round (never
+# externally checked) leads, then (b) staleness of the most recent external
+# check — the 21-query round-3 cohort (three rounds stale; everything
+# rounds 4 and 5 did not re-check), then the 50-query round-4 cohort, then
+# the round-5 cohort last.  A 50-slot sweep reaches all new entries + all
+# 21 r3-stale + the front of the r4 cohort; the r4 tail becomes the head of
+# the round-7 rotation.  Names and semantics are frozen; only iteration
+# order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 5: first external check ---
+    # --- new in round 6: first external check ---
+    # (appended here as they are registered this round)
+    # --- last externally checked in round 3: three rounds stale ---
+    "t_hook_pipeline",
+    "src_custom_datasource",
+    "s4_sparse_densify",
+    "s3_anndata_ingest",
+    "ml_label_encode",
+    "ml_tfidf",
+    "mm_binary_decode",
+    "mm_feature_extract",
+    "ev_sliding_window",
+    "ev_session_window",
+    "ev_stream_stream_join",
+    "ev_first_event_dedup",
+    "g5_sample_size_estimate",
+    "g6_batch_normalize",
+    "g7_cube",
+    "g7_grouping_sets",
+    "sq_scalar_subquery",
+    "sq_in_subquery",
+    "dt_date_functions",
+    "str_functions",
+    "arr_functions",
+    # --- last externally checked in round 4 (front: costliest to let rot) ---
+    "dd_ngram_jaccard",
+    "dd_lsh_verified",
+    "dd_simhash",
+    "o2_buffer_shuffle",
+    "o4_weighted_noreplace",
+    "o5_subset_weighted",
+    "o6_class_balanced",
+    "o7_smoothed_weights",
+    "o10_batch_plan",
+    "o11_drop_last_batches",
+    "o13_ddp_partition",
+    "o15_block_shuffle_droplast",
+    "o16_mixture_sample",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_wealthy_customers",
+    "w5_running_revenue",
+    "w5_top3_orders_per_customer",
+    "w5_lag_lead_gaps",
+    "w5_range_frame",
+    "g3_batch_entropy",
+    "g7_rollup_lineitem",
+    "g7_pivot_status_by_flag",
+    "g7_distinct_aggregates",
+    "g7_percentiles",
+    "g7_correlation",
+    "j_semi_active_customers",
+    "j_anti_customers_without_orders",
+    "setops_union_distinct",
+    "setops_repeat_customers",
+    "setops_lapsed_customers",
+    "sq_correlated_group_max",
+    "null_handling",
+    "scalar_functions_events",
+    "ev_session_capped",
+    "ev_session_funnel",
+    "tx_token_stats",
+    "tx_langid",
+    "tx_fingerprint",
+    "tx_sequence_pack",
+    "tx_token_budget",
+    # --- last externally checked in round 5 (freshest; sweep tail) ---
     "j4_asof_join",
     "dd_winnowing",
     "dd_winnowing_pairs",
@@ -56,14 +130,12 @@ _SWEEP_PRIORITY = [
     "j_full_outer_nation_activity",
     "g7_unpivot_flag_metrics",
     "tx_length_buckets",
-    # --- last externally checked in round 2 ---
     "s1_streaming_scan",
     "s2_subset_split",
     "o9_epoch_reshuffle",
     "o12_exact_len",
     "q3_shipping_priority",
     "q6_revenue_forecast",
-    # --- last externally checked in round 3 ---
     "o1_block_shuffle",
     "o3_weighted_replace",
     "q1_pricing_summary",
@@ -88,28 +160,6 @@ _SWEEP_PRIORITY = [
     "tx_pii_scrub",
     "pipe_curation",
     "ev_tumbling_window",
-    "ev_sliding_window",
-    "ev_session_window",
-    "ev_stream_stream_join",
-    "ev_first_event_dedup",
-    "g5_sample_size_estimate",
-    "g6_batch_normalize",
-    "t_hook_pipeline",
-    "src_custom_datasource",
-    "mm_binary_decode",
-    "mm_feature_extract",
-    "s4_sparse_densify",
-    "s3_anndata_ingest",
-    "ml_label_encode",
-    "ml_tfidf",
-    "g7_grouping_sets",
-    # --- round-3 cohort tail: cheap, historically stable — may wait to r6 ---
-    "g7_cube",
-    "sq_scalar_subquery",
-    "sq_in_subquery",
-    "dt_date_functions",
-    "str_functions",
-    "arr_functions",
 ]
 
 

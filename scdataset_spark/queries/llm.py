@@ -407,7 +407,9 @@ def dd_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: drop every non-representative member of a
     near-dup component (keep = min doc_id), keep all unpaired docs —
     the surviving corpus a training pipeline would feed downstream.
-    One anti-join against the (tiny) non-representative set."""
+    One anti-join against the non-representative set (no forced
+    broadcast: the drop list grows with the corpus dup count, so the
+    join strategy is AQE's size-stats call)."""
     c = dd.with_minhash(dd.with_shingles(corpus(spark, sf_dir)), num_hashes=12)
     edges = dd.lsh_candidate_pairs(c, num_hashes=12, bands=4)
     comp = dd.connected_components(edges)
@@ -415,7 +417,7 @@ def dd_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     return corpus(spark, sf_dir).select("doc_id").join(
-        F.broadcast(drop), "doc_id", "left_anti"
+        drop, "doc_id", "left_anti"
     )
 
 
@@ -958,7 +960,7 @@ def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.where(
             (F.col("n_tokens") >= 30) & (F.expr(tx.Q_INT_EXPR) >= 50000)
         )
-        .join(F.broadcast(drop), "doc_id", "left_anti")
+        .join(drop, "doc_id", "left_anti")
         .select("doc_id", "n_tokens")
     )
 

@@ -121,17 +121,33 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analogue: star join + agg + deterministic top-10
     (revenue is decimal-exact so the ORDER BY is engine-stable;
-    l_orderkey breaks ties).  customer is broadcast."""
+    l_orderkey breaks ties).  Scale shape: the two facts join first on
+    the order key (co-located under a bucketed layout: zero orderkey
+    exchange), revenue aggregates per order BEFORE the customer filter
+    (o_custkey is functionally dependent on the order key, so adding it
+    to the grouping changes nothing — and partitioning on a subset of
+    the grouping keys means the agg reuses the join partitioning), and
+    only the already-small per-order aggregate semi-joins the filtered
+    customer side.  customer grows with SF, so no forced broadcast
+    hint — AQE picks broadcast-hash from runtime size stats while it
+    fits and degrades to a shuffle join at scale instead of OOMing the
+    driver."""
     c = load_table(spark, "customer", sf_dir, with_row_id=False)
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     cutoff = F.lit("1998-03-15").cast("timestamp")
-    return (
-        F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING"))
-        .join(o.where(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+    per_order = (
+        o.where(F.col("o_orderdate") < cutoff)
         .join(l.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate")
+        .groupBy("l_orderkey", "o_orderdate", "o_custkey")
         .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return (
+        per_order.join(
+            c.where(F.col("c_mktsegment") == "BUILDING"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -158,10 +174,10 @@ GROUP BY n.n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 analogue: 6-table star join.  All dimension tables
-    (region, nation, supplier, customer) broadcast; only the
-    orders-lineitem join shuffles — and AQE can turn it into a
-    broadcast too at small SFs."""
+    """TPC-H Q5 analogue: 6-table star join.  Constant-size dims
+    (region, nation) carry explicit broadcast hints; supplier and
+    customer grow with SF, so their joins are left to AQE, which still
+    broadcasts them at small SF from runtime size stats."""
     c = load_table(spark, "customer", sf_dir, with_row_id=False)
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
@@ -178,7 +194,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -559,7 +575,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -585,7 +601,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 analogue: OR-of-ANDs predicates across a join."""
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     p = load_table(spark, "part", sf_dir, with_row_id=False)
-    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
         | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
@@ -801,18 +817,21 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_q") > 150)
         .select("l_orderkey")
     )
-    # customer is the dimension side: broadcast it explicitly so the
-    # o_orderkey partitioning from the big/orders join survives into the
-    # lineitem join (a customer shuffle join would repartition on
-    # c_custkey and force an orderkey re-exchange — with a bucketed
-    # layout that single hint is the difference between zero and one
-    # orderkey shuffle)
-    return (
+    # every orderkey-keyed step runs back to back (HAVING agg, both fact
+    # joins, the per-order rollup — o_custkey is functionally dependent
+    # on the order key so adding it to the grouping changes nothing):
+    # under a bucketed layout none of them exchanges.  Only THEN does the
+    # already-small per-order aggregate join customer; customer grows
+    # with SF, so that join strategy is AQE's size-stats call rather
+    # than a forced broadcast hint that would OOM the driver at scale.
+    per_order = (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
         .join(li.alias("l"), F.col("l.l_orderkey") == o.o_orderkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice", "o_custkey")
         .agg(dsum_col(F.col("l.l_quantity")).alias("total_qty"))
+    )
+    return (
+        per_order.join(c, c.c_custkey == F.col("o_custkey"))
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
@@ -920,8 +939,8 @@ FROM flows GROUP BY supp_nation, cust_nation, l_year
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 analogue: five-way join (fact chain lineitem-orders +
     three dimension hops, nation twice under different roles).  The two
-    nation sides and supplier/customer broadcast; only the
-    lineitem-orders equi-join shuffles."""
+    constant-size nation sides broadcast; supplier and customer grow
+    with SF so their join strategy is AQE's call."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     c = load_table(spark, "customer", sf_dir, with_row_id=False)
@@ -930,7 +949,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = n.select(F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation"))
     nc = n.select(F.col("n_nationkey").alias("_nc_key"), F.col("n_name").alias("cust_nation"))
     flows = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("_ns_key"))
@@ -967,9 +986,9 @@ FROM all_flows GROUP BY o_year
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 analogue: one region's share of yearly order volume —
-    conditional decimal sum over a snowflake join (supplier→nation→
-    region all broadcast), ratio taken in double AFTER both exact
-    decimal sums."""
+    conditional decimal sum over a snowflake join (nation→region
+    broadcast; the SF-proportional supplier hop is AQE's call), ratio
+    taken in double AFTER both exact decimal sums."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     s = load_table(spark, "supplier", sf_dir, with_row_id=False)
@@ -979,7 +998,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(24,8)")
     flows = (
         li.join(o, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
     )
@@ -1151,8 +1170,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * 0.1
     return (
-        li.join(F.broadcast(p.where(F.col("p_name").like("%a%"))), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(p.where(F.col("p_name").like("%a%")), p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .groupBy(
@@ -1239,15 +1258,16 @@ WHERE lf.l_quantity < pa.qty_thresh
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (container filter adapted to the schema's size band):
     revenue loss from small-quantity orders — lineitems below 20% of
-    their part's average quantity.  Spark-first shape: broadcast the
-    filtered part keys into a semi-join FIRST, so both the per-part
-    average and the final sum aggregate only the ~1% of lineitem that
-    survives; the avg of integral quantities is an exact double, so the
-    `<` threshold compare is engine-identical."""
+    their part's average quantity.  Spark-first shape: join the
+    filtered part keys in FIRST, so both the per-part average and the
+    final sum aggregate only the ~1% of lineitem that survives (AQE
+    broadcasts the filtered key set while it is small; no forced hint
+    because part grows with SF); the avg of integral quantities is an
+    exact double, so the `<` threshold compare is engine-identical."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     p = load_table(spark, "part", sf_dir, with_row_id=False)
     pf = p.where((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)).select("p_partkey")
-    lf = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey).select(
+    lf = li.join(pf, li.l_partkey == pf.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     pa = lf.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("qty_thresh"))
@@ -1292,8 +1312,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier(s) achieving the part's minimum cost — the correlated
     min-subquery decorrelated into a per-part aggregate joined back on
     exact-double equality (min of identical IEEE divisions is
-    engine-identical).  Dims broadcast; the only shuffles are the two
-    keyed aggregations on l_partkey."""
+    engine-identical).  nation/region broadcast; the SF-proportional
+    supplier and part sides are AQE's call; the only guaranteed
+    shuffles are the two keyed aggregations on l_partkey."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     p = load_table(spark, "part", sf_dir, with_row_id=False)
     s = load_table(spark, "supplier", sf_dir, with_row_id=False)
@@ -1313,7 +1334,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pc = persist_bounded(
         cost.join(
-            F.broadcast(rs.select("s_suppkey")), cost.l_suppkey == F.col("s_suppkey")
+            rs.select("s_suppkey"), cost.l_suppkey == F.col("s_suppkey")
         ).select("l_partkey", "l_suppkey", "supply_cost")
     )
     mn = pc.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
@@ -1330,8 +1351,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pc.l_partkey", "pc.l_suppkey", "pc.supply_cost")
     )
     return (
-        winners.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(rs), F.col("s_suppkey") == F.col("l_suppkey"))
+        winners.join(pf, F.col("p_partkey") == F.col("l_partkey"))
+        .join(rs, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
     )
 
@@ -1368,7 +1389,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     val = (
-        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -1428,7 +1449,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(pf, li.l_partkey == pf.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(dsum_col(F.col("l_quantity")).alias("qty"))
     )
@@ -1441,7 +1462,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(F.broadcast(n.where(F.col("n_name") == "NATION_3")), n.n_nationkey == s.s_nationkey)
-        .join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal", "n_name")
     )
 

@@ -259,6 +259,90 @@ def test_q20_semi_join_chain(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_no_forced_broadcast_of_sf_proportional_tables():
+    """A hard ``F.broadcast`` hint bypasses autoBroadcastJoinThreshold, so a
+    hint on a table that grows with scale factor (part/supplier/customer/
+    orders/lineitem/documents or anything derived from them) becomes a
+    driver OOM at large SF — AQE's runtime size stats must make that call
+    instead.  Enforced at the source level over the whole query layer:
+    every ``F.broadcast(x)`` argument must resolve (through local variable
+    assignments) to either a constant-size table (nation: 25 rows,
+    region: 5 rows, at every SF) or a global ``.agg`` with no ``groupBy``
+    (≤1 row by construction)."""
+    import ast
+    import pathlib
+
+    CONSTANT_TABLES = {"nation", "region"}
+    qdir = pathlib.Path(__file__).resolve().parent.parent / "scdataset_spark" / "queries"
+
+    def chain_has_groupby(node):
+        # walk the receiver chain of an expression like a.b(...).groupBy(...).agg
+        while isinstance(node, (ast.Call, ast.Attribute)):
+            if isinstance(node, ast.Call):
+                node = node.func
+                continue
+            if node.attr == "groupBy":
+                return True
+            node = node.value
+        return False
+
+    def classify(node, assigns, depth=0):
+        """Return 'scalar', a load_table table name, or None (unknown)."""
+        if depth > 20:
+            return None
+        if isinstance(node, ast.Name):
+            if node.id in assigns:
+                return classify(assigns[node.id], assigns, depth + 1)
+            return None
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name) and f.id == "load_table" and len(node.args) >= 2:
+                try:
+                    return ast.literal_eval(node.args[1])
+                except ValueError:
+                    return None
+            if isinstance(f, ast.Attribute):
+                # DataFrame.agg (receiver chain without groupBy) is a global
+                # aggregate: always <= 1 row, safe to broadcast at any SF
+                if f.attr == "agg" and not chain_has_groupby(f.value):
+                    return "scalar"
+                return classify(f.value, assigns, depth + 1)
+            return None
+        if isinstance(node, ast.Attribute):
+            return classify(node.value, assigns, depth + 1)
+        return None
+
+    violations = []
+    for path in sorted(qdir.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+            assigns = {}
+            for stmt in ast.walk(fn):
+                if isinstance(stmt, ast.Assign) and len(stmt.targets) == 1 and isinstance(
+                    stmt.targets[0], ast.Name
+                ):
+                    assigns[stmt.targets[0].id] = stmt.value
+            for call in [n for n in ast.walk(fn) if isinstance(n, ast.Call)]:
+                f = call.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "broadcast"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id == "F"
+                    and call.args
+                ):
+                    kind = classify(call.args[0], assigns)
+                    if kind != "scalar" and kind not in CONSTANT_TABLES:
+                        violations.append(
+                            f"{path.name}:{call.lineno} in {fn.name}(): "
+                            f"F.broadcast of {ast.unparse(call.args[0])!r} "
+                            f"resolved to {kind!r}"
+                        )
+    assert not violations, "forced broadcast of SF-proportional frame(s):\n" + "\n".join(
+        violations
+    )
+
+
 def test_asof_join_single_keyed_shuffle(spark):
     """The as-of join plan is one union + one per-key window: exactly
     one exchange on the join key, no join operator at all."""
