@@ -10,12 +10,16 @@ about lifetime, not size).
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame
 
 _CACHE: list[DataFrame] = []
-_CACHE_MAX = 4
+# 8 covers the bench's banded-frame query mix without eviction churn
+# (round-5 ran more banded queries than the bound of 4 could hold);
+# env-overridable for A/B measurement
+_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_CACHE_MAX", "8"))
 _LOCK = threading.Lock()
 
 
@@ -45,13 +49,26 @@ def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to cluster width ONLY when it is narrower —
     the guard matters in both directions.  Few-split inputs (small
     parquet at test SFs) pin heavy pre-shuffle compute at input-split
-    parallelism, so widening pays (measured: jaccard explode 6.6 s -> 
+    parallelism, so widening pays (measured: jaccard explode 6.6 s ->
     full-width, BENCH_SCALE round 5); but a 100 TB corpus already has
     far more splits than cores, where an unconditional
     ``repartition(width)`` would shuffle the whole payload just to
-    COLLAPSE parallelism to core count.  ``getNumPartitions`` builds the
-    RDD DAG without running a job."""
+    COLLAPSE parallelism to core count.
+
+    Narrowness probe, cheapest first: ``inputFiles()`` is a driver-side
+    metadata listing — when the lineage reads >= width files there is at
+    least one split per file, so the 100 TB path decides "already wide"
+    without ever building an RDD DAG.  Only few-file inputs (where the
+    lineage is a short scan chain and physical planning is cheap) fall
+    back to ``getNumPartitions``, which answers exactly but at the cost
+    of planning the frame into an RDD (pre-AQE view; unavailable under
+    Spark Connect — acceptable for the local few-file regime it serves)."""
     width = max(8, df.sparkSession.sparkContext.defaultParallelism)
+    try:
+        if len(df.inputFiles()) >= width:
+            return df
+    except Exception:  # non-file-backed lineage: fall through to the probe
+        pass
     if df.rdd.getNumPartitions() < width:
         df = df.repartition(width)
     return df

@@ -153,20 +153,22 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index join: explode distinct
     shingles, self-join on the shingle, count shared per pair, then
     J = |A∩B| / (|A| + |B| - |A∩B|).
 
-    ``max_df`` (opt-in — the default keeps "exact" exact; production
-    callers at scale SHOULD set it) drops shingles whose document frequency
-    exceeds it from the inverted index BEFORE the pair join
-    (``skew.cap_hot_tokens``) — a shingle shared by d documents fans out
-    d² join rows, so one viral shingle would otherwise dominate the
-    whole job at scale.  The Jaccard denominator still uses the FULL
-    shingle-set sizes, so a capped pair's score can only shrink (capped
-    shingles carry ~no discriminative signal; this is standard
+    ``max_df`` drops shingles whose document frequency exceeds it from
+    the inverted index BEFORE the pair join (``skew.cap_hot_tokens``) —
+    a shingle shared by d documents fans out d² join rows, so one viral
+    shingle would otherwise dominate the whole job at scale.  The cap is
+    ON by default (10k, matching the registered query) because the
+    uncapped join is the single most dangerous default in the module at
+    100 TB; pass ``max_df=None`` explicitly for exact mode on corpora
+    known to have no viral shingles.  The Jaccard denominator still uses
+    the FULL shingle-set sizes, so a capped pair's score can only shrink
+    (capped shingles carry ~no discriminative signal; this is standard
     stop-shingle removal)."""
     from scdataset_spark.operators._cache import persist_bounded, widen_if_narrow
     from scdataset_spark.operators.skew import cap_hot_tokens

@@ -74,23 +74,26 @@ def g3_batch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {ENTROPY_SQL}
 SELECT CAST(count(*) AS BIGINT) AS n_batches,
        round(avg(entropy), 5) AS avg_entropy,
-       round(stddev_samp(entropy), 5) AS std_entropy,
+       round(stddev_pop(entropy), 5) AS std_entropy,
        round(min(entropy), 6) AS min_entropy,
        round(max(entropy), 6) AS max_entropy
-FROM e
+FROM e WHERE n > 1
 """,
 )
 def g4_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level shuffle-quality rollup (reference
     benchmarks/utils.py:237-268 reports the mean batch entropy of each
-    strategy): avg/std/min/max of the per-batch entropies.  Per-batch
-    entropies are rounded to 6 decimals on BOTH sides first, so the
-    aggregate differs only by summation order (~1e-13) — rounded at 5."""
-    e = _entropy_frame(spark, sf_dir)
+    strategy): avg/std/min/max of the per-batch entropies, matching the
+    reference's exact metric — population std (np.std, ddof=0) over
+    batches with more than one sample (single-sample batches are
+    excluded from the entropy list there).  Per-batch entropies are
+    rounded to 6 decimals on BOTH sides first, so the aggregate differs
+    only by summation order (~1e-13) — rounded at 5."""
+    e = _entropy_frame(spark, sf_dir).where(F.col("n") > 1)
     return e.agg(
         F.count(F.lit(1)).alias("n_batches"),
         F.round(F.avg("entropy"), 5).alias("avg_entropy"),
-        F.round(F.stddev_samp("entropy"), 5).alias("std_entropy"),
+        F.round(F.stddev_pop("entropy"), 5).alias("std_entropy"),
         F.round(F.min("entropy"), 6).alias("min_entropy"),
         F.round(F.max("entropy"), 6).alias("max_entropy"),
     )

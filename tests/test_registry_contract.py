@@ -23,6 +23,8 @@ LIBRARY_ONLY = {
     "simhash_exprs": "expression pieces behind with_simhash (dd_simhash)",
     "persist_bounded": "bounded-cache helper used by dedup/similarity",
     "salt_expr": "deterministic salt behind salted_count (skew_salted_count)",
+    "cap_hot_tokens": "df-cap step inside jaccard_pairs (dd_ngram_jaccard); "
+    "cap behavior directly tested in test_skew_and_stateful",
     "hyperplane_bucket_expr": "expression behind sim_lsh_ann buckets",
     "SamplingStrategy": "abstract base of the checked strategies",
     "attach_weights": "internal step of o3/o5 weighted sampling",
@@ -61,17 +63,37 @@ def _public_names():
     return out
 
 
-def test_every_public_operator_is_wired_or_allowlisted():
-    registry_text = "".join(
-        p.read_text() for p in sorted((PKG / "queries").glob("*.py"))
-    )
-    for extra in ("bench.py", "__spark_entry__.py"):
-        registry_text += (PKG.parent / extra).read_text()
+def _referenced_identifiers():
+    """Identifiers actually REFERENCED by the query layer, extracted from
+    the AST (names, attribute accesses, imports) — not raw text, so a
+    name that only appears inside a comment/docstring, or as a substring
+    of a longer wired name, does not count as wired."""
+    idents: set[str] = set()
+    files = sorted((PKG / "queries").glob("*.py")) + [
+        PKG.parent / "bench.py",
+        PKG.parent / "__spark_entry__.py",
+    ]
+    for p in files:
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name):
+                idents.add(node.id)
+            elif isinstance(node, ast.Attribute):
+                idents.add(node.attr)
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                for a in node.names:
+                    idents.add(a.name.split(".")[-1])
+                    if a.asname:
+                        idents.add(a.asname)
+    return idents
 
+
+def test_every_public_operator_is_wired_or_allowlisted():
+    referenced = _referenced_identifiers()
     unwired = {
         name: where
         for name, where in _public_names().items()
-        if name not in registry_text and name not in LIBRARY_ONLY
+        if name not in referenced and name not in LIBRARY_ONLY
     }
     assert not unwired, (
         "public operators with no query-layer reference and no "
