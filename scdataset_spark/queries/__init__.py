@@ -35,7 +35,7 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 # order changes.
 _SWEEP_PRIORITY = [
     # --- new in round 6: first external check ---
-    # (appended here as they are registered this round)
+    "dd_components_star",
     # --- last externally checked in round 3: three rounds stale ---
     "t_hook_pipeline",
     "src_custom_datasource",

@@ -381,6 +381,20 @@ def dd_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+@query("dd_components_star", survey_ref="§2.14 dedup", oracle=_components_oracle())
+def dd_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair graph, same exact-transitive-closure oracle, but
+    clustered with the alternating large-star/small-star algorithm
+    (``operators/dedup.py::connected_components_star``, Kiveris et al.
+    SoCC'14) — O(log² n) rounds on any graph shape, the variant a
+    pipeline picks when the similarity graph may contain long CHAINS
+    (propagation's O(diameter) rounds) rather than dup cliques."""
+    c = dd.with_minhash(dd.with_shingles(corpus(spark, sf_dir)), num_hashes=12)
+    edges = dd.lsh_candidate_pairs(c, num_hashes=12, bands=4)
+    comp = dd.connected_components_star(edges)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 @query(
     "dd_dedup_corpus",
     survey_ref="§2.14 dedup",

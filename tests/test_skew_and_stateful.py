@@ -263,6 +263,74 @@ class TestConnectedComponents:
         assert set(comp.values()) == {0}
 
 
+class TestConnectedComponentsStar:
+    def test_path_graph_1k_within_default_cap(self, spark):
+        """1000-node path graph — diameter 999, the shape min-label
+        propagation cannot finish within any reasonable round cap.  The
+        alternating large-star/small-star variant must converge within
+        its DEFAULT cap (O(log² n) rounds) and label every node with
+        the path minimum."""
+        from scdataset_spark.operators.dedup import connected_components_star
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(999)], "doc_a bigint, doc_b bigint"
+        )
+        comp = {r.id: r.component for r in connected_components_star(edges).collect()}
+        assert len(comp) == 1000
+        assert set(comp.values()) == {0}
+
+    def test_matches_propagation_on_mixed_graph(self, spark):
+        """Star and propagation must agree exactly on a graph mixing a
+        chain, a clique, an isolated pair, duplicate and reversed
+        edges, and self-loops."""
+        from scdataset_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        raw = (
+            [(10, 11), (11, 12), (12, 13), (13, 14)]
+            + [(20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23)]
+            + [(30, 31), (31, 30), (30, 31)]  # reversed + duplicate
+            + [(40, 40)]  # self-loop: contributes no edge; node drops out
+        )
+        edges = spark.createDataFrame(raw, "doc_a bigint, doc_b bigint")
+        star = {r.id: r.component for r in connected_components_star(edges).collect()}
+        prop = {r.id: r.component for r in connected_components(edges).collect()}
+        assert star == prop
+        assert star[40] == 40  # self-loop-only node is its own component
+
+    def test_empty_edges(self, spark):
+        from scdataset_spark.operators.dedup import connected_components_star
+
+        edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+        assert connected_components_star(edges).count() == 0
+
+    def test_random_graph_matches_propagation(self, spark):
+        """Seeded random sparse graph: both algorithms must produce the
+        identical (id → component) map."""
+        import random
+
+        from scdataset_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(7)
+        raw = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+        raw = [(a, b) for a, b in raw if a != b]
+        edges = spark.createDataFrame(raw, "doc_a bigint, doc_b bigint")
+        star = {r.id: r.component for r in connected_components_star(edges).collect()}
+        # this sparse graph's giant component has diameter > 20: the
+        # propagation baseline needs its cap raised, which is exactly
+        # the regime the star variant exists for (its DEFAULT cap held)
+        prop = {
+            r.id: r.component
+            for r in connected_components(edges, max_iterations=80).collect()
+        }
+        assert star == prop
+
+
 class TestCappedSessionsStateful:
     def test_closed_chunks_match_batch_twin_across_restarts(self, spark, tmp_path):
         """The applyInPandasWithState capped-session operator must emit
