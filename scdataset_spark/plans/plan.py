@@ -142,12 +142,26 @@ def with_batches(
     fetch_factor: int = 16,
     drop_last: bool = False,
     pos_col: str = "pos",
+    shuffle_within_fetch: bool = False,
+    seed: int = 42,
 ) -> DataFrame:
     """Add ``fetch_id``, ``batch_id``, ``batch_pos`` to an ordered plan.
 
     - ``fetch_id``  = pos div (batch_size*fetch_factor)   (I/O unit, O10)
     - ``batch_id``  = pos div batch_size                  (yield unit, O11)
     - ``batch_pos`` = pos %  batch_size
+    - ``shuffle_within_fetch`` mirrors the reference's
+      ``_shuffle_before_yield`` (``strategy.py:434`` — always True for
+      BlockShuffling; applied at ``scdataset.py:533-548``): the fetched
+      buffer is permuted BEFORE batch slicing, so a batch mixes rows
+      from every block in its fetch instead of being one contiguous
+      block slice.  This is what keeps batch-level mixing high when
+      ``block_size >= batch_size`` (measured: origin-entropy 0.0 → ~4
+      bits at block 256-1024, scripts/entropy_sweep.py).  Implemented
+      as a seeded rank within each fetch — a fetch-partitioned window,
+      parallel across fetches, each at most ``batch_size*fetch_factor``
+      rows, and ``pos`` is rewritten to the new yield order so the
+      pos/batch arithmetic below is unchanged.
     - ``drop_last`` drops the trailing *partial* batch of each fetch
       (reference per-fetch semantics, ``scdataset.py:544-545``): a batch
       survives iff it is full OR it is not the last batch of its fetch.
@@ -155,11 +169,23 @@ def with_batches(
       partial aggregate; no extra shuffle beyond the plan's own
       partitioning when the frame is already partitioned by fetch.
     """
+    from scdataset_spark.plans.seeds import mix_sql
+
     fetch_size = batch_size * fetch_factor
+    out = plan.withColumn("fetch_id", F.expr(f"{pos_col} div {fetch_size}"))
+    if shuffle_within_fetch:
+        w = Window.partitionBy("fetch_id").orderBy(
+            F.expr(mix_sql(pos_col, seed, "spark")), F.col(pos_col)
+        )
+        out = out.withColumn(
+            pos_col,
+            (
+                F.col("fetch_id") * fetch_size + F.row_number().over(w) - 1
+            ).cast("bigint"),
+        )
     p = F.col(pos_col)
     out = (
-        plan.withColumn("fetch_id", F.expr(f"{pos_col} div {fetch_size}"))
-        .withColumn("batch_id", F.expr(f"{pos_col} div {batch_size}"))
+        out.withColumn("batch_id", F.expr(f"{pos_col} div {batch_size}"))
         .withColumn("batch_pos", (p % batch_size).cast("bigint"))
     )
     if drop_last:

@@ -36,6 +36,7 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 _SWEEP_PRIORITY = [
     # --- new in round 6: first external check ---
     "dd_components_star",
+    "o18_fetch_shuffle",
     # --- last externally checked in round 3: three rounds stale ---
     "t_hook_pipeline",
     "src_custom_datasource",

@@ -190,6 +190,47 @@ def o11_drop_last_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.groupBy("fetch_id", "batch_id").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+# ------------------------------------------------------------------ O18
+@query(
+    "o18_fetch_shuffle",
+    survey_ref="O1,O10,O11",
+    oracle=f"""
+WITH base AS (SELECT {LI_RID} AS row_id FROM lineitem),
+p AS (SELECT row_id, row_number() OVER (ORDER BY row_id) - 1 AS pos0 FROM base),
+b AS (SELECT row_id, pos0, pos0 // 256 AS block_id FROM p),
+k AS (SELECT row_id, pos0, ({_mix('block_id', SEED)}) AS block_key FROM b),
+o AS (SELECT row_id, row_number() OVER (ORDER BY block_key, pos0) - 1 AS bpos FROM k),
+f AS (SELECT row_id, bpos, bpos // 512 AS fetch_id FROM o),
+s AS (SELECT row_id, fetch_id,
+             row_number() OVER (
+               PARTITION BY fetch_id ORDER BY ({_mix('bpos', SEED + 17)}), bpos
+             ) - 1 AS fr
+      FROM f)
+SELECT row_id,
+       CAST(fetch_id * 512 + fr AS BIGINT) AS pos,
+       fetch_id,
+       CAST((fetch_id * 512 + fr) // 64 AS BIGINT) AS batch_id,
+       CAST(fr % 64 AS BIGINT) AS batch_pos
+FROM s
+""",
+)
+def o18_fetch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block shuffle + within-fetch permutation before batch slicing —
+    the reference's full BlockShuffling yield semantics
+    (``strategy.py:434`` sets ``_shuffle_before_yield=True`` always;
+    ``scdataset.py:533-548`` applies it per fetch buffer).  Without
+    this, a batch cut from a block >= batch_size is one contiguous
+    block slice; with it, every batch mixes rows from all blocks of its
+    fetch.  The oracle recomputes the identical seeded permutation, so
+    the exact row->batch assignment is value-checked."""
+    li = load_table(spark, "lineitem", sf_dir)
+    plan = BlockShuffling(block_size=256, assume_dense=True).plan(li, seed=SEED)
+    out = with_batches(
+        plan, batch_size=64, fetch_factor=8, shuffle_within_fetch=True, seed=SEED + 17
+    )
+    return out.select("row_id", "pos", "fetch_id", "batch_id", "batch_pos")
+
+
 # ------------------------------------------------------------------ O12
 @query(
     "o12_exact_len",
