@@ -112,6 +112,27 @@ def main() -> None:
         batch_size=64,
     ).write.format("noop").mode("overwrite").save()
     bs_sps = round(n_rows / (time.perf_counter() - t0), 1)
+
+    # the same loading shape WITH the reference's shuffle-before-yield
+    # semantics (strategy.py:434; scdataset.py:533-548) — BASELINE.md's
+    # loader rows run with the fetched buffer permuted before batch
+    # slicing, so this is the directly comparable number
+    t0 = time.perf_counter()
+    planned_fs = with_batches(
+        BlockShuffling(block_size=256, assume_dense=True)
+        .plan(li, seed=7)
+        .select("row_id", "pos", "l_quantity"),
+        batch_size=64,
+        fetch_factor=256,
+        shuffle_within_fetch=True,
+        seed=11,
+    )
+    run_hook_pipeline(
+        planned_fs.select("row_id", "pos", "fetch_id", "l_quantity"),
+        "row_id bigint, pos bigint, fetch_id bigint, l_quantity double",
+        batch_size=64,
+    ).write.format("noop").mode("overwrite").save()
+    fs_sps = round(n_rows / (time.perf_counter() - t0), 1)
     ent = (
         REGISTRY["g3_batch_entropy"].fn(spark, SF_DIR)
         .agg(SF.avg("entropy"))
@@ -132,6 +153,7 @@ def main() -> None:
                 "ingest_sec": ingest_sec,
                 "loading_samples_per_sec": samples_per_sec,
                 "block_shuffle_loading_samples_per_sec": bs_sps,
+                "fetch_shuffled_loading_samples_per_sec": fs_sps,
                 "block_shuffle_avg_entropy_bits": round(ent, 3),
             }
         )

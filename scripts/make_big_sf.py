@@ -60,13 +60,22 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, factor: int
     if table == "documents":
         # Caesar-rotate letters by replica index: replica 0 is the
         # original corpus; every other replica is distinct content with
-        # identical length/shape statistics
+        # identical length/shape statistics.  Letters alone cycle at 26
+        # (factor 100 would give replicas 0/26/52/78 IDENTICAL text —
+        # artificial cross-replica dup cliques), so digits co-rotate by
+        # c // 26: the combined cycle is 260, unique content for any
+        # factor <= 260.
         alpha = "abcdefghijklmnopqrstuvwxyz"
+        digits = "0123456789"
         rot = F.lit(None)
         for c in range(factor):
             mapped = alpha[c % 26 :] + alpha[: c % 26]
+            d = (c // 26) % 10
+            mapped_digits = digits[d:] + digits[:d]
             expr = F.translate(
-                F.col("text"), alpha + alpha.upper(), mapped + mapped.upper()
+                F.col("text"),
+                alpha + alpha.upper() + digits,
+                mapped + mapped.upper() + mapped_digits,
             )
             rot = F.when(F.col("_c") == c, expr) if c == 0 else rot.when(
                 F.col("_c") == c, expr
