@@ -404,7 +404,8 @@ def simhash_hamming_pairs(
     sig_col: str = "simhash",
     max_hamming: int = 3,
     bits: int = 32,
-    bands: int = 4,
+    bands: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming`` via
     PIGEONHOLE BANDING — the scale-correct simhash join: split the
@@ -414,7 +415,29 @@ def simhash_hamming_pairs(
     (band_index, band_value) and only candidates pay the exact
     ``bit_count(xor)`` verification.  No all-pairs product, same join
     shape as MinHash banding — one short-key shuffle at any scale.
+
+    ``bands`` defaults to ``max_hamming + 1`` — the MINIMAL pigeonhole
+    count, which makes each band as WIDE as possible.  Width is what
+    keeps the join linear: candidate volume is ~n²·bands/2^width, so
+    band-value saturation is the dominant scale hazard (measured: the
+    old fixed bands=4 ⇒ 8-bit bands ⇒ 1024 total buckets went 76×
+    slower for 10× docs at sf10 — quadratic once every bucket holds
+    thousands of docs; minimal banding at max_hamming=1 ⇒ 2×16-bit
+    bands ⇒ 131k buckets restores ~linear).  The final pair set is
+    banding-INVARIANT (banding only generates candidates; the exact
+    hamming filter decides), so this is purely a physical choice.
+
+    ``max_bucket`` additionally drops band buckets holding more docs
+    than the cap before the self-join — a backstop for corpora big
+    enough to saturate even wide bands (at 10^11 docs move to 64-bit
+    signatures first).  A bucket that hot is ~noise (that band carries
+    no discriminative signal), but dropping it can lose pairs whose
+    only agreeing band it was: bounded recall loss, mirrored in any
+    oracle by the same count filter.  The default never binds below
+    ~10^8 docs; pass ``None`` for exact candidate generation.
     """
+    if bands is None:
+        bands = max_hamming + 1
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     width = bits // bands
     mask = (1 << width) - 1
@@ -435,6 +458,14 @@ def simhash_hamming_pairs(
         F.col("_b.band_val").alias("band_val"),
     )
     banded = persist_bounded(banded)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("band_idx", "band_val")
+        )
+        banded = banded.join(ok, ["band_idx", "band_val"], "left_semi")
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (

@@ -58,19 +58,26 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, factor: int
             k, F.col(k).cast("bigint") + F.col("_c").cast("bigint") * F.lit(OFFSET)
         )
     if table == "documents":
-        # Caesar-rotate letters by replica index: replica 0 is the
-        # original corpus; every other replica is distinct content with
-        # identical length/shape statistics.  Letters alone cycle at 26
-        # (factor 100 would give replicas 0/26/52/78 IDENTICAL text —
-        # artificial cross-replica dup cliques), so digits co-rotate by
-        # c // 26: the combined cycle is 260, unique content for any
-        # factor <= 260.
+        # Per-replica AFFINE substitution cipher on letters
+        # (l -> a*l + b mod 26, a coprime to 26): replica 0 is the
+        # original corpus (a=1, b=0); every other replica gets a
+        # DISTINCT substitution alphabet — 12 units x 26 shifts = 312
+        # unique maps, so content is unique for any factor <= 312.
+        # A plain Caesar rotation cycles at 26: at factor 100, replicas
+        # sharing c % 26 would differ only in digits, i.e. ~95%-similar
+        # text — the sf10 audit measured exactly that as artificial
+        # cross-replica NEAR-dup cliques (simhash/minhash/jaccard pair
+        # counts superlinear by construction).  Distinct affine maps
+        # scramble every shingle, so only intra-replica dup structure
+        # (the planted one) survives — the thing the audits measure.
         alpha = "abcdefghijklmnopqrstuvwxyz"
         digits = "0123456789"
+        units = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]  # coprime to 26
         rot = F.lit(None)
         for c in range(factor):
-            mapped = alpha[c % 26 :] + alpha[: c % 26]
-            d = (c // 26) % 10
+            a, b = units[c % len(units)], c // len(units)
+            mapped = "".join(alpha[(a * i + b) % 26] for i in range(26))
+            d = c % 10
             mapped_digits = digits[d:] + digits[:d]
             expr = F.translate(
                 F.col("text"),
