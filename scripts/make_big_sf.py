@@ -58,31 +58,37 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, factor: int
             k, F.col(k).cast("bigint") + F.col("_c").cast("bigint") * F.lit(OFFSET)
         )
     if table == "documents":
-        # Per-replica AFFINE substitution cipher on letters
-        # (l -> a*l + b mod 26, a coprime to 26): replica 0 is the
-        # original corpus (a=1, b=0); every other replica gets a
-        # DISTINCT substitution alphabet — 12 units x 26 shifts = 312
-        # unique maps, so content is unique for any factor <= 312.
-        # A plain Caesar rotation cycles at 26: at factor 100, replicas
-        # sharing c % 26 would differ only in digits, i.e. ~95%-similar
-        # text — the sf10 audit measured exactly that as artificial
-        # cross-replica NEAR-dup cliques (simhash/minhash/jaccard pair
-        # counts superlinear by construction).  Distinct affine maps
-        # scramble every shingle, so only intra-replica dup structure
-        # (the planted one) survives — the thing the audits measure.
-        alpha = "abcdefghijklmnopqrstuvwxyz"
-        digits = "0123456789"
-        units = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]  # coprime to 26
+        # Per-replica AFFINE substitution cipher over the FULL 36-char
+        # alphanumeric alphabet (x -> a*x + b mod 36, a coprime to 36):
+        # replica 0 is the original corpus (a=1, b=0); every other
+        # replica gets a DISTINCT injective substitution — 12 units x 36
+        # shifts = 432 unique maps, so content is unique for any factor
+        # <= 432.  Why the full alphabet and not letters+digits
+        # separately: any sub-alphabet whose per-replica map space is
+        # smaller than the factor leaks shared tokens across replicas —
+        # a plain Caesar rotation (26 maps) leaked whole letter classes,
+        # and a digit shift (10 maps) leaked every digit-heavy token to
+        # 1/10th of the replicas; the factor-100 sf10 audit measured
+        # both as superlinear shingle-df / simhash-band inflation
+        # (avg shingle df 20 -> 78, pure fixture artifact).  Two
+        # distinct affine maps over 36 chars agree on at most
+        # gcd-bounded character sets (~2-4 chars), so cross-replica
+        # token collisions are negligible and only the intra-replica
+        # planted dup structure — the thing the audits measure —
+        # survives.  (A source letter may cipher to a digit and vice
+        # versa; case is preserved where the image is a letter.)
+        alpha36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+        units36 = [1, 5, 7, 11, 13, 17, 19, 23, 25, 29, 31, 35]
         rot = F.lit(None)
         for c in range(factor):
-            a, b = units[c % len(units)], c // len(units)
-            mapped = "".join(alpha[(a * i + b) % 26] for i in range(26))
-            d = c % 10
-            mapped_digits = digits[d:] + digits[:d]
+            a, b = units36[c % len(units36)], c // len(units36)
+            img = [alpha36[(a * i + b) % 36] for i in range(36)]
+            lower_src = alpha36  # a-z then 0-9
+            upper_src = alpha36[:26].upper()
+            lower_img = "".join(img)
+            upper_img = "".join(ch.upper() for ch in img[:26])
             expr = F.translate(
-                F.col("text"),
-                alpha + alpha.upper() + digits,
-                mapped + mapped.upper() + mapped_digits,
+                F.col("text"), lower_src + upper_src, lower_img + upper_img
             )
             rot = F.when(F.col("_c") == c, expr) if c == 0 else rot.when(
                 F.col("_c") == c, expr
