@@ -24,20 +24,42 @@ _LOCK = threading.Lock()
 
 
 def persist_bounded(df: DataFrame) -> DataFrame:
-    """Persist ``df``, evicting the oldest registered frame beyond the
-    bound.  Callers that need a longer lifetime own their own persist.
+    """Persist ``df``, evicting the least-recently-registered frame
+    beyond the bound.  Callers that need a longer lifetime own their own
+    persist.
+
+    Re-registering a SEMANTICALLY IDENTICAL plan returns the existing
+    entry (refreshed to most-recent) instead of appending a duplicate.
+    This is load-bearing, not an optimization: Spark's CacheManager
+    keys cached data by canonicalized plan, so two persist() calls on
+    equal plans share one InMemoryRelation — if both sat in this list,
+    evicting the OLDER one would unpersist the shared data out from
+    under the newer one.  Measured: two LSH queries sharing the banded
+    minhash plan thrashed exactly this way at sf10 (41 s warm vs 3 s
+    once deduped — each run's eviction of the sibling's stale entry
+    dropped the relation the run had just materialized).
 
     Thread-safe (multi-threaded drivers build queries concurrently).
-    Eviction is registration-ordered, so constructing more than
-    ``_CACHE_MAX`` frames before EXECUTING the queries that use them can
-    evict a frame whose plan hasn't run yet — correctness is preserved
-    (Spark recomputes the lineage), only the cache benefit is lost; keep
-    construct→execute cycles short or persist explicitly for longer
-    lifetimes."""
-    df = df.persist()
-    with _LOCK:
+    Eviction is LRU-by-registration, so constructing more than
+    ``_CACHE_MAX`` distinct frames before EXECUTING the queries that use
+    them can evict a frame whose plan hasn't run yet — correctness is
+    preserved (Spark recomputes the lineage), only the cache benefit is
+    lost; keep construct→execute cycles short or persist explicitly for
+    longer lifetimes."""
+    evict = []
+    with _LOCK:  # one critical section: a concurrent double-miss would
+        # re-create the duplicate-entry hazard this function exists to
+        # prevent (sameSemantics/persist are cheap driver-side calls)
+        for i, old in enumerate(_CACHE):
+            try:
+                same = old.sameSemantics(df)
+            except Exception:  # e.g. session of `old` already stopped
+                continue
+            if same:
+                _CACHE.append(_CACHE.pop(i))
+                return old
+        df = df.persist()
         _CACHE.append(df)
-        evict = []
         while len(_CACHE) > _CACHE_MAX:
             evict.append(_CACHE.pop(0))
     for old in evict:
