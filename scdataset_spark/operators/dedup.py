@@ -286,9 +286,11 @@ def connected_components(
         # component) — surface it instead of silently returning them
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
-            "iterations (graph diameter exceeds the cap); raise "
+            "iterations (graph diameter exceeds the cap).  Raise "
             "max_iterations — rounds needed ≈ longest chain of near-dup "
-            "links, typically 2-3 for duplicate cliques"
+            "links, typically 2-3 for duplicate cliques — or, for "
+            "chain-shaped graphs, use connected_components_star "
+            "(large-star/small-star: O(log² n) rounds on any shape)"
         )
     return labels
 

@@ -230,3 +230,65 @@ class TestArrowExport:
             assert rid == sorted(rid)  # Streaming: pos order == row_id order
             total += t.num_rows
         assert total == li.count()
+
+
+class TestShuffleWithinFetch:
+    """shuffle_within_fetch (reference _shuffle_before_yield,
+    scdataset.py:533-548): the fetched buffer is permuted before batch
+    slicing.  Invariants beyond the o18 oracle's row-level check."""
+
+    def test_permutes_within_fetch_only(self, spark):
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.strategies import Streaming
+        from tests.conftest import SF_DIR_SMALL
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        base = Streaming(assume_dense=True).plan(li, seed=1)
+        plain = with_batches(base, batch_size=8, fetch_factor=4)
+        shuf = with_batches(
+            base, batch_size=8, fetch_factor=4, shuffle_within_fetch=True, seed=5
+        )
+        a = {r.row_id: (r.fetch_id, r.pos) for r in plain.collect()}
+        b = {r.row_id: (r.fetch_id, r.pos) for r in shuf.collect()}
+        assert a.keys() == b.keys()
+        # same fetch for every row (permutation is fetch-local) ...
+        assert all(a[k][0] == b[k][0] for k in a)
+        # ... but the order inside fetches genuinely changed
+        assert any(a[k][1] != b[k][1] for k in a)
+        # pos stays a dense permutation of 0..n-1
+        assert sorted(p for _, p in b.values()) == list(range(len(b)))
+
+    def test_drop_last_composes(self, spark):
+        """Per-fetch drop_last must act on the POST-shuffle batch ids:
+        every surviving batch is full, and the kept count matches the
+        plain variant (drop_last drops the same number of trailing
+        rows per fetch regardless of the permutation)."""
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.strategies import Streaming
+        from pyspark.sql import functions as F
+        from tests.conftest import SF_DIR_SMALL
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        base = Streaming(assume_dense=True).plan(li, seed=1)
+        kwargs = dict(batch_size=7, fetch_factor=3, drop_last=True)
+        plain = with_batches(base, **kwargs)
+        shuf = with_batches(base, shuffle_within_fetch=True, seed=9, **kwargs)
+        sizes = shuf.groupBy("batch_id").count().select("count").distinct().collect()
+        assert [r["count"] for r in sizes] == [7]
+        assert shuf.count() == plain.count()
+
+    def test_deterministic_per_seed(self, spark):
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.strategies import Streaming
+        from tests.conftest import SF_DIR_SMALL
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        base = Streaming(assume_dense=True).plan(li, seed=1)
+        one = with_batches(base, batch_size=8, fetch_factor=4,
+                           shuffle_within_fetch=True, seed=5)
+        two = with_batches(base, batch_size=8, fetch_factor=4,
+                           shuffle_within_fetch=True, seed=5)
+        other = with_batches(base, batch_size=8, fetch_factor=4,
+                             shuffle_within_fetch=True, seed=6)
+        assert one.collect() == two.collect()
+        assert one.collect() != other.collect()
