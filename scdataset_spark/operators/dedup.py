@@ -100,21 +100,23 @@ def with_minhash(df: DataFrame, num_hashes: int = 12, shingle_col: str = "shingl
     return df.withColumn("_h0", F.expr(h0)).selectExpr("*", *mh).drop("_h0")
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 12,
     bands: int = 4,
 ) -> DataFrame:
-    """Band the signature (rows_per_band = num_hashes/bands), hash each
-    band, self-join on (band_id, band_sig): docs agreeing on ANY band
-    become a candidate pair.  This is an equi-join on a short key —
-    shuffle-partitionable, no cross product, the canonical LSH shape.
-    """
+    """Band a minhash signature frame (``with_minhash`` output) into the
+    canonical ``(id, band_id, band_sig)`` LSH index: rows_per_band =
+    num_hashes/bands, band_sig = md5 over the band's minhash values.
+    ONE projection + explode, not a union of per-band selects — each
+    union branch would recompute the whole shingle+minhash lineage,
+    multiplying the md5 work by ``bands``.
+
+    This frame IS the materialization unit for incremental dedup: write
+    it out once for the existing corpus and pass it to
+    ``novel_documents(existing_bands=...)`` for every increment."""
     r = num_hashes // bands
-    # ONE projection + explode, not a union of per-band selects: each
-    # union branch would recompute the whole shingle+minhash lineage,
-    # multiplying the md5 work by `bands`.
     band_structs = F.array(
         *[
             F.struct(
@@ -126,10 +128,24 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
+    return (
         df.select(F.col(id_col), F.explode(band_structs).alias("_b"))
         .select(id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.band_sig").alias("band_sig"))
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows_per_band = num_hashes/bands), hash each
+    band, self-join on (band_id, band_sig): docs agreeing on ANY band
+    become a candidate pair.  This is an equi-join on a short key —
+    shuffle-partitionable, no cross product, the canonical LSH shape.
+    """
+    banded = lsh_bands(df, id_col=id_col, num_hashes=num_hashes, bands=bands)
     # the self-join would otherwise recompute the full shingle+minhash
     # lineage on BOTH sides; the banded frame is tiny (n_docs * bands
     # short rows) so cache it for the join — through the bounded
@@ -208,6 +224,68 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def novel_documents(
+    incoming: DataFrame,
+    existing: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    existing_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: ids of ``incoming`` documents with NO
+    LSH band collision against the ``existing`` corpus — the docs safe
+    to append without creating a near-dup pair.
+
+    This is the append-only-corpus posture at 100 TB: instead of
+    re-running pairwise dedup over old+new, the existing corpus is
+    represented by its tiny banded index (``lsh_bands`` output,
+    n_docs x bands short rows — materialize it ONCE and pass it as
+    ``existing_bands``; passing raw ``existing`` docs re-derives it).
+    Candidates come from one semi-join on (band_id, band_sig); novel
+    docs fall out of one anti-join.  No self-join, no cross product;
+    each increment costs O(increment + index-probe).
+
+    A colliding doc is only a CANDIDATE dup (same false-positive
+    semantics as ``lsh_candidate_pairs``) — pipelines wanting exact
+    confirmation verify the collided remainder with ``jaccard_pairs``
+    against the collided band partners, which is |candidates|-bounded.
+
+    For a streaming increment, apply this per micro-batch via
+    ``foreachBatch`` (exact per-doc ALL-bands semantics need a per-doc
+    aggregate, which pure append-mode streaming disallows; foreachBatch
+    gives each increment full batch semantics against the static index
+    — see ``tests/test_streaming.py``)."""
+    if (existing is None) == (existing_bands is None):
+        raise ValueError("pass exactly one of `existing` or `existing_bands`")
+    if existing_bands is None:
+        existing_bands = lsh_bands(
+            with_minhash(
+                with_shingles(existing, text_col=text_col), num_hashes=num_hashes
+            ),
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+    inc_bands = lsh_bands(
+        with_minhash(
+            with_shingles(incoming, text_col=text_col), num_hashes=num_hashes
+        ),
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    collided = (
+        inc_bands.join(
+            existing_bands.select("band_id", "band_sig"),
+            ["band_id", "band_sig"],
+            "left_semi",
+        )
+        .select(id_col)
+    )
+    return incoming.select(id_col).join(collided, id_col, "left_anti")
 
 
 def connected_components(

@@ -37,6 +37,7 @@ _SWEEP_PRIORITY = [
     # --- new in round 6: first external check ---
     "dd_components_star",
     "o18_fetch_shuffle",
+    "dd_incremental_novel",
     # --- last externally checked in round 3: three rounds stale ---
     "t_hook_pipeline",
     "src_custom_datasource",

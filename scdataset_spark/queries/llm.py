@@ -179,7 +179,9 @@ def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_bands_cte(num_hashes: int = 12, bands: int = 4) -> str:
+    """Shared WITH-prefix ending in the ``banded`` (doc_id, band_id,
+    band_sig) CTE — the SQL twin of ``dedup.lsh_bands``."""
     r = num_hashes // bands
     mh = ",\n       ".join(
         "list_aggregate(list_transform(h0, h -> "
@@ -199,7 +201,12 @@ h0_t AS (SELECT doc_id,
                 list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h0
          FROM sh_t),
 sigs AS (SELECT doc_id, {mh} FROM h0_t),
-banded AS ({band_selects})
+banded AS ({band_selects})"""
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    return f"""
+{_minhash_bands_cte(num_hashes, bands)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -299,6 +306,34 @@ def dd_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("eval_doc"), F.col("doc_a").alias("train_doc")
     )
     return a_eval.unionByName(b_eval).distinct()
+
+
+@query(
+    "dd_incremental_novel",
+    survey_ref="§2.14 dedup, §2.1 incremental",
+    oracle=f"""
+{_minhash_bands_cte()}
+SELECT DISTINCT doc_id FROM banded
+WHERE doc_id % 10 >= 8
+  AND doc_id NOT IN (
+    SELECT i.doc_id FROM banded i JOIN banded e
+      ON i.band_id = e.band_id AND i.band_sig = e.band_sig
+     WHERE i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8)
+""",
+)
+def dd_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append-only-corpus dedup
+    (``operators/dedup.py::novel_documents``): the incoming increment
+    (doc_id residue >= 8 here; the day's crawl in production) probes the
+    EXISTING corpus's banded LSH index with one semi-join and the novel
+    remainder falls out of one anti-join — O(increment + index-probe)
+    per increment instead of re-running pairwise dedup over old+new.
+    The streaming form applies the same operator per micro-batch via
+    foreachBatch (tests/test_streaming.py)."""
+    c = corpus(spark, sf_dir)
+    incoming = c.where(F.col("doc_id") % 10 >= 8)
+    existing = c.where(F.col("doc_id") % 10 < 8)
+    return dd.novel_documents(incoming, existing)
 
 
 def _minhash_verified_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:

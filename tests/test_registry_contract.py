@@ -25,6 +25,9 @@ LIBRARY_ONLY = {
     "salt_expr": "deterministic salt behind salted_count (skew_salted_count)",
     "cap_hot_tokens": "df-cap step inside jaccard_pairs (dd_ngram_jaccard); "
     "cap behavior directly tested in test_skew_and_stateful",
+    "lsh_bands": "banding step inside lsh_candidate_pairs and "
+    "novel_documents (dd_minhash_lsh, dd_incremental_novel); also the "
+    "materialization unit in the foreachBatch streaming test",
     "hyperplane_bucket_expr": "expression behind sim_lsh_ann buckets",
     "SamplingStrategy": "abstract base of the checked strategies",
     "attach_weights": "internal step of o3/o5 weighted sampling",

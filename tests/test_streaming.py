@@ -237,3 +237,54 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     write(pdir, "p2.parquet", [(9, 900, 61 * MIN)])
     got2 = run()
     assert (2, None) in got2
+
+
+def test_incremental_novel_foreachbatch_matches_batch(spark, tmp_path):
+    """Incremental dedup as a STREAM: each micro-batch of incoming
+    documents is screened against the static corpus's banded LSH index
+    via foreachBatch(novel_documents) — exact per-doc ALL-bands
+    semantics per increment (a pure append-mode stream can't aggregate
+    per doc, which is why the operator documents the foreachBatch
+    posture).  The union of per-batch novel ids must equal the batch
+    twin run over all increments at once."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.dedup import lsh_bands, novel_documents, with_minhash, with_shingles
+    from scdataset_spark.queries.llm import corpus
+
+    c = corpus(spark, SF_DIR)
+    existing = c.where(F.col("doc_id") % 10 < 8)
+    incoming = c.where(F.col("doc_id") % 10 >= 8)
+
+    # materialize the incoming docs as parquet files (one per increment)
+    src = str(tmp_path / "increments")
+    incoming.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    incoming.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    # the production posture: the existing corpus is represented by its
+    # materialized banded index, built once
+    idx_dir = str(tmp_path / "bands")
+    lsh_bands(with_minhash(with_shingles(existing))).write.mode("overwrite").parquet(idx_dir)
+    static_index = spark.read.parquet(idx_dir)
+
+    got: set[int] = set()
+
+    def screen(batch_df, batch_id):
+        novel = novel_documents(batch_df, existing_bands=static_index)
+        got.update(r.doc_id for r in novel.collect())
+
+    q = (
+        spark.readStream.schema(incoming.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(screen)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = {
+        r.doc_id for r in novel_documents(incoming, existing).collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < incoming.count()  # some novel, some collided
