@@ -57,7 +57,14 @@ def persist_bounded(df: DataFrame) -> DataFrame:
                 continue
             if same:
                 _CACHE.append(_CACHE.pop(i))
-                return old
+                if old.columns == df.columns:
+                    return old
+                # sameSemantics ignores OUTPUT NAMES (verified: plans
+                # differing only in a top-level alias compare equal), so
+                # hand back the cached frame re-labeled to the caller's
+                # names — a zero-cost projection over the shared
+                # InMemoryRelation, not a duplicate registry entry
+                return old.toDF(*df.columns)
         df = df.persist()
         _CACHE.append(df)
         while len(_CACHE) > _CACHE_MAX:

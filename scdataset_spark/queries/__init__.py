@@ -166,6 +166,9 @@ _SWEEP_PRIORITY = [
 
 
 def _apply_sweep_priority() -> None:
+    if len(set(_SWEEP_PRIORITY)) != len(_SWEEP_PRIORITY):
+        dupes = sorted({n for n in _SWEEP_PRIORITY if _SWEEP_PRIORITY.count(n) > 1})
+        raise ValueError(f"_SWEEP_PRIORITY has duplicate names: {dupes}")
     missing = [n for n in _SWEEP_PRIORITY if n not in REGISTRY]
     if missing:  # a renamed query must update the priority list too
         raise ValueError(f"_SWEEP_PRIORITY names not in REGISTRY: {missing}")

@@ -53,3 +53,16 @@ def test_reregistration_refreshes_lru_position(spark):
     _cache.persist_bounded(spark.range(999).selectExpr("id AS v2"))
     assert a in _cache._CACHE
     _fresh()
+
+
+def test_same_semantics_different_names_gets_callers_names(spark):
+    """sameSemantics ignores output aliases, so the dedupe must re-label
+    the cached frame to the caller's names instead of handing back a
+    frame with someone else's column names."""
+    _fresh()
+    a = _cache.persist_bounded(spark.range(20).select((F.col("id") * 3).alias("x")))
+    b = _cache.persist_bounded(spark.range(20).select((F.col("id") * 3).alias("y")))
+    assert a.columns == ["x"] and b.columns == ["y"]
+    assert len(_cache._CACHE) == 1  # still one persisted entry underneath
+    assert sorted(r.y for r in b.collect()) == sorted(r.x for r in a.collect())
+    _fresh()
