@@ -350,3 +350,14 @@ def test_asof_join_single_keyed_shuffle(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Window" in plan
     assert "SortMergeJoin" not in plan  # union+window, not a join
+
+
+def test_incremental_novel_is_semi_anti_join_shape(spark):
+    """Incremental dedup must stay the O(increment + index-probe)
+    shape: one left-semi band probe + one left-anti on doc_id — no
+    cartesian/nested-loop, no pair self-join anywhere."""
+    plan = _plan(spark, "dd_incremental_novel")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
