@@ -52,6 +52,13 @@ def persist_bounded(df: DataFrame) -> DataFrame:
         # prevent (sameSemantics/persist are cheap driver-side calls)
         for i, old in enumerate(_CACHE):
             try:
+                # the registry is process-global, not per-session: an
+                # entry from a DIFFERENT live session can still compare
+                # sameSemantics, but handing it back would mix frames
+                # across sessions (the except below only catches STOPPED
+                # sessions, which raise) — never match across sessions
+                if old.sparkSession is not df.sparkSession:
+                    continue
                 same = old.sameSemantics(df)
             except Exception:  # e.g. session of `old` already stopped
                 continue
@@ -74,6 +81,65 @@ def persist_bounded(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cluster_width(spark) -> int:
+    """Target parallelism for widening.  Classic sessions read
+    ``defaultParallelism``; Spark Connect has no SparkContext, so fall
+    back to the shuffle-partition setting (which a deployment sizes to
+    the cluster), then a fixed floor."""
+    try:
+        return max(8, spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect
+        try:
+            return max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        except Exception:
+            return 32
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """A Spark byte-valued conf ('128MB', '134217728b', plain int)."""
+    try:
+        v = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("b", 1)):
+        if v.endswith(suf):
+            v = v[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(v) * mult
+    except ValueError:
+        return default
+
+
+def _estimate_packed_partitions(spark, files: list[str]) -> int | None:
+    """Estimate how many FilePartitions the scan will pack ``files``
+    into, driver-side, without building an RDD.  Spark bin-packs files
+    into splits of ``maxPartitionBytes``, charging ``openCostInBytes``
+    per file, so the estimate is
+    ``ceil((total_bytes + n_files * openCost) / maxPartitionBytes)`` —
+    a raw file COUNT would over-estimate exactly in the many-small-files
+    regime where bin-packing collapses parallelism.  Returns ``None``
+    when any file is not statable from the driver (remote object
+    store)."""
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return None
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 * 1024**2)
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+    return -(-(total + len(files) * open_cost) // max_pb)
+
+
 def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to cluster width ONLY when it is narrower —
     the guard matters in both directions.  Few-split inputs (small
@@ -84,20 +150,38 @@ def widen_if_narrow(df: DataFrame) -> DataFrame:
     ``repartition(width)`` would shuffle the whole payload just to
     COLLAPSE parallelism to core count.
 
-    Narrowness probe, cheapest first: ``inputFiles()`` is a driver-side
-    metadata listing — when the lineage reads >= width files there is at
-    least one split per file, so the 100 TB path decides "already wide"
-    without ever building an RDD DAG.  Only few-file inputs (where the
-    lineage is a short scan chain and physical planning is cheap) fall
-    back to ``getNumPartitions``, which answers exactly but at the cost
-    of planning the frame into an RDD (pre-AQE view; unavailable under
-    Spark Connect — acceptable for the local few-file regime it serves)."""
-    width = max(8, df.sparkSession.sparkContext.defaultParallelism)
+    Narrowness probes, cheapest sufficient one wins:
+
+    1. file-backed lineage with driver-statable files: estimate the
+       packed FilePartition count from actual bytes and the bin-packing
+       confs (``_estimate_packed_partitions``) — exact enough on both
+       sides, never builds an RDD.  (A raw ``len(inputFiles())``
+       shortcut is NOT trusted alone: Spark packs many small files into
+       few FilePartitions, which is precisely the narrow regime this
+       function exists to fix.)
+    2. remote/unstatable files: trust the file count only with a wide
+       margin (>= 8x width files) — even 8-to-1 bin-packing still
+       leaves cluster width; the 100 TB object-store path lands here
+       and decides "already wide" from pure metadata.
+    3. otherwise probe ``df.rdd.getNumPartitions()`` (exact, but plans
+       the frame into an RDD; pre-AQE view).  Under Spark Connect the
+       RDD API raises — then widen unconditionally: the operators that
+       call this feed heavy per-row compute, where staying narrow is
+       the expensive failure mode and one extra shuffle of a frame
+       that was secretly wide is the cheap one."""
+    width = _cluster_width(df.sparkSession)
     try:
-        if len(df.inputFiles()) >= width:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed lineage
+        files = None
+    if files:
+        est = _estimate_packed_partitions(df.sparkSession, files)
+        if est is not None:
+            return df.repartition(width) if est < width else df
+        if len(files) >= 8 * width:
             return df
-    except Exception:  # non-file-backed lineage: fall through to the probe
-        pass
-    if df.rdd.getNumPartitions() < width:
-        df = df.repartition(width)
-    return df
+    try:
+        narrow = df.rdd.getNumPartitions() < width
+    except Exception:  # Spark Connect: no RDD access
+        narrow = True
+    return df.repartition(width) if narrow else df

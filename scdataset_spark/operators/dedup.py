@@ -171,9 +171,12 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = 10_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard via inverted-index join: explode distinct
+    """N-gram Jaccard via inverted-index join: explode distinct
     shingles, self-join on the shingle, count shared per pair, then
-    J = |A∩B| / (|A| + |B| - |A∩B|).
+    J = |A∩B| / (|A| + |B| - |A∩B|).  Exact only with ``max_df=None``
+    — the DEFAULT caps hot shingles (below), trading bounded recall on
+    viral-shingle pairs for a bounded join; default-parameter callers
+    get the capped (scale-safe) semantics, not the exact ones.
 
     ``max_df`` drops shingles whose document frequency exceeds it from
     the inverted index BEFORE the pair join (``skew.cap_hot_tokens``) —
@@ -250,8 +253,9 @@ def novel_documents(
 
     A colliding doc is only a CANDIDATE dup (same false-positive
     semantics as ``lsh_candidate_pairs``) — pipelines wanting exact
-    confirmation verify the collided remainder with ``jaccard_pairs``
-    against the collided band partners, which is |candidates|-bounded.
+    confirmation use ``novel_documents_verified``, which Jaccard-checks
+    each collided doc against its band partners (|candidates|-bounded)
+    so a false-positive band collision cannot discard a good document.
 
     For a streaming increment, apply this per micro-batch via
     ``foreachBatch`` (exact per-doc ALL-bands semantics need a per-doc
@@ -286,6 +290,120 @@ def novel_documents(
         .select(id_col)
     )
     return incoming.select(id_col).join(collided, id_col, "left_anti")
+
+
+def novel_documents_verified(
+    incoming: DataFrame,
+    existing: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    existing_bands: DataFrame | None = None,
+    existing_texts: DataFrame | None = None,
+) -> DataFrame:
+    """``novel_documents`` with the verify stage composed in: every
+    incoming doc that COLLIDES on a band is Jaccard-checked against its
+    actual band partners, so an LSH false positive (band collision
+    without real overlap) no longer discards a good document silently.
+
+    Returns one row per incoming doc: ``(id, is_novel, best_jaccard)``
+    where ``best_jaccard`` is the max exact 3-token-shingle Jaccard
+    against any collided existing partner (NULL when no band collision)
+    and ``is_novel = 1`` iff there was no collision or every partner's
+    Jaccard fell below ``threshold``.
+
+    Scale shape: candidates come from the same short-key band equi-join
+    as ``novel_documents``; both shingle re-derivations are SEMI-JOIN
+    restricted to the collided ids first, so the verify stage costs
+    O(|candidates|), never O(corpus).  With a materialized index pass
+    ``existing_bands`` (the ``lsh_bands`` output) plus
+    ``existing_texts`` (an ``(id, text)`` frame — e.g. the corpus
+    parquet itself; only the collided partners are ever read from it
+    thanks to the semi-join, so at 100 TB this is an id-probe, not a
+    scan-and-shingle of the archive)."""
+    if existing is not None:
+        if existing_bands is not None or existing_texts is not None:
+            raise ValueError("pass `existing` OR (`existing_bands` + `existing_texts`), not both")
+        existing_texts = existing.select(id_col, text_col)
+        existing_bands = lsh_bands(
+            with_minhash(
+                with_shingles(existing, text_col=text_col), num_hashes=num_hashes
+            ),
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+    elif existing_bands is None or existing_texts is None:
+        raise ValueError("pass `existing`, or both `existing_bands` and `existing_texts`")
+    inc_bands = lsh_bands(
+        with_minhash(
+            with_shingles(incoming, text_col=text_col), num_hashes=num_hashes
+        ),
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    # distinct collided (incoming, existing) partner pairs; consumed by
+    # two semi-joins and the verify join -> bounded-persist once
+    pairs = persist_bounded(
+        inc_bands.alias("i")
+        .join(existing_bands.alias("e"), ["band_id", "band_sig"])
+        .select(
+            F.col(f"i.{id_col}").alias("inc_id"),
+            F.col(f"e.{id_col}").alias("ex_id"),
+        )
+        .distinct()
+    )
+    inc_sh = with_shingles(
+        incoming.join(
+            pairs.select(F.col("inc_id").alias(id_col)), id_col, "left_semi"
+        ),
+        text_col=text_col,
+    ).select(
+        F.col(id_col).alias("inc_id"),
+        F.col("shingles").alias("_sha"),
+        F.size("shingles").alias("_na"),
+    )
+    ex_sh = with_shingles(
+        existing_texts.join(
+            pairs.select(F.col("ex_id").alias(id_col)), id_col, "left_semi"
+        ),
+        text_col=text_col,
+    ).select(
+        F.col(id_col).alias("ex_id"),
+        F.col("shingles").alias("_shb"),
+        F.size("shingles").alias("_nb"),
+    )
+    # full-set-size denominator, rounded to 6 like jaccard_pairs
+    jac = F.expr(
+        "round(size(array_intersect(_sha, _shb)) / "
+        "(_na + _nb - size(array_intersect(_sha, _shb))), 6)"
+    )
+    best = (
+        pairs.join(inc_sh, "inc_id")
+        .join(ex_sh, "ex_id")
+        .withColumn("_j", jac)
+        .groupBy("inc_id")
+        .agg(F.max("_j").alias("best_jaccard"))
+    )
+    return (
+        incoming.select(id_col)
+        .join(best.select(F.col("inc_id").alias(id_col), "best_jaccard"), id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("best_jaccard").isNull()
+                | (F.col("best_jaccard") < threshold),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_novel"),
+            "best_jaccard",
+        )
+    )
 
 
 def connected_components(

@@ -25,68 +25,18 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-6 priority: (a) any query NEW this round (never
+# cosmetics.  Round-7 priority: (a) any query NEW this round (never
 # externally checked) leads, then (b) staleness of the most recent external
-# check — the 21-query round-3 cohort (three rounds stale; everything
-# rounds 4 and 5 did not re-check), then the 50-query round-4 cohort, then
-# the round-5 cohort last.  A 50-slot sweep reaches all new entries + all
-# 21 r3-stale + the front of the r4 cohort; the r4 tail becomes the head of
-# the round-7 rotation.  Names and semantics are frozen; only iteration
-# order changes.
+# check — the 24-query round-4 cohort (three rounds stale; the tail rounds
+# 5 and 6 could not reach), then the round-5 cohort, then the round-6
+# cohort last.  A 50-slot sweep covers the new entry + all 24 r4-stale +
+# the front of the r5 cohort, leaving no registry entry more than two
+# rounds externally stale after round 7.  Names and semantics are frozen;
+# only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 6: first external check ---
-    "dd_components_star",
-    "o18_fetch_shuffle",
-    "dd_incremental_novel",
-    # --- last externally checked in round 3: three rounds stale ---
-    "t_hook_pipeline",
-    "src_custom_datasource",
-    "s4_sparse_densify",
-    "s3_anndata_ingest",
-    "ml_label_encode",
-    "ml_tfidf",
-    "mm_binary_decode",
-    "mm_feature_extract",
-    "ev_sliding_window",
-    "ev_session_window",
-    "ev_stream_stream_join",
-    "ev_first_event_dedup",
-    "g5_sample_size_estimate",
-    "g6_batch_normalize",
-    "g7_cube",
-    "g7_grouping_sets",
-    "sq_scalar_subquery",
-    "sq_in_subquery",
-    "dt_date_functions",
-    "str_functions",
-    "arr_functions",
-    # --- last externally checked in round 4 (front: costliest to let rot) ---
-    "dd_ngram_jaccard",
-    "dd_lsh_verified",
-    "dd_simhash",
-    "o2_buffer_shuffle",
-    "o4_weighted_noreplace",
-    "o5_subset_weighted",
-    "o6_class_balanced",
-    "o7_smoothed_weights",
-    "o10_batch_plan",
-    "o11_drop_last_batches",
-    "o13_ddp_partition",
-    "o15_block_shuffle_droplast",
-    "o16_mixture_sample",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_wealthy_customers",
-    "w5_running_revenue",
+    # --- new in round 7: first external check ---
+    "dd_incremental_verified",
+    # --- last externally checked in round 4: three rounds stale ---
     "w5_top3_orders_per_customer",
     "w5_lag_lead_gaps",
     "w5_range_frame",
@@ -111,7 +61,7 @@ _SWEEP_PRIORITY = [
     "tx_fingerprint",
     "tx_sequence_pack",
     "tx_token_budget",
-    # --- last externally checked in round 5 (freshest; sweep tail) ---
+    # --- last externally checked in round 5: fills the sweep's tail slots ---
     "j4_asof_join",
     "dd_winnowing",
     "dd_winnowing_pairs",
@@ -162,6 +112,57 @@ _SWEEP_PRIORITY = [
     "tx_pii_scrub",
     "pipe_curation",
     "ev_tumbling_window",
+    # --- last externally checked in round 6 (freshest; sweep tail) ---
+    "dd_components_star",
+    "o18_fetch_shuffle",
+    "dd_incremental_novel",
+    "t_hook_pipeline",
+    "src_custom_datasource",
+    "s4_sparse_densify",
+    "s3_anndata_ingest",
+    "ml_label_encode",
+    "ml_tfidf",
+    "mm_binary_decode",
+    "mm_feature_extract",
+    "ev_sliding_window",
+    "ev_session_window",
+    "ev_stream_stream_join",
+    "ev_first_event_dedup",
+    "g5_sample_size_estimate",
+    "g6_batch_normalize",
+    "g7_cube",
+    "g7_grouping_sets",
+    "sq_scalar_subquery",
+    "sq_in_subquery",
+    "dt_date_functions",
+    "str_functions",
+    "arr_functions",
+    "dd_ngram_jaccard",
+    "dd_lsh_verified",
+    "dd_simhash",
+    "o2_buffer_shuffle",
+    "o4_weighted_noreplace",
+    "o5_subset_weighted",
+    "o6_class_balanced",
+    "o7_smoothed_weights",
+    "o10_batch_plan",
+    "o11_drop_last_batches",
+    "o13_ddp_partition",
+    "o15_block_shuffle_droplast",
+    "o16_mixture_sample",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_wealthy_customers",
+    "w5_running_revenue",
 ]
 
 

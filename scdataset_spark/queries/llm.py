@@ -273,9 +273,11 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup PAIRS on the planted corpus via pigeonhole
     banding (hamming ≤ 1 over 4 bands ⇒ ≥ 1 identical band): equi-join
     candidates, exact bit_count(xor) verification — no cross product,
-    the production simhash dedup shape."""
+    the production simhash dedup shape.  ``max_bucket=None`` keeps the
+    oracle-checked path exact: the hot-bucket backstop is a bounded
+    recall trade the SQL oracle does not mirror."""
     sigs = tx.with_simhash(corpus(spark, sf_dir)).select("doc_id", "simhash")
-    return dd.simhash_hamming_pairs(sigs, max_hamming=1)
+    return dd.simhash_hamming_pairs(sigs, max_hamming=1, max_bucket=None)
 
 
 @query(
@@ -334,6 +336,50 @@ def dd_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = c.where(F.col("doc_id") % 10 >= 8)
     existing = c.where(F.col("doc_id") % 10 < 8)
     return dd.novel_documents(incoming, existing)
+
+
+@query(
+    "dd_incremental_verified",
+    survey_ref="§2.14 dedup, §2.1 incremental",
+    oracle=f"""
+{_minhash_bands_cte()},
+pairs AS (
+  SELECT DISTINCT i.doc_id AS inc_id, e.doc_id AS ex_id
+  FROM banded i JOIN banded e
+    ON i.band_id = e.band_id AND i.band_sig = e.band_sig
+  WHERE i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8
+),
+sp2 AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+sh2 AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM sp2),
+best AS (
+  SELECT p.inc_id AS doc_id,
+         max(round(len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)) AS best_jaccard
+  FROM pairs p
+  JOIN sh2 a ON p.inc_id = a.doc_id
+  JOIN sh2 b ON p.ex_id = b.doc_id
+  GROUP BY p.inc_id
+)
+SELECT c.doc_id,
+       CAST(CASE WHEN b.best_jaccard IS NULL OR b.best_jaccard < 0.5 THEN 1 ELSE 0 END AS INT) AS is_novel,
+       b.best_jaccard
+FROM corpus c LEFT JOIN best b ON c.doc_id = b.doc_id
+WHERE c.doc_id % 10 >= 8
+""",
+)
+def dd_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with the verify stage composed in
+    (``operators/dedup.py::novel_documents_verified``): the increment
+    probes the existing corpus's banded index, and every COLLIDED doc
+    is exact-Jaccard-checked against its actual band partners — a
+    false-positive band collision no longer silently discards a good
+    document.  Verify cost is O(|candidates|): both shingle
+    re-derivations are semi-join-restricted to collided ids before any
+    shingling happens."""
+    c = corpus(spark, sf_dir)
+    incoming = c.where(F.col("doc_id") % 10 >= 8)
+    existing = c.where(F.col("doc_id") % 10 < 8)
+    return dd.novel_documents_verified(incoming, existing, threshold=0.5)
 
 
 def _minhash_verified_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:

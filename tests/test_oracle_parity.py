@@ -25,13 +25,15 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 # runs every oracle query; the marker is a fast subset, not the gate.)
 # Updated each round from CORRECTNESS_r{N}.json ages.
 STALE_COHORT = {
-    "arr_functions", "dt_date_functions", "ev_first_event_dedup",
-    "ev_session_window", "ev_sliding_window", "ev_stream_stream_join",
-    "g5_sample_size_estimate", "g6_batch_normalize", "g7_cube",
-    "g7_grouping_sets", "ml_label_encode", "ml_tfidf", "mm_binary_decode",
-    "mm_feature_extract", "s3_anndata_ingest", "s4_sparse_densify",
-    "sq_in_subquery", "sq_scalar_subquery", "src_custom_datasource",
-    "str_functions", "t_hook_pipeline",
+    "ev_session_capped", "ev_session_funnel", "g3_batch_entropy",
+    "g7_correlation", "g7_distinct_aggregates", "g7_percentiles",
+    "g7_pivot_status_by_flag", "g7_rollup_lineitem",
+    "j_anti_customers_without_orders", "j_semi_active_customers",
+    "null_handling", "scalar_functions_events", "setops_lapsed_customers",
+    "setops_repeat_customers", "setops_union_distinct",
+    "sq_correlated_group_max", "tx_fingerprint", "tx_langid",
+    "tx_sequence_pack", "tx_token_budget", "tx_token_stats",
+    "w5_lag_lead_gaps", "w5_range_frame", "w5_top3_orders_per_customer",
 }
 
 ORACLE_PARAMS = [

@@ -66,3 +66,84 @@ def test_same_semantics_different_names_gets_callers_names(spark):
     assert len(_cache._CACHE) == 1  # still one persisted entry underneath
     assert sorted(r.y for r in b.collect()) == sorted(r.x for r in a.collect())
     _fresh()
+
+
+def test_cross_session_entries_never_match(spark):
+    """The registry is process-global: an entry registered by a
+    DIFFERENT (still-live) session must not be handed to this session
+    even when the plans compare sameSemantics — mixing frames across
+    sessions misbehaves in some Spark versions."""
+    _fresh()
+    other = spark.newSession()
+    pa = _cache.persist_bounded(other.range(40).selectExpr("id AS v"))
+    pb = _cache.persist_bounded(spark.range(40).selectExpr("id AS v"))
+    assert pb is not pa
+    assert pb.sparkSession is spark and pa.sparkSession is other
+    assert len(_cache._CACHE) == 2
+    _fresh()
+
+
+class TestWidenIfNarrowConnectClean:
+    """widen_if_narrow must work with NO RDD/SparkContext access (the
+    Spark Connect surface): the file-bytes estimator or the
+    unconditional-widen fallback decides, never a hard failure."""
+
+    def _sever_classic_api(self, monkeypatch):
+        from pyspark.sql import DataFrame, SparkSession
+
+        def _no_rdd(self):
+            raise RuntimeError("RDD API unavailable (Spark Connect)")
+
+        def _no_sc(self):
+            raise RuntimeError("SparkContext unavailable (Spark Connect)")
+
+        monkeypatch.setattr(DataFrame, "rdd", property(_no_rdd))
+        monkeypatch.setattr(SparkSession, "sparkContext", property(_no_sc))
+
+    def test_in_memory_frame_widens_without_rdd(self, spark, monkeypatch):
+        self._sever_classic_api(monkeypatch)
+        df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+        out = _cache.widen_if_narrow(df)
+        assert out.count() == 1000  # plans and runs with no RDD access
+
+    def test_jaccard_and_winnowing_run_without_rdd(self, spark, monkeypatch):
+        """The two operators that widen internally must stay
+        Connect-clean end to end."""
+        from scdataset_spark.operators.dedup import (
+            jaccard_pairs,
+            winnowing_fingerprints,
+            with_shingles,
+        )
+
+        self._sever_classic_api(monkeypatch)
+        _fresh()
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog " + ("alpha" if i % 2 else "beta"))
+             for i in range(30)],
+            ["doc_id", "text"],
+        )
+        pairs = jaccard_pairs(with_shingles(docs), threshold=0.5)
+        assert pairs.count() > 0
+        fps = winnowing_fingerprints(docs)
+        assert fps.count() > 0
+        _fresh()
+
+    def test_file_backed_estimate_decides_without_rdd(self, spark, monkeypatch):
+        """A small local parquet must take the byte-based estimator path
+        (est < width -> repartition) with the classic API severed."""
+        from tests.conftest import SF_DIR_SMALL
+
+        from scdataset_spark.catalog import load_table
+
+        cust = load_table(spark, "customer", SF_DIR_SMALL, with_row_id=False)
+        self._sever_classic_api(monkeypatch)
+        est = _cache._estimate_packed_partitions(spark, cust.inputFiles())
+        assert est is not None and est >= 1
+        out = _cache.widen_if_narrow(cust)
+        assert out.count() == cust.count()
+
+
+def test_conf_bytes_parses_spark_byte_strings(spark):
+    assert _cache._conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 0) > 0
+    # unknown key -> default
+    assert _cache._conf_bytes(spark, "spark.graft.no.such.key", 7) == 7

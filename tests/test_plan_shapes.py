@@ -361,3 +361,14 @@ def test_incremental_novel_is_semi_anti_join_shape(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_verified_is_bounded_join_shape(spark):
+    """The verify-composed incremental dedup must keep the bounded
+    shape: band equi-join for candidates, semi-join restrictions
+    before BOTH shingle re-derivations (verify cost O(|candidates|),
+    never O(corpus)), and still no cartesian/nested-loop anywhere."""
+    plan = _plan(spark, "dd_incremental_verified")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
