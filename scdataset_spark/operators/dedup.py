@@ -464,7 +464,10 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_mn"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-label probe below is the frame's first
+            # action and materializes the checkpoint in the same job —
+            # one action per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -509,33 +512,41 @@ def connected_components_star(
     cheap rounds beat the star rounds' extra joins.  Same contract:
     returns (id, component) with component = min node id reachable.
 
-    Each round is two grouped-min joins on node id; the edge frame is
-    ``localCheckpoint``-ed per round so the iterative lineage never
-    compounds.  Convergence = edge multiset fixed point, detected by a
-    (count, sum(xxhash64)) signature — a 64-bit-sum collision between
-    DIFFERENT consecutive edge sets is vanishingly unlikely, and a
-    false "converged" would still surface downstream because the final
-    labels take a grouped min over the star edges.
+    Each round is two grouped-min joins on node id, and costs exactly
+    ONE Spark action: the per-round edge frame is ``localCheckpoint``-ed
+    LAZILY and the convergence-signature aggregate is the action that
+    materializes it — the checkpoint persists as a side effect of the
+    job the probe needed anyway, so the iterative lineage never
+    compounds and no separate materialization job runs.  Convergence =
+    edge multiset fixed point, detected by a (count, sum(xxhash64))
+    signature — a 64-bit-sum collision between DIFFERENT consecutive
+    edge sets is vanishingly unlikely, and a false "converged" would
+    still surface downstream because the final labels take a grouped
+    min over the star edges.
     """
+    # Materialize the (possibly expensive: LSH candidates + verify)
+    # edge lineage ONCE; nodes and the initial edge set both derive
+    # from this checkpoint instead of re-executing the lineage each.
     raw = edges.select(
         F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
         F.least(F.col(src_col), F.col(dst_col)).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     # node set derived BEFORE dropping self-loops (matches
     # connected_components: a self-loop-only node is its own component)
     nodes = (
         raw.select(F.col("u").alias("id"))
         .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     e = (
         raw.where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def signature(frame: DataFrame):
+        # this aggregate is the frame's FIRST action, so it doubles as
+        # the lazy checkpoint's materialization job (one action/round)
         row = frame.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: a bigint sum of ±2^63-range hashes overflows
@@ -574,7 +585,7 @@ def connected_components_star(
     sig = signature(e)
     converged = False
     for _ in range(max_iterations):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         new_sig = signature(e)
         if new_sig == sig:
             converged = True

@@ -506,28 +506,41 @@ def attach_weights(
     exactly the subset (``scope='subset'``: positional alignment via
     pos-join after subset numbering).  A subset-scoped table whose
     cardinality mismatches the subset is an error, mirroring the
-    reference's validation.
+    reference's validation — raised JVM-side at the first ACTION that
+    evaluates the weight column (plan construction runs no Spark job;
+    an action that never reads ``out``, e.g. a bare count, skips the
+    check by design).
     """
     if scope == "global":
         return df.join(weights.select("row_id", F.col(weight_col).alias(out)), "row_id")
     if scope == "subset":
-        # one validation job, not two: both scalar counts ride in a
-        # single 1x1 crossJoin plan
-        row = (
-            df.agg(F.count(F.lit(1)).alias("_nd"))
-            .crossJoin(weights.agg(F.count(F.lit(1)).alias("_nw")))
-            .first()
-        )
-        n_df, n_w = row["_nd"], row["_nw"]
-        if n_df != n_w:
-            raise ValueError(
-                f"subset-scoped weights must match subset size: {n_w} weights vs {n_df} rows"
-            )
+        # NO validation job at plan time ("plan() stays lazy", the rule
+        # the drop_last path pins): cardinality is checked IN-PLAN by a
+        # full-outer pos-join — positions are dense 0..n-1 on both
+        # sides, so any size mismatch surfaces as an unmatched position
+        # on one side, and the weight column's guard expression
+        # raise_error's JVM-side on the first such row at action time
+        # (same pattern as the negative-weight guard above).  Matched
+        # runs pay nothing beyond the join they already needed.
         pos_df = with_pos(df, "row_id", "_wpos", buckets=POS_BUCKETS)
         pos_w = with_pos(weights, "pos", "_wpos", buckets=POS_BUCKETS).select(
-            "_wpos", F.col(weight_col).alias(out)
+            "_wpos", F.col(weight_col).alias("_wval"), F.lit(True).alias("_whit")
         )
-        return pos_df.join(pos_w, "_wpos").drop("_wpos")
+        w_type = weights.schema[weight_col].dataType.simpleString()
+        joined = pos_df.join(pos_w, "_wpos", "full_outer")
+        guarded = F.when(
+            F.col("_whit").isNull() | F.col("row_id").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("subset-scoped weights must match subset size: "),
+                    F.lit("subset position "),
+                    F.col("_wpos").cast("string"),
+                    F.when(F.col("_whit").isNull(), F.lit(" has no weight row"))
+                    .otherwise(F.lit(" has no subset row")),
+                )
+            ).cast(w_type),
+        ).otherwise(F.col("_wval"))
+        return joined.select(*df.columns, guarded.alias(out))
     raise ValueError(f"unknown weights scope: {scope!r}")
 
 

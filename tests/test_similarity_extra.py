@@ -94,14 +94,39 @@ class TestAttachWeights:
         assert out.count() == sub.count()
         assert "w" in out.columns
 
-    def test_subset_scope_cardinality_check(self, spark):
+    def test_subset_scope_cardinality_check_raises_at_action(self, spark):
         cust = load_table(spark, "customer", SF_DIR_SMALL)
         sub = cust.where("c_mktsegment = 'BUILDING'")
         wrong = spark.range(3).select(
             F.col("id").alias("pos"), F.lit(1.0).alias("w")
         )
-        with pytest.raises(ValueError, match="must match subset size"):
-            attach_weights(sub, wrong, scope="subset")
+        # plan construction is lazy — the mismatch surfaces in-plan at
+        # the first action that evaluates the weight column
+        planned = attach_weights(sub, wrong, scope="subset")
+        with pytest.raises(Exception, match="must match subset size"):
+            planned.collect()
+        # the other direction: more weights than subset rows
+        too_many = spark.range(10_000_000).select(
+            F.col("id").alias("pos"), F.lit(1.0).alias("w")
+        )
+        with pytest.raises(Exception, match="must match subset size"):
+            attach_weights(sub, too_many, scope="subset").collect()
+
+    def test_subset_scope_plan_construction_runs_no_job(self, spark):
+        cust = load_table(spark, "customer", SF_DIR_SMALL)
+        sub = cust.where("c_mktsegment = 'BUILDING'")
+        weights = spark.range(3).select(
+            F.col("id").alias("pos"), F.lit(1.0).alias("w")
+        )
+        sc = spark.sparkContext
+        group = "attach-weights-lazy-check"
+        sc.setJobGroup(group, "plan construction must be job-free")
+        try:
+            planned = attach_weights(sub, weights, scope="subset")
+            assert "w" in planned.columns
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
 
     def test_subset_scope_positional_alignment(self, spark):
         cust = load_table(spark, "customer", SF_DIR_SMALL)

@@ -306,6 +306,38 @@ class TestConnectedComponentsStar:
         edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
         assert connected_components_star(edges).count() == 0
 
+    def test_one_action_per_round(self, spark, monkeypatch):
+        """Per-round cost is ONE action: the round's edge checkpoint
+        must be LAZY (the convergence-signature aggregate materializes
+        it in its own job) — only the initial raw-edge materialization
+        may be eager.  An eager in-loop checkpoint doubles the driver
+        round-trips per iteration."""
+        # patch the CONCRETE class (Spark 4 splits the API base from
+        # pyspark.sql.classic.dataframe.DataFrame; instances dispatch
+        # to the latter's method)
+        from scdataset_spark.operators.dedup import connected_components_star
+
+        probe = spark.range(1)
+        cls = type(probe)
+        calls = []
+        orig = cls.localCheckpoint
+
+        def recording(self, eager=True):
+            calls.append(eager)
+            return orig(self, eager=eager)
+
+        monkeypatch.setattr(cls, "localCheckpoint", recording)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+        )
+        comp = {r.id: r.component for r in connected_components_star(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        assert calls, "checkpointing disappeared entirely?"
+        assert calls[0] is True  # the raw edge-lineage materialization
+        assert all(e is False for e in calls[1:]), (
+            f"in-loop checkpoints must be lazy, got {calls}"
+        )
+
     def test_random_graph_matches_propagation(self, spark):
         """Seeded random sparse graph: both algorithms must produce the
         identical (id → component) map."""
