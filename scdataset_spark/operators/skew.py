@@ -75,9 +75,19 @@ def write_bucketed(
     """Persist a table bucketed (and sorted) by the join key: subsequent
     equi-joins/aggregations on that key read co-located buckets and
     skip the shuffle (SortMergeJoin without Exchange).  The write-once
-    analogue of repartitioning before every join."""
+    analogue of repartitioning before every join.
+
+    The frame is repartitioned onto the bucket hash FIRST so each
+    bucket lands in exactly ONE file (repartition and bucketBy use the
+    same Murmur3 hash partitioning).  Without this, every write task
+    emits a file per bucket — W*B small files (measured: 1024 for
+    lineitem at 32x32), and a bucket spread over many files both pays
+    per-file open cost on every scan and forfeits the sorted-read
+    guarantee, so SortMergeJoin re-sorts each bucket and the layout's
+    warm-query win inverts into a loss."""
     (
-        df.write.mode("overwrite")
+        df.repartition(buckets, *bucket_cols)
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(buckets, *bucket_cols)
         .sortBy(*bucket_cols)
