@@ -56,20 +56,23 @@ ROW_ID_SQL = {
 }
 
 
-def _lineitem_row_id(df: DataFrame, buckets: int = 64) -> DataFrame:
+def _lineitem_row_id(df: DataFrame, buckets: int | None = None) -> DataFrame:
     """Exact ``row_number() OVER (ORDER BY okey, lnum, price) - 1``
     WITHOUT a global single-partition window (measured at factor-10
     sf0.1: ingest 76s -> 25s): the shared ``plans.plan.bucketed_rank``
     primitive, bucketed on ``l_orderkey`` with the composite tiebreak —
-    value-identical to the oracle's global row_number."""
-    from scdataset_spark.plans.plan import bucketed_rank
+    value-identical to the oracle's global row_number.  The bucket
+    count scales with input size (``adaptive_rank_buckets``) so the
+    per-bucket sort stays task-sized at any SF; the count is a physical
+    knob only — ranks are identical at any bucket count."""
+    from scdataset_spark.plans.plan import adaptive_rank_buckets, bucketed_rank
 
     out = bucketed_rank(
         df,
         "l_orderkey",
         [("l_orderkey", "asc"), ("l_linenumber", "asc"), ("l_extendedprice", "asc")],
         out_col="row_id",
-        buckets=buckets,
+        buckets=buckets if buckets is not None else adaptive_rank_buckets(df),
     )
     return out.withColumn("row_id", F.col("row_id").cast("bigint"))
 

@@ -29,6 +29,48 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def adaptive_rank_buckets(
+    df: DataFrame,
+    floor: int = 64,
+    target_bytes: int = 32 << 20,
+    cap: int = 4096,
+) -> int:
+    """Pick a :func:`bucketed_rank` bucket count that keeps each
+    per-bucket window sort bounded as the input grows — a PHYSICAL knob
+    only: range bucketing keys equal values into one bucket at any
+    count, so the computed ranks are bit-identical regardless.
+
+    With a fixed count, bucket size grows linearly with the input and
+    the per-bucket single-task sort eventually dominates (the sf100
+    audit's ingest-numbering hazard).  File-backed frames size buckets
+    at ~``target_bytes`` of parquet each (compressed bytes — the
+    in-memory sort is a few x larger, still comfortably task-sized);
+    non-file frames scale with cluster width so wave scheduling keeps
+    buckets per core constant.  Clamped to [floor, cap]: the floor
+    keeps small inputs at the measured-good 64, the cap bounds the
+    broadcast-offsets frame (cap rows) and the stats agg."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                raise OSError(f)
+            total += _os.path.getsize(p.path)
+        if files:
+            return int(min(cap, max(floor, -(-total // target_bytes))))
+    except Exception:
+        pass
+    try:
+        width = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect
+        width = 32
+    return int(min(cap, max(floor, 4 * width)))
+
+
 def bucketed_rank(
     df: DataFrame,
     bucket_col: str,

@@ -5,6 +5,15 @@ regressions the small-SF bench hides (run the headline set at ~sf1):
     python scripts/make_big_sf.py /root/testdata/sf0.1 _bench_sf1 10
     SPARK_GRAFT_SF_DIR=$PWD/_bench_sf1 python bench.py
 
+Second-level scaling (e.g. sf100 = sf10 x 10) must pass an OFFSET
+larger than the largest key already present, and relies on the
+permutation cipher composing safely (a random permutation composed
+with any earlier map is another effectively-random permutation, so
+cross-replica token leakage stays negligible — verified empirically by
+the flat avg-shingle-df fixture-health metric in BENCH_SCALE.md):
+
+    python scripts/make_big_sf.py _bench_sf10 _bench_sf100 10 1000000000000
+
 Replica ``c`` offsets every scalable key by ``c * OFFSET``; dimension
 tables (region, nation) are shared, so foreign keys into them stay
 valid.  One projection pass per table (explode over the replica
@@ -29,7 +38,7 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-OFFSET = 1_000_000_000  # far above any key in the source data
+OFFSET = 1_000_000_000  # far above any key in the source data (overridable via argv[4])
 
 # per-table key columns that must shift per replica
 SHIFT = {
@@ -45,7 +54,10 @@ SHIFT = {
 COPY = ["region", "nation"]
 
 
-def scale_table(spark: SparkSession, src: str, out: str, table: str, factor: int) -> None:
+def scale_table(
+    spark: SparkSession, src: str, out: str, table: str, factor: int,
+    offset: int = OFFSET,
+) -> None:
     df = spark.read.parquet(f"{src}/{table}.parquet")
     if table in COPY or factor == 1:
         df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
@@ -55,37 +67,42 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, factor: int
     for k in keys:
         # source keys are INT32; widen before shifting or the offset overflows
         rep = rep.withColumn(
-            k, F.col(k).cast("bigint") + F.col("_c").cast("bigint") * F.lit(OFFSET)
+            k, F.col(k).cast("bigint") + F.col("_c").cast("bigint") * F.lit(offset)
         )
     if table == "documents":
-        # Per-replica AFFINE substitution cipher over the FULL 36-char
-        # alphanumeric alphabet (x -> a*x + b mod 36, a coprime to 36):
-        # replica 0 is the original corpus (a=1, b=0); every other
-        # replica gets a DISTINCT injective substitution — 12 units x 36
-        # shifts = 432 unique maps, so content is unique for any factor
-        # <= 432.  Why the full alphabet and not letters+digits
-        # separately: any sub-alphabet whose per-replica map space is
-        # smaller than the factor leaks shared tokens across replicas —
-        # a plain Caesar rotation (26 maps) leaked whole letter classes,
-        # and a digit shift (10 maps) leaked every digit-heavy token to
-        # 1/10th of the replicas; the factor-100 sf10 audit measured
-        # both as superlinear shingle-df / simhash-band inflation
-        # (avg shingle df 20 -> 78, pure fixture artifact).  Two
-        # distinct affine maps over 36 chars agree on at most
-        # gcd-bounded character sets (~2-4 chars), so cross-replica
-        # token collisions are negligible and only the intra-replica
-        # planted dup structure — the thing the audits measure —
-        # survives.  (A source letter may cipher to a digit and vice
-        # versa; case is preserved where the image is a letter.)
+        # Per-replica SUBSTITUTION CIPHER over the full 36-char
+        # alphanumeric alphabet.  History: a plain Caesar rotation
+        # (26 maps) and digit shift (10 maps) both leaked shared tokens
+        # across replicas — the factor-100 sf10 audit measured this as
+        # superlinear shingle-df / simhash-band inflation (avg shingle
+        # df 20 -> 78, pure fixture artifact); affine maps
+        # (x -> a*x + b mod 36, 12 units x 36 shifts) fixed that but
+        # cap at 432 unique maps.  Seeded RANDOM permutations remove
+        # the cap: replica 0 is the identity (original corpus), every
+        # other replica draws a full 36-char permutation from
+        # random.Random(9000 + c) — 36! maps, pairwise agreement
+        # between two random permutations is ~1 char in expectation
+        # (vs 2-4 for affine pairs), and a random permutation composed
+        # with ANY earlier map (second-level scaling reads
+        # already-ciphered text) is itself an effectively-random
+        # permutation, so stacking scale passes stays leak-free.
+        # (A source letter may cipher to a digit and vice versa; case
+        # is preserved where the image is a letter.)
+        import random
+
         alpha36 = "abcdefghijklmnopqrstuvwxyz0123456789"
-        units36 = [1, 5, 7, 11, 13, 17, 19, 23, 25, 29, 31, 35]
         rot = F.lit(None)
+        seen = set()
         for c in range(factor):
-            a, b = units36[c % len(units36)], c // len(units36)
-            img = [alpha36[(a * i + b) % 36] for i in range(36)]
+            img = list(alpha36)
+            if c > 0:
+                random.Random(9000 + c).shuffle(img)
+            key = "".join(img)
+            assert key not in seen, f"duplicate cipher map at replica {c}"
+            seen.add(key)
             lower_src = alpha36  # a-z then 0-9
             upper_src = alpha36[:26].upper()
-            lower_img = "".join(img)
+            lower_img = key
             upper_img = "".join(ch.upper() for ch in img[:26])
             expr = F.translate(
                 F.col("text"), lower_src + upper_src, lower_img + upper_img
@@ -120,16 +137,20 @@ def scale_table(spark: SparkSession, src: str, out: str, table: str, factor: int
 
 def main() -> None:
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    offset = int(sys.argv[4]) if len(sys.argv) > 4 else OFFSET
     spark = (
         SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # second-level scaling shuffles tens of GB through repartition;
+        # the local-mode default 1g heap would thrash/spill constantly
+        .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
     for t in list(SHIFT) + COPY:
-        scale_table(spark, src, out, t, factor)
-        print(f"{t}: done")
+        scale_table(spark, src, out, t, factor, offset=offset)
+        print(f"{t}: done", flush=True)
     spark.stop()
 
 
