@@ -36,6 +36,7 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 _SWEEP_PRIORITY = [
     # --- new in round 7: first external check ---
     "dd_incremental_verified",
+    "o5_positional_weights",
     # --- last externally checked in round 4: three rounds stale ---
     "w5_top3_orders_per_customer",
     "w5_lag_lead_gaps",

@@ -18,6 +18,7 @@ from scdataset_spark.operators.strategies import (
     BlockWeightedSampling,
     ClassBalancedSampling,
     Streaming,
+    attach_weights,
 )
 from scdataset_spark.plans.plan import ddp_filter, exact_num_batches, with_batches, with_pos
 from scdataset_spark.plans.seeds import mix_sql
@@ -385,6 +386,48 @@ def o5_subset_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         replace=True,
     )
     return strat.plan(li, seed=SEED).select("row_id", "pos")
+
+
+@query(
+    "o5_positional_weights",
+    survey_ref="O5,S2",
+    oracle=f"""
+WITH base AS (SELECT {LI_RID} AS row_id, l_returnflag, l_quantity FROM lineitem),
+sub AS (SELECT row_id, l_quantity FROM base WHERE l_returnflag = 'R'),
+pos AS (
+  SELECT row_id, l_quantity,
+         row_number() OVER (ORDER BY row_id) - 1 AS p
+  FROM sub
+)
+SELECT row_id, CAST((p % 5) + 1 AS DOUBLE) AS w,
+       round(l_quantity * ((p % 5) + 1), 2) AS weighted_qty
+FROM pos
+""",
+)
+def o5_positional_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 dual weight resolution, subset-scoped case
+    (``operators/strategies.py::attach_weights(scope='subset')``): the
+    weights table covers exactly the subset and aligns POSITIONALLY —
+    k-th weight to the k-th smallest row_id (reference
+    strategy.py:791-815's per-subset weights).  The alignment is a
+    full-outer pos-join with an in-plan cardinality guard (no plan-time
+    job; a size mismatch raise_errors at action time), so this query
+    drives the lazy validation path through the driver gate.  Weights
+    here are a deterministic cycle (pos % 5 + 1) recomputable by the
+    SQL oracle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sub = li.where("l_returnflag = 'R'").select("row_id", "l_quantity")
+    n = sub.count()  # query-level sizing (the OPERATOR stays lazy)
+    weights = spark.range(n).select(
+        F.col("id").alias("pos"),
+        ((F.col("id") % 5) + 1).cast("double").alias("w"),
+    )
+    out = attach_weights(sub, weights, scope="subset")
+    return out.select(
+        "row_id",
+        "w",
+        F.round(F.col("l_quantity") * F.col("w"), 2).alias("weighted_qty"),
+    )
 
 
 # ------------------------------------------------------------------- O4

@@ -288,3 +288,71 @@ def test_incremental_novel_foreachbatch_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert 0 < len(got) < incoming.count()  # some novel, some collided
+
+
+def test_incremental_verified_foreachbatch_matches_batch(spark, tmp_path):
+    """The VERIFIED incremental variant as a stream: each micro-batch is
+    screened against the materialized band index AND Jaccard-verified
+    against its collided partners (texts probed from the corpus parquet
+    by id — the 100 TB posture: the archive is only ever read for the
+    |candidates| partner docs via the semi-join).  Per-batch results
+    must union to the batch twin's."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.dedup import (
+        lsh_bands,
+        novel_documents_verified,
+        with_minhash,
+        with_shingles,
+    )
+    from scdataset_spark.queries.llm import corpus
+
+    c = corpus(spark, SF_DIR)
+    existing = c.where(F.col("doc_id") % 10 < 8)
+    incoming = c.where(F.col("doc_id") % 10 >= 8)
+
+    src = str(tmp_path / "increments")
+    incoming.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    incoming.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    idx_dir = str(tmp_path / "bands")
+    lsh_bands(with_minhash(with_shingles(existing))).write.mode("overwrite").parquet(idx_dir)
+    static_index = spark.read.parquet(idx_dir)
+    texts_dir = str(tmp_path / "texts")
+    existing.select("doc_id", "text").write.mode("overwrite").parquet(texts_dir)
+    static_texts = spark.read.parquet(texts_dir)
+
+    got: dict[int, tuple] = {}
+
+    def screen(batch_df, batch_id):
+        out = novel_documents_verified(
+            batch_df,
+            existing_bands=static_index,
+            existing_texts=static_texts,
+            threshold=0.97,
+        )
+        got.update(
+            (r.doc_id, (r.is_novel, r.best_jaccard)) for r in out.collect()
+        )
+
+    q = (
+        spark.readStream.schema(incoming.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(screen)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = {
+        r.doc_id: (r.is_novel, r.best_jaccard)
+        for r in novel_documents_verified(incoming, existing, threshold=0.97).collect()
+    }
+    assert got == expected
+    # the verify stage must rescue at least one band-collided doc whose
+    # best Jaccard falls below threshold (the class the unverified
+    # variant silently discards; threshold=0.97 because this SF's
+    # collisions are all genuine near-dups with J in [0.96, 0.99])
+    rescued = [d for d, (nov, bj) in got.items() if nov == 1 and bj is not None]
+    assert rescued, "no false-positive collision rescued — fixture too easy?"
