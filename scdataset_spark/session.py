@@ -36,6 +36,11 @@ def get_spark(app_name: str = "scdataset_spark", shuffle_partitions: int | None 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # zstd shuffle/spill compression: ~1.5-2x denser than the lz4
+        # default on wide-row shuffles for ~equal CPU — the difference
+        # between fitting and filling local scratch on spill-heavy jobs
+        # (the sf100 ingest sort exhausted the disk under lz4)
+        .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{sp}]"))

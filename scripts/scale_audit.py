@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Per-query scale audit runner (BENCH_SCALE methodology).
+
+Runs a named set of registry queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]: one cold run then warm = min of 2 repeats,
+each fully materialized via a noop write (nothing collected).  Prints
+ONE JSON line per query as it finishes (so a killed run still yields
+data) and a final summary line.
+
+    SPARK_GRAFT_SF_DIR=$PWD/_bench_sf100 SPARK_GRAFT_DRIVER_MEM=64g \
+        python scripts/scale_audit.py headline dd sim
+
+Set groups: headline (bench headline set), dd (dedup family),
+sim (similarity family), fixture (fixture-health metrics: avg shingle
+document frequency + dup-group structure — must stay ~flat across
+scale or the audit measures the fixture, not the engine), or explicit
+query names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scdataset_spark.queries import REGISTRY  # noqa: E402
+from scdataset_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+GROUPS = {
+    "headline": None,  # resolved from registry headline flags
+    "dd": [
+        "dd_exact_groups", "dd_minhash_lsh", "dd_simhash_pairs",
+        "dd_ngram_jaccard", "dd_winnowing", "dd_embed_cosine",
+        "dd_components", "dd_components_star", "dd_dedup_corpus",
+        "dd_decontamination", "dd_incremental_novel",
+        "dd_incremental_verified", "dd_lsh_verified",
+    ],
+    "sim": ["sim_topk_cosine", "sim_lsh_ann", "sim_ivf_ann"],
+}
+
+
+def run_one(spark, name: str) -> float:
+    t0 = time.perf_counter()
+    REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def fixture_health(spark) -> dict:
+    """Flat-across-scale metrics: if cross-replica content leaks, avg
+    shingle df inflates superlinearly (the r6 cipher-leak signature)."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.dedup import with_shingles
+    from scdataset_spark.queries.llm import corpus
+
+    c = corpus(spark, SF_DIR)
+    inv = with_shingles(c).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    df_stats = (
+        inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.avg("df").alias("avg_df"),
+            F.expr("percentile_approx(df, 0.999)").alias("p999_df"),
+            F.max("df").alias("max_df"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .first()
+    )
+    groups = (
+        REGISTRY["dd_exact_groups"].fn(spark, SF_DIR)
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("n_docs").alias("max_group"),
+        )
+        .first()
+    )
+    return {
+        "avg_shingle_df": round(df_stats["avg_df"], 2),
+        "p999_shingle_df": int(df_stats["p999_df"]),
+        "max_shingle_df": int(df_stats["max_df"]),
+        "n_distinct_shingles": int(df_stats["n_shingles"]),
+        "exact_dup_groups": int(groups["n_groups"]),
+        "max_exact_group_size": int(groups["max_group"]),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:] or ["headline"]
+    spark = get_spark("scdataset_spark_scale_audit", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from scdataset_spark.catalog import ensure_ingested, load_table
+
+    t0 = time.perf_counter()
+    n_rows = -1
+    # SKIP_INGEST=1 for documents/embeddings-only audits;
+    # INGEST_SLICES>1 bounds the numbering scratch (sf100: the one-shot
+    # sort exhausted the 53 GB scratch volume)
+    if os.environ.get("SPARK_GRAFT_SKIP_INGEST", "") != "1":
+        ensure_ingested(
+            spark, SF_DIR,
+            slices=int(os.environ.get("SPARK_GRAFT_INGEST_SLICES", "1")),
+        )
+        n_rows = load_table(spark, "lineitem", SF_DIR).count()
+    ingest_sec = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "ingest_sec": ingest_sec,
+                      "lineitem_rows": n_rows}), flush=True)
+
+    names: list[str] = []
+    for a in args:
+        if a == "headline":
+            names += [n for n, s in sorted(REGISTRY.items()) if s.headline]
+        elif a == "fixture":
+            t0 = time.perf_counter()
+            fh = fixture_health(spark)
+            fh["fixture_health_sec"] = round(time.perf_counter() - t0, 1)
+            print(json.dumps({"fixture_health": fh}), flush=True)
+        elif a in GROUPS:
+            names += GROUPS[a]
+        else:
+            names.append(a)
+
+    results = {}
+    for name in names:
+        try:
+            cold = run_one(spark, name)
+            warm = min(run_one(spark, name) for _ in range(2))
+            results[name] = {"cold_sec": round(cold, 2), "warm_sec": round(warm, 2)}
+        except Exception as e:  # keep the sweep going; record the failure
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps({"metric": "scale_audit", "sf_dir": SF_DIR,
+                      "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

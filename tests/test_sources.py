@@ -289,3 +289,52 @@ class TestMLlib:
         key = e.where("vec_id = 0").first()["vec"]
         nn = brp_lsh_neighbors(e, "vec", key, k=5)
         assert nn.count() == 5
+
+
+class TestSlicedIngest:
+    def test_sliced_ingest_matches_oneshot(self, spark, tmp_path, monkeypatch):
+        """Bounded-scratch chunked ingest (ensure_ingested slices>1)
+        must produce byte-identical row_ids to the one-shot numbering:
+        l_orderkey is the leading order column, so slice-local ranks +
+        cumulative slice counts == the global rank."""
+        import scdataset_spark.catalog as cat
+        from tests.conftest import SF_DIR_SMALL
+
+        monkeypatch.setattr(
+            cat, "ingest_dir", lambda sf_dir: str(tmp_path / "ingest")
+        )
+        cat.ensure_ingested(spark, SF_DIR_SMALL, slices=4)
+        sliced = spark.read.parquet(str(tmp_path / "ingest" / "lineitem.parquet"))
+        oneshot = cat.load_table(
+            spark, "lineitem", SF_DIR_SMALL, with_row_id=True, use_ingested=False
+        )
+        cols = sorted(oneshot.columns)
+        a = sorted(map(tuple, sliced.select(*cols).collect()))
+        b = sorted(map(tuple, oneshot.select(*cols).collect()))
+        assert a == b
+        # partial-crash safety: _SUCCESS exists only because ALL slices landed
+        import os
+        files = os.listdir(str(tmp_path / "ingest" / "lineitem.parquet"))
+        assert "_SUCCESS" in files
+        assert {f.split("-")[0] for f in files if f.startswith("slice")} == {
+            f"slice{s:04d}" for s in range(4)
+        }
+
+    def test_sliced_ingest_served_by_load_table(self, spark, tmp_path, monkeypatch):
+        import scdataset_spark.catalog as cat
+        from tests.conftest import SF_DIR_SMALL
+
+        monkeypatch.setattr(
+            cat, "ingest_dir", lambda sf_dir: str(tmp_path / "ingest")
+        )
+        cat.ensure_ingested(spark, SF_DIR_SMALL, slices=3)
+        served = cat.load_table(spark, "lineitem", SF_DIR_SMALL)
+        n = served.count()
+        assert n > 0
+        # row_id is a dense 0..n-1 sequence after stitching
+        row = served.agg(
+            {"row_id": "min"}
+        ).collect()[0]
+        assert row[0] == 0
+        assert served.agg({"row_id": "max"}).collect()[0][0] == n - 1
+        assert served.select("row_id").distinct().count() == n
