@@ -115,6 +115,11 @@ def simhash_exprs(tokens_col: str = "_dtoks", bits: int = 32) -> list[str]:
     only md5/substr/instr/integer arithmetic — portable to DuckDB.
     ``tokens_col`` must be a bound array column (tokenizing inside each
     of the 32 expressions would cost 32 splits per row).
+
+    NOTE: kept as the ORACLE-shaped reference formulation (one
+    expression per bit, md5 re-evaluated per bit); the engine path is
+    :func:`simhash_votes_expr`, which computes identical votes with ONE
+    md5 per token.
     """
     exprs = []
     for b in range(bits):
@@ -129,14 +134,50 @@ def simhash_exprs(tokens_col: str = "_dtoks", bits: int = 32) -> list[str]:
     return exprs
 
 
+def simhash_bit_weight(b: int) -> str:
+    """SQL literal for bit b's weight in a SIGNED 64-bit signature: bit
+    63 is the two's-complement sign bit, so its weight is -2^63 (the
+    unsigned 2^63 would overflow bigint).  Identical text works in
+    Spark SQL and DuckDB."""
+    return "(-9223372036854775807 - 1)" if b == 63 else str(2**b)
+
+
+def simhash_votes_expr(tokens_col: str, bits: int) -> str:
+    """One-pass vote accumulation: md5 ONCE per token (the per-bit
+    formulation re-hashes every token ``bits`` times — measured as the
+    dominant signature cost at 64 bits), votes carried as a bits-long
+    array through a single ``aggregate`` + ``zip_with``.  The per-token
+    md5 is let-bound via the ``transform(array(md5(t)), h -> ...)[0]``
+    idiom so it is NOT re-evaluated per array element.  Vote values are
+    bit-identical to :func:`simhash_exprs`."""
+    assert bits <= 64, "signature is a signed 64-bit bigint"
+    bitv = (
+        f"transform(array(md5(t)), h -> transform(sequence(0, {bits - 1}), "
+        f"b -> CAST(2 * (((instr('0123456789abcdef', "
+        f"substr(h, CAST(b div 4 AS INT) + 1, 1)) - 1) "
+        f"div element_at(array(1, 2, 4, 8), CAST(b % 4 AS INT) + 1)) % 2) "
+        f"- 1 AS BIGINT)))[0]"
+    )
+    return (
+        f"aggregate({tokens_col}, array_repeat(0L, {bits}), "
+        f"(acc, t) -> zip_with(acc, {bitv}, (a, v) -> a + v))"
+    )
+
+
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """``bits``-wide simhash signature (signed bigint).  32 bits is
+    enough below ~10^5 docs; production corpora use ``bits=64`` — with
+    pigeonhole banding at max_hamming=1 that means 2x32-bit bands,
+    whose value space does not saturate until ~10^8 docs (the sf100
+    audit measured 16-bit bands going quadratic at 6 M docs)."""
     toks = df.withColumn("_dtoks", F.array_distinct(F.split(F.col(text_col), " ")))
-    votes = toks.selectExpr("*", *simhash_exprs("_dtoks", bits))
+    votes = toks.withColumn("_votes", F.expr(simhash_votes_expr("_dtoks", bits)))
     combine = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+        f"(CASE WHEN element_at(_votes, {b + 1}) > 0 THEN {simhash_bit_weight(b)} ELSE 0 END)"
+        for b in range(bits)
     )
     return votes.withColumn("simhash", F.expr(f"CAST({combine} AS BIGINT)")).drop(
-        "_dtoks", *[f"s{b}" for b in range(bits)]
+        "_dtoks", "_votes"
     )
 
 

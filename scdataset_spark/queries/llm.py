@@ -222,12 +222,16 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle(bits: int = 32) -> str:
+    from scdataset_spark.operators.textanalysis import simhash_bit_weight
+
     digit = "(instr('0123456789abcdef', substr(md5(t), {pos}, 1)) - 1)"
     sums = ",\n       ".join(
         f"sum(2 * (({digit.format(pos=b // 4 + 1)} // {2 ** (b % 4)}) % 2) - 1) AS s{b}"
         for b in range(bits)
     )
-    combine = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits))
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {simhash_bit_weight(b)} ELSE 0 END)" for b in range(bits)
+    )
     return f"""
 WITH {CORPUS_SQL},
 toks AS (
@@ -268,16 +272,24 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-@query("dd_simhash_pairs", survey_ref="§2.14 dedup", oracle=_simhash_pairs_oracle(max_hamming=1))
+@query(
+    "dd_simhash_pairs",
+    survey_ref="§2.14 dedup",
+    oracle=_simhash_pairs_oracle(max_hamming=1, bits=64, bands=2),
+)
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup PAIRS on the planted corpus via pigeonhole
-    banding (hamming ≤ 1 over 4 bands ⇒ ≥ 1 identical band): equi-join
+    banding (hamming ≤ 1 ⇒ ≥ 1 identical band of 2): equi-join
     candidates, exact bit_count(xor) verification — no cross product,
-    the production simhash dedup shape.  ``max_bucket=None`` keeps the
-    oracle-checked path exact: the hot-bucket backstop is a bounded
-    recall trade the SQL oracle does not mirror."""
-    sigs = tx.with_simhash(corpus(spark, sf_dir)).select("doc_id", "simhash")
-    return dd.simhash_hamming_pairs(sigs, max_hamming=1, max_bucket=None)
+    the production simhash dedup shape.  64-BIT signatures with 2x32-bit
+    bands: the sf100 audit measured 32-bit/16-bit-band signatures going
+    quadratic at 6 M docs (≈94 docs per band bucket ⇒ candidate volume
+    ~n²·bands/2^width), while 32-bit band VALUES stay unsaturated to
+    ~10^8 docs.  ``max_bucket=None`` keeps the oracle-checked path
+    exact: the hot-bucket backstop is a bounded recall trade the SQL
+    oracle does not mirror."""
+    sigs = tx.with_simhash(corpus(spark, sf_dir), bits=64).select("doc_id", "simhash")
+    return dd.simhash_hamming_pairs(sigs, max_hamming=1, bits=64, max_bucket=None)
 
 
 @query(

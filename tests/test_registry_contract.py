@@ -21,6 +21,8 @@ LIBRARY_ONLY = {
     # every *composition* that uses them is oracle-checked
     "tokens_col": "expression helper used by textanalysis operators",
     "simhash_exprs": "expression pieces behind with_simhash (dd_simhash)",
+    "simhash_votes_expr": "one-md5-per-token vote pass inside with_simhash",
+    "simhash_bit_weight": "signed-64-bit weight literal shared with the oracle SQL",
     "persist_bounded": "bounded-cache helper used by dedup/similarity",
     "salt_expr": "deterministic salt behind salted_count (skew_salted_count)",
     "cap_hot_tokens": "df-cap step inside jaccard_pairs (dd_ngram_jaccard); "
