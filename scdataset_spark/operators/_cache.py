@@ -20,7 +20,25 @@ _CACHE: list[DataFrame] = []
 # (round-5 ran more banded queries than the bound of 4 could hold);
 # env-overridable for A/B measurement
 _CACHE_MAX = int(os.environ.get("SPARK_GRAFT_CACHE_MAX", "8"))
+# Bytes bound on TOTAL cached storage (memory + disk), swept lazily on
+# each registration: an entry count alone is the wrong unit at scale —
+# the sf100 audit measured 8 retained sf100-sized frames pinning the
+# whole heap, after which every later query in the session GC/spill-
+# thrashed (sim_lsh_ann 645 s in-queue vs 21 s in a fresh session).
+_CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_BYTES", str(8 << 30)))
 _LOCK = threading.Lock()
+
+
+def _storage_bytes(spark) -> int | None:
+    """Total bytes of ALL cached RDD storage in the app (registry
+    entries, localCheckpoints, user persists) — the real pressure
+    signal.  Classic-API only; returns None under Spark Connect (the
+    sweep then falls back to the entry-count bound alone)."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+    except Exception:
+        return None
 
 
 def persist_bounded(df: DataFrame) -> DataFrame:
@@ -76,6 +94,17 @@ def persist_bounded(df: DataFrame) -> DataFrame:
         _CACHE.append(df)
         while len(_CACHE) > _CACHE_MAX:
             evict.append(_CACHE.pop(0))
+        # bytes-pressure sweep over PREVIOUS entries' realized sizes
+        # (the frame just registered hasn't materialized yet, so it
+        # contributes 0 — exactly right: old big frames yield to the
+        # query now being built).  The probe counts all cached storage
+        # including checkpoints, so under genuine pressure the registry
+        # shrinks toward one entry and recompute replaces thrash.
+        total = _storage_bytes(df.sparkSession)
+        while total is not None and total > _CACHE_MAX_BYTES and len(_CACHE) > 1:
+            victim = _CACHE.pop(0)
+            victim.unpersist()  # inside the loop: the next probe must see it
+            total = _storage_bytes(df.sparkSession)
     for old in evict:
         old.unpersist()
     return df

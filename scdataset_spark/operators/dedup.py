@@ -196,14 +196,24 @@ def jaccard_pairs(
     # when the input is split-starved (measured: 3 tasks on 32 cores at
     # sf0.1, 6.6 s for the explode alone); the guard leaves wide inputs
     # alone.  Repartition the narrow per-doc frame, not the exploded one.
-    sized = widen_if_narrow(df.withColumn("n_sh", F.size(F.col(shingle_col))))
+    widened = widen_if_narrow(df)
     # persist BEFORE the df-cap: the cap's frequency aggregate and its
     # semi-join, and then both sides of the pair self-join, all consume
     # this frame — persisting after the cap would still re-derive the
-    # explode for the cap's two readers
+    # explode for the cap's two readers.  The inverted index carries
+    # ONLY (id, shingle): per-doc sizes ride a separate n_docs-row
+    # frame joined back AFTER the pair aggregation — carrying (na, nb)
+    # through the self-join + groupBy puts them on every one of the
+    # ~Σdf² intermediate pair rows, which measured as the difference
+    # between fitting and exhausting shuffle scratch at sf100 (6 M
+    # docs, ~1.9 B pre-agg pair rows).
     inv = persist_bounded(
-        sized.select(F.col(id_col), "n_sh", F.explode(F.col(shingle_col)).alias("sh"))
+        widened.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("sh"))
     )
+    # full (PRE-cap) per-doc sizes for the Jaccard denominator, from the
+    # persisted exploded frame — shingles are distinct per doc, so the
+    # count IS the set size, and no shingle lineage is re-derived
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         inv = cap_hot_tokens(inv, token_col="sh", max_df=max_df)
     a = inv.alias("a")
@@ -214,10 +224,12 @@ def jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    shared = (
+        shared.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
     )
     jac = F.round(
         F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6

@@ -95,7 +95,7 @@ def lsh_banded_pairs(
     id_col: str = "vec_id",
     vec: str = "embedding",
     bands: int = 8,
-    rows_per_band: int = 16,
+    rows_per_band: int = 24,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
@@ -104,12 +104,19 @@ def lsh_banded_pairs(
     candidates iff they share the full sign-signature of ANY band.
 
     Amplification math: a pair at angle θ agrees per bit w.p. 1-θ/π, per
-    band w.p. (1-θ/π)^rows, overall 1-(1-(1-θ/π)^rows)^bands — at
-    cosine ≥ 0.98 and (16 rows, 8 bands) recall ≈ 1 while a random pair
-    (cos≈0) collides w.p. ~8·2^-16.  The join is an equi-join on
-    (band_id, sig): shuffle-partitionable, no cross product ever
-    materializes — measured 155 candidates of 179,700 possible pairs at
-    sf0.01 with recall 100/100.
+    band w.p. (1-θ/π)^rows, overall 1-(1-(1-θ/π)^rows)^bands — at the
+    planted near-dup cosine (~0.9995) and (24 rows, 8 bands) recall
+    ≈ 1-2e-4 while a random pair (cos≈0) collides w.p. ~8·2^-24.  The
+    join is an equi-join on (band_id, sig): shuffle-partitionable, no
+    cross product ever materializes.
+
+    SIZING: band width (``rows_per_band``) must grow with corpus size —
+    the band value space is 2^rows and candidate volume grows
+    ~n²·bands/2^rows once buckets saturate.  The old 16-bit default
+    held ~94 vectors per bucket at the sf100 audit's 6 M vectors and
+    OOM'd the candidate join; 24 bits is unsaturated to ~10^7-10^8.
+    Rule: ``rows_per_band ≳ log2(n_vectors) + 2``; beyond ~10^8 add
+    bits or pre-partition by a coarse quantizer (IVF cell) first.
 
     All bands are emitted in ONE projection + explode (per the dedup
     banding note: union-per-band would recompute the lineage ``bands``

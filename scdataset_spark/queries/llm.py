@@ -574,7 +574,16 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate fan-out with recall 1.0 (measured at sf0.01).
 EMB_NOISE_SEED = 99
 EMB_BANDS = 8
-EMB_ROWS_PER_BAND = 16
+# Band WIDTH is the saturation lever (same lesson as simhash): the band
+# value space is 2^rows_per_band per band, and candidate volume grows
+# ~n²·bands/2^rows once buckets hold many vectors.  16-bit bands (65k
+# values) saturated at the sf100 audit's 6M vectors (~94 vectors per
+# bucket → OOM in the candidate self-join); 24-bit bands hold ~16.7M
+# values per band (unsaturated to ~10^7-10^8 vectors).  Recall at the
+# planted near-dup cosine (~0.9995, per-plane agreement ~0.989) stays
+# ≈1-2e-4 with 8 bands — the sf0.001 full-recall test still passes.
+# Sizing rule: rows_per_band ≳ log2(n_vectors) + 2.
+EMB_ROWS_PER_BAND = 24
 
 
 def _emb_noise(dialect: str) -> str:

@@ -31,6 +31,18 @@ def get_spark(app_name: str = "scdataset_spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE decides the FINAL partition count, so start fine-grained:
+        # with initialPartitionNum = shuffle.partitions = cores, a
+        # billion-row aggregation runs in `cores` tasks whose per-task
+        # hash state spills for the whole stage (sf100 ngram-jaccard:
+        # 1.9B pair rows / 32 tasks = 60M rows per task, warm 16x for
+        # 10x data).  A high initial count costs nothing at small SF —
+        # AQE coalesces tiny partitions back down — and bounds per-task
+        # state at scale.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(max(256, 8 * sp))),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -147,3 +147,33 @@ def test_conf_bytes_parses_spark_byte_strings(spark):
     assert _cache._conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 0) > 0
     # unknown key -> default
     assert _cache._conf_bytes(spark, "spark.graft.no.such.key", 7) == 7
+
+
+def test_bytes_pressure_sweeps_oldest_entries(spark, monkeypatch):
+    """When total cached storage exceeds the bytes bound, the oldest
+    registry entries are evicted down to one — recompute replaces the
+    GC/spill thrash the sf100 audit measured when 8 retained big frames
+    pinned the heap."""
+    _fresh()
+    frames = [
+        _cache.persist_bounded(spark.range(30 + i).selectExpr(f"id + {i} AS v"))
+        for i in range(4)
+    ]
+    assert len(_cache._CACHE) == 4
+    # simulate pressure: the probe always reports over-bound
+    monkeypatch.setattr(_cache, "_storage_bytes", lambda s: _cache._CACHE_MAX_BYTES + 1)
+    _cache.persist_bounded(spark.range(999).selectExpr("id AS pressure"))
+    assert len(_cache._CACHE) == 1  # swept to the newest entry
+    assert frames[0] not in _cache._CACHE
+    _fresh()
+
+
+def test_bytes_probe_none_keeps_count_bound_only(spark, monkeypatch):
+    """Spark Connect (no storage probe): the sweep degrades to the
+    entry-count bound without erroring."""
+    _fresh()
+    monkeypatch.setattr(_cache, "_storage_bytes", lambda s: None)
+    for i in range(3):
+        _cache.persist_bounded(spark.range(40 + i).selectExpr(f"id + {i} AS w"))
+    assert len(_cache._CACHE) == 3
+    _fresh()
