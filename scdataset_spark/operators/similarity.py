@@ -90,25 +90,50 @@ def hyperplane_bucket_expr(vec: str, planes: int = 6, dim: int = 64, seed: int =
 # mixer); the oracle rederives it with mix_sql.
 
 
+def lsh_bands_for_recall(
+    rows_per_band: int, min_cosine: float = 0.98, target_recall: float = 0.999
+) -> int:
+    """Band count needed so a pair at ``min_cosine`` is recalled w.p.
+    ``target_recall`` under random-hyperplane banding: per-bit agreement
+    p = 1-θ/π, per-band p^rows, so bands = ⌈ln(1-recall)/ln(1-p^rows)⌉.
+    Band WIDTH is fixed by saturation (corpus size); band COUNT is then
+    the recall lever — widening bands without re-sizing the count
+    silently cuts recall (measured: 16→24-bit bands at 8 bands dropped
+    recall at cosine 0.98 from ~0.97 to ~0.84)."""
+    import math
+
+    p = 1.0 - math.acos(min_cosine) / math.pi
+    p_band = p**rows_per_band
+    if p_band >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+
+
 def lsh_banded_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    bands: int = 8,
+    bands: int | None = None,
     rows_per_band: int = 24,
     dim: int = 64,
     seed: int = 7,
+    min_cosine: float = 0.98,
+    target_recall: float = 0.999,
 ) -> DataFrame:
     """Near-dup candidate pairs by banded hyperplane LSH — the vector
     analogue of MinHash banding (``operators/dedup.py``): two vectors are
     candidates iff they share the full sign-signature of ANY band.
 
     Amplification math: a pair at angle θ agrees per bit w.p. 1-θ/π, per
-    band w.p. (1-θ/π)^rows, overall 1-(1-(1-θ/π)^rows)^bands — at the
-    planted near-dup cosine (~0.9995) and (24 rows, 8 bands) recall
-    ≈ 1-2e-4 while a random pair (cos≈0) collides w.p. ~8·2^-24.  The
-    join is an equi-join on (band_id, sig): shuffle-partitionable, no
-    cross product ever materializes.
+    band w.p. (1-θ/π)^rows, overall 1-(1-(1-θ/π)^rows)^bands.  ``bands``
+    defaults to ``lsh_bands_for_recall(rows_per_band, min_cosine,
+    target_recall)`` — 30 bands at the (24-row, 0.98, 0.999) defaults —
+    so the recall contract survives band-width changes; pass ``bands``
+    explicitly to pin a physical shape (the oracle-checked queries do,
+    with the amplification consequences documented there).  A random
+    pair (cos≈0) collides w.p. ~bands·2^-rows.  The join is an
+    equi-join on (band_id, sig): shuffle-partitionable, no cross
+    product ever materializes.
 
     SIZING: band width (``rows_per_band``) must grow with corpus size —
     the band value space is 2^rows and candidate volume grows
@@ -117,6 +142,10 @@ def lsh_banded_pairs(
     OOM'd the candidate join; 24 bits is unsaturated to ~10^7-10^8.
     Rule: ``rows_per_band ≳ log2(n_vectors) + 2``; beyond ~10^8 add
     bits or pre-partition by a coarse quantizer (IVF cell) first.
+    Width and count trade off: each +1 row multiplies signature work by
+    ~(bands·rows+rows)/(bands·rows) but REQUIRES more bands for the same
+    recall, so total plane count grows ~exp(rows·ln(1/p)) — pay width
+    only when the corpus demands it.
 
     All bands are emitted in ONE projection + explode (per the dedup
     banding note: union-per-band would recompute the lineage ``bands``
@@ -135,6 +164,8 @@ def lsh_banded_pairs(
     """
     from scdataset_spark.plans.seeds import mix_py
 
+    if bands is None:
+        bands = lsh_bands_for_recall(rows_per_band, min_cosine, target_recall)
     weights = [
         [float(2 * (mix_py(g * dim + d, seed) % 2) - 1) for d in range(dim)]
         for g in range(bands * rows_per_band)
