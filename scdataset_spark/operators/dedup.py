@@ -762,3 +762,102 @@ def winnowing_fingerprints(
         f")[0]"
     )
     return df.select(id_col, F.explode(F.expr(fps)).alias("fingerprint"))
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact substring-duplication coverage per document (the
+    distributed analogue of suffix-array substring dedup, Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better" —
+    reference corpus-curation behavior; cf. scDataset's whole-row dedup
+    at src/scdataset/scdataset.py): a token position is DUPLICATED if
+    some ``k``-token gram covering it occurs at least twice in the whole
+    corpus (any document, including elsewhere in the same one).
+
+    A suffix array is inherently sequential; the Spark-native shape is
+    three relational steps, each a short-key shuffle:
+
+    1. explode every k-gram with its position; the shuffle key is a
+       60-bit md5-prefix of the gram, not the gram text (slim shuffle —
+       at 10^12 grams a 60-bit birthday collision marks ~1e-7 of
+       positions, noise for a coverage statistic, and the oracle hashes
+       identically so parity is exact);
+    2. corpus-wide gram frequency = groupBy(hash) count, then a
+       left-semi join keeps duplicated positions only;
+    3. per-document interval union (gaps-and-islands over a window
+       PARTITIONED by doc — never a global sort): a duplicated gram at
+       ``pos`` adds ``min(k, pos - prev_pos)`` covered tokens.
+
+    Documents shorter than ``k`` tokens emit one clamped gram (same
+    convention as ``with_shingles``); their coverage is capped at
+    ``n_tokens``.  Output per document: ``n_tokens``, ``n_grams``,
+    ``dup_grams``, ``covered_tokens``, ``dup_token_fraction``.
+    """
+    from pyspark.sql import Window
+
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(t, least(i + {j}, size(t)))" for j in range(k)
+    ) + ")"
+    # let-bound HOF chain (see winnowing_fingerprints: CollapseProject
+    # would otherwise re-evaluate split() per lambda iteration)
+    ghash = (
+        f"transform(array(split({text_col}, ' ')), t -> "
+        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)), "
+        f"i -> CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS BIGINT)))[0]"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+    ).withColumn("n_grams", F.greatest(F.col("n_tokens") - (k - 1), F.lit(1)))
+    # two scans by design, NOT a persist: the stats branch above prunes
+    # to (id, token count) — caching corpus-sized gram-hash arrays to
+    # save one cheap re-scan would pin executor storage for nothing.
+    # The md5-per-gram work happens BEFORE any shuffle → spread a
+    # split-starved input to cluster width (same measured win as
+    # jaccard_pairs/winnowing_fingerprints)
+    from scdataset_spark.operators._cache import widen_if_narrow
+
+    grams = widen_if_narrow(df).select(
+        F.col(id_col), F.posexplode(F.expr(ghash)).alias("_p0", "gh")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gh")
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_hashes, "gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        dup_pos.withColumn("_prev", F.lag("pos").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_grams"),
+            F.sum(
+                F.when(F.col("_prev").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), F.col("pos") - F.col("_prev"))
+                )
+            ).alias("_cov"),
+        )
+    )
+    return (
+        base.join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_grams",
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.least(F.coalesce("_cov", F.lit(0)), F.col("n_tokens")).alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.least(F.coalesce("_cov", F.lit(0)), F.col("n_tokens"))
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_token_fraction"),
+        )
+    )

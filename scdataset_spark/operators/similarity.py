@@ -266,6 +266,58 @@ def ivf_topk(
     )
 
 
+_DIST_SQL = (
+    "round(aggregate(zip_with({a}, {b}, (x, c) -> "
+    "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+)
+
+
+def seeded_centroids(
+    candidates: DataFrame,
+    n_clusters: int,
+    seed: int,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """ENGINE-PORTABLE coarse centroids: the ``n_clusters`` candidates
+    with the smallest ``mix(id, seed)`` keys ARE the centroids (the
+    classic "seed with data points" init, minus the Lloyd iterations),
+    so a SQL oracle can replay the index build.  Centroid pick is a
+    top-k (TakeOrderedAndProject) — never a full sort.  Returns
+    ``(cell, centroid)``, ``n_clusters`` rows — broadcast everywhere."""
+    base = (
+        candidates.select(F.col(id_col).alias("_src"), F.col(vec).alias("centroid"))
+        .withColumn("_mk", F.expr(mix_sql("_src", seed, "spark")))
+        .orderBy("_mk", "_src")
+        .limit(n_clusters)
+    )
+    return base.withColumn(
+        "cell", F.row_number().over(Window.orderBy("_mk", "_src")) - 1
+    ).select("cell", "centroid")
+
+
+def assign_nearest_cell(
+    df: DataFrame, cent: DataFrame, id_col: str, vec_alias: str
+) -> DataFrame:
+    """Assign each row its nearest centroid cell: argmin of squared
+    distance, rounded to 6 digits with cell-id tiebreak so the argmin
+    is engine-deterministic.  One broadcast join + per-id window —
+    shuffle-free on the big side beyond the id-partitioned argmin.
+    ``df`` must carry ``(id_col, vec_alias)``; returns the same plus
+    ``_cell``."""
+    return (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn("_dist", F.expr(_DIST_SQL.format(a=vec_alias, b="centroid")))
+        .withColumn(
+            "_ark",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("_dist", "cell")),
+        )
+        .where(F.col("_ark") == 1)
+        .select(id_col, vec_alias, F.col("cell").alias("_cell"))
+    )
+
+
 def ivf_seeded_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -277,44 +329,16 @@ def ivf_seeded_topk(
     cand_id: str = "c_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN with ENGINE-PORTABLE coarse centroids: the
-    ``n_clusters`` candidates with the smallest ``mix(id, seed)`` keys
-    ARE the centroids (a deterministic k-sample — the classic "seed
-    with data points" init, minus the Lloyd iterations), so a SQL
-    oracle can replay the entire index build.  Same storage shape as
-    :func:`ivf_topk`: every candidate is assigned its nearest cell
-    (argmin of squared distance, rounded to 6 digits with cell-id
-    tiebreak so the argmin is engine-deterministic), queries probe the
-    ``n_probe`` nearest cells, exact cosine re-ranks inside the probed
-    cells.  Centroid pick is a top-k (TakeOrderedAndProject), cells
-    broadcast everywhere — one shuffle-free pass to assign, one
-    broadcast join to probe."""
-    dist = (
-        "round(aggregate(zip_with({a}, {b}, (x, c) -> "
-        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
-    )
-    cent_base = (
-        candidates.select(F.col(cand_id).alias("_src"), F.col(vec).alias("centroid"))
-        .withColumn("_mk", F.expr(mix_sql("_src", seed, "spark")))
-        .orderBy("_mk", "_src")
-        .limit(n_clusters)
-    )
-    cent = cent_base.withColumn(
-        "cell", F.row_number().over(Window.orderBy("_mk", "_src")) - 1
-    ).select("cell", "centroid")  # n_clusters rows — broadcast everywhere
-
+    """IVF ANN with engine-portable coarse centroids
+    (:func:`seeded_centroids`).  Same storage shape as :func:`ivf_topk`:
+    every candidate is assigned its nearest cell
+    (:func:`assign_nearest_cell`), queries probe the ``n_probe``
+    nearest cells, exact cosine re-ranks inside the probed cells —
+    one shuffle-free pass to assign, one broadcast join to probe."""
+    dist = _DIST_SQL
+    cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
     c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
-    c_assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn("_dist", F.expr(dist.format(a="_cv", b="centroid")))
-        .withColumn(
-            "_ark",
-            F.row_number().over(Window.partitionBy(cand_id).orderBy("_dist", "cell")),
-        )
-        .where(F.col("_ark") == 1)
-        .select(cand_id, "_cv", F.col("cell").alias("_cell"))
-    )
+    c_assigned = assign_nearest_cell(c, cent, cand_id, "_cv")
     q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
     q_cells = (
         q.crossJoin(F.broadcast(cent))
@@ -336,6 +360,55 @@ def ivf_seeded_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id, F.col("_cell").alias("cell"), cand_id, "cosine", "rank")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.98,
+    seed: int = 11,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space coarsely, then mark as duplicates the
+    vectors that have a HIGHER-PRIORITY near-twin (cosine ≥
+    ``threshold``) in the SAME cell.  Priority is ascending id — a
+    vector is dropped iff some smaller-id vector in its cell clears the
+    threshold (a deterministic dominance rule, engine-portable, unlike
+    the paper's arbitrary-order greedy scan).
+
+    Scale shape: centroids are tiny and broadcast
+    (:func:`seeded_centroids` — the portable index build); cell
+    assignment is one shuffle-free broadcast-join pass; the pair search
+    is an equi-self-join ON THE CELL ID — SemDeDup's defining trick, the
+    within-cell quadratic replaces the corpus-wide one.  Cost is
+    Σ|cell|², so ``n_clusters`` must scale ~n/c for a target per-cell
+    budget c (the paper uses ~100k clusters at web scale); for fat
+    cells, pre-filter candidates with :func:`lsh_banded_pairs`
+    restricted to a cell before exact verification.
+
+    Output: ``(id, cell, kept)`` for every input row."""
+    cent = seeded_centroids(df, n_clusters, seed, id_col, vec)
+    a = assign_nearest_cell(
+        df.select(F.col(id_col), F.col(vec).alias("_cv")), cent, id_col, "_cv"
+    )
+    a = persist_bounded(a)
+    x = a.alias("x")
+    y = a.alias("y")
+    dropped = (
+        x.join(y, "_cell")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .where(cosine_expr("x._cv", "y._cv") >= threshold)
+        .select(F.col(f"y.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return a.join(dropped, id_col, "left").select(
+        id_col,
+        F.col("_cell").alias("cell"),
+        F.col("_dropped").isNull().alias("kept"),
     )
 
 

@@ -35,6 +35,8 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 # only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new in round 7: first external check ---
+    "dd_duplicate_spans",
+    "dd_semantic_dedup",
     "dd_incremental_verified",
     "o5_positional_weights",
     # --- last externally checked in round 4: three rounds stale ---

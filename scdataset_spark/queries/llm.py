@@ -37,6 +37,16 @@ corpus AS (
 def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-duplicates corpus (see module docstring).
 
+    ONE SCAN, not a three-branch union: each source row explodes into
+    its 1-3 planted variants (original / exact copy / head-dropped
+    near-dup) from a single pass — the union form read ``documents``
+    three times per consumer, and its Union node also tripped a Spark
+    analyzer constraint-rewrite bug (``UnionBase.rewriteConstraints``
+    ``NoSuchElementException``) when a union-derived frame was
+    persisted under an argmin self-join (semantic_dedup shape).  Values
+    are identical expression-for-expression, so the UNION ALL oracle
+    CTE is unchanged.
+
     NOT width-repartitioned here: measured A/B at sf0.1 shows a blanket
     corpus shuffle is a net loss for the cheap consumers (exact-dup
     md5+groupBy 0.37s -> 0.71s, minhash banding 0.31s -> 0.49s warm) —
@@ -45,18 +55,17 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the win is measured (``jaccard_pairs``,
     ``winnowing_fingerprints``)."""
     docs = load_table(spark, "documents", sf_dir, with_row_id=False).select("doc_id", "text")
-    exact = (
-        docs.where("doc_id % 7 = 0")
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    drop2 = "array_join(slice(split(text, ' '), 3, 1000000), ' ')"
+    variants = (
+        "filter(array("
+        "named_struct('doc_id', doc_id, 'text', text), "
+        "IF(doc_id % 7 = 0, named_struct('doc_id', doc_id + 1000000, 'text', text), NULL), "
+        f"IF(doc_id % 11 = 0, named_struct('doc_id', doc_id + 2000000, 'text', {drop2}), NULL)"
+        "), s -> s IS NOT NULL)"
     )
-    near = (
-        docs.where("doc_id % 11 = 0")
-        .select(
-            (F.col("doc_id") + 2000000).alias("doc_id"),
-            F.array_join(F.slice(F.split("text", " "), 3, 1000000), " ").alias("text"),
-        )
+    return docs.select(F.explode(F.expr(variants)).alias("_r")).select(
+        "_r.doc_id", "_r.text"
     )
-    return docs.unionByName(exact).unionByName(near)
 
 
 # DuckDB shingle fragment over a CTE exposing sp = string_split(text,' ')
@@ -610,23 +619,26 @@ ecorpus AS (
 
 
 def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planted near-dup embedding corpus (see comment above)."""
+    """Planted near-dup embedding corpus (see comment above).  One-scan
+    explode instead of a two-branch union, for the same reasons as
+    :func:`corpus` (single pass; no Union node for the analyzer
+    constraint-rewrite bug to trip on)."""
     e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
-    ident = e.select(
-        "vec_id",
-        F.expr(
-            "transform(sequence(1, 64), i -> CAST(element_at(embedding, i) AS DOUBLE))"
-        ).alias("v"),
-    )
     noise = _emb_noise("spark")
-    near = e.where("vec_id % 5 = 0").select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.expr(
-            "transform(sequence(1, 64), i -> "
-            f"CAST(element_at(embedding, i) AS DOUBLE) + {noise})"
-        ).alias("v"),
+    v_ident = "transform(sequence(1, 64), i -> CAST(element_at(embedding, i) AS DOUBLE))"
+    v_near = (
+        "transform(sequence(1, 64), i -> "
+        f"CAST(element_at(embedding, i) AS DOUBLE) + {noise})"
     )
-    return ident.unionByName(near)
+    variants = (
+        "filter(array("
+        f"named_struct('vec_id', vec_id, 'v', {v_ident}), "
+        f"IF(vec_id % 5 = 0, named_struct('vec_id', vec_id + 1000000, 'v', {v_near}), NULL)"
+        "), s -> s IS NOT NULL)"
+    )
+    return e.select(F.explode(F.expr(variants)).alias("_r")).select(
+        "_r.vec_id", "_r.v"
+    )
 
 
 def _duck_banded_sig(band: int, rows_per_band: int = EMB_ROWS_PER_BAND, dim: int = 64, seed: int = 7) -> str:
@@ -1445,4 +1457,106 @@ def tx_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n_tokens") * F.count(F.lit(1))),
             6,
         ).alias("pad_efficiency"),
+    )
+
+
+# ------------------------------------- exact substring-span coverage
+def _dup_span_oracle(k: int = 5) -> str:
+    gram = " || ' ' || ".join(
+        f"sp[least(i + {j}, len(sp))]" for j in range(k)
+    )
+    return f"""
+WITH {CORPUS_SQL},
+sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+base AS (
+  SELECT doc_id, len(sp) AS n_tokens,
+         greatest(len(sp) - {k - 1}, 1) AS n_grams, sp
+  FROM sp_t
+),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, n_grams + 1),
+             i -> {{'pos': i,
+                    'gh': ('0x' || substr(md5({gram}), 1, 15))::BIGINT}})) AS u
+    FROM base) t
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+d AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM g WHERE gh IN (SELECT gh FROM dup)
+),
+cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams,
+         CAST(sum(CASE WHEN prev IS NULL THEN {k}
+                       ELSE least({k}, pos - prev) END) AS BIGINT) AS cv
+  FROM d GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+       coalesce(c.dup_grams, 0) AS dup_grams,
+       least(coalesce(c.cv, 0), b.n_tokens) AS covered_tokens,
+       round(least(coalesce(c.cv, 0), b.n_tokens) / b.n_tokens, 6) AS dup_token_fraction
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@query("dd_duplicate_spans", survey_ref="§2.14 dedup", oracle=_dup_span_oracle())
+def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication coverage (Lee et al. 2021 style) on
+    the planted corpus: per document, how many token positions sit
+    inside a 5-gram that occurs >= 2x corpus-wide — the span-level dedup
+    signal whole-document fingerprints miss (planted near-dups share
+    almost all spans; boilerplate shows up as partial coverage)."""
+    return dd.duplicate_span_coverage(corpus(spark, sf_dir), k=5)
+
+
+# ---------------------------------------- semantic (SemDeDup) dedup
+def _semantic_dedup_oracle(n_clusters: int = 8, threshold: float = 0.98, seed: int = 11) -> str:
+    dist = (
+        "round(list_aggregate(list_transform(range(1, 65), "
+        "i -> (e.v[i] - centroid[i]) * (e.v[i] - centroid[i])), 'sum'), 6)"
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, 65), i -> x.v[i] * y.v[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> x.v[i] * x.v[i]), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> y.v[i] * y.v[i]), 'sum'))), 4)"
+    )
+    return f"""
+WITH {EMB_CORPUS_SQL},
+cent AS (
+  SELECT rk - 1 AS cell, centroid FROM (
+    SELECT v AS centroid,
+           row_number() OVER (ORDER BY {mix_sql('vec_id', seed, 'duckdb')}, vec_id) AS rk
+    FROM ecorpus
+  ) WHERE rk <= {n_clusters}
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, cent.cell) AS ark
+    FROM ecorpus e CROSS JOIN cent
+  ) WHERE ark = 1
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id AS vec_id
+  FROM assigned x JOIN assigned y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT a.vec_id, a.cell,
+       (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept
+FROM assigned a
+"""
+
+
+@query("dd_semantic_dedup", survey_ref="§2.14 dedup", oracle=_semantic_dedup_oracle())
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-cosine) semantic dedup on the planted
+    embedding corpus: broadcast seeded centroids, one assignment pass,
+    within-cell pair search only (``similarity.semantic_dedup``) — the
+    planted ~0.9995-cosine replicas are the dropped set."""
+    c = emb_corpus(spark, sf_dir)
+    return sim.semantic_dedup(
+        c, id_col="vec_id", vec="v", n_clusters=8, threshold=0.98, seed=11
     )

@@ -31,6 +31,13 @@ LIBRARY_ONLY = {
     "novel_documents (dd_minhash_lsh, dd_incremental_novel); also the "
     "materialization unit in the foreachBatch streaming test",
     "hyperplane_bucket_expr": "expression behind sim_lsh_ann buckets",
+    "lsh_bands_for_recall": "amplification sizing used for the bands "
+    "default inside lsh_banded_pairs; math pinned by the full-recall "
+    "test in test_similarity_extra",
+    "seeded_centroids": "portable index build shared by ivf_seeded_topk "
+    "(sim_ivf_ann) and semantic_dedup (dd_semantic_dedup)",
+    "assign_nearest_cell": "argmin cell assignment shared by "
+    "ivf_seeded_topk and semantic_dedup",
     "SamplingStrategy": "abstract base of the checked strategies",
     "attach_weights": "internal step of o3/o5 weighted sampling",
     "SimpleCSR": "CSR container used by s3_anndata_ingest internals",

@@ -1,0 +1,112 @@
+"""Unit semantics for the round-7 dedup additions:
+
+- ``duplicate_span_coverage``: corpus-frequency k-grams + per-doc
+  interval union (gaps-and-islands) — checked on a micro corpus with
+  hand-computed coverage, including a within-document repeat.
+- ``semantic_dedup``: cluster-then-cosine dominance dedup — checked by
+  INVARIANT against a brute-force numpy recomputation (robust to which
+  seeded centroids get picked): a vector is dropped iff a smaller-id
+  vector in the SAME cell clears the cosine threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scdataset_spark.operators.dedup import duplicate_span_coverage
+from scdataset_spark.operators.similarity import semantic_dedup
+
+
+class TestDuplicateSpanCoverage:
+    def _run(self, spark, rows, k=5):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = duplicate_span_coverage(df, k=k)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_cross_doc_shared_run_merges_overlapping_grams(self, spark):
+        # A and B share the 6-token run "a b c d e f": two overlapping
+        # 5-grams each -> island of 5 + min(5, gap 1) = 6 covered tokens
+        got = self._run(
+            spark,
+            [
+                (1, "a b c d e f g h"),
+                (2, "x a b c d e f y"),
+                (3, "q w e r t y u i"),
+            ],
+        )
+        assert got[1]["n_tokens"] == 8 and got[1]["n_grams"] == 4
+        assert got[1]["dup_grams"] == 2
+        assert got[1]["covered_tokens"] == 6
+        assert got[1]["dup_token_fraction"] == 0.75
+        assert got[2]["covered_tokens"] == 6
+        # no shared grams anywhere for doc 3
+        assert got[3]["dup_grams"] == 0
+        assert got[3]["covered_tokens"] == 0
+        assert got[3]["dup_token_fraction"] == 0.0
+
+    def test_within_doc_repeat_counts(self, spark):
+        # "p q r s t" occurs at positions 1 and 6 of the SAME doc:
+        # corpus frequency 2 -> both positions duplicated, islands
+        # 5 + min(5, 5) = 10 -> full coverage
+        got = self._run(spark, [(1, "p q r s t p q r s t"), (2, "a b c d e f")])
+        assert got[1]["dup_grams"] == 2
+        assert got[1]["covered_tokens"] == 10
+        assert got[1]["dup_token_fraction"] == 1.0
+        assert got[2]["dup_grams"] == 0
+
+    def test_exact_copies_fully_covered(self, spark):
+        got = self._run(
+            spark,
+            [(1, "one two three four five six seven"), (2, "one two three four five six seven")],
+        )
+        for d in (1, 2):
+            assert got[d]["dup_token_fraction"] == 1.0
+            assert got[d]["dup_grams"] == got[d]["n_grams"]
+
+    def test_short_doc_clamped_gram(self, spark):
+        # 2-token docs (< k) emit one clamped gram; identical short docs
+        # still pair up and coverage caps at n_tokens
+        got = self._run(spark, [(1, "hi there"), (2, "hi there"), (3, "bye now")])
+        assert got[1]["n_grams"] == 1
+        assert got[1]["dup_grams"] == 1
+        assert got[1]["covered_tokens"] == 2
+        assert got[3]["dup_grams"] == 0
+
+
+class TestSemanticDedup:
+    def test_dominance_invariant_vs_bruteforce(self, spark):
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(6, 16))
+        rows = []
+        vid = 0
+        for b in base:
+            for _ in range(3):  # three near-copies of each base direction
+                v = b + rng.normal(scale=0.005, size=16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = semantic_dedup(df, n_clusters=4, threshold=0.98, seed=7).collect()
+        assert len(out) == len(rows)
+        cells = {r["vec_id"]: r["cell"] for r in out}
+        kept = {r["vec_id"]: r["kept"] for r in out}
+        V = np.array([r[1] for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = np.round(Vn @ Vn.T, 4)
+        for i in range(len(rows)):
+            dominated = any(
+                cells[j] == cells[i] and C[j, i] >= 0.98 for j in range(i)
+            )
+            assert kept[i] == (not dominated), f"vec {i}"
+        # the near-copy triplets make at least some drops inevitable
+        assert sum(1 for v in kept.values() if not v) >= 6
+
+    def test_all_distinct_all_kept(self, spark):
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=16)]) for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = semantic_dedup(df, n_clusters=3, threshold=0.999, seed=3)
+        assert out.where(~F.col("kept")).count() == 0
