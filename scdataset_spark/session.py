@@ -48,11 +48,17 @@ def get_spark(app_name: str = "scdataset_spark", shuffle_partitions: int | None 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # zstd shuffle/spill compression: ~1.5-2x denser than the lz4
-        # default on wide-row shuffles for ~equal CPU — the difference
-        # between fitting and filling local scratch on spill-heavy jobs
-        # (the sf100 ingest sort exhausted the disk under lz4)
-        .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
+        # Shuffle/spill compression is a measured trade, not a free
+        # lunch: zstd is ~1.5-2x denser than lz4 on wide-row shuffles —
+        # the difference between fitting and filling local scratch on
+        # spill-heavy jobs (the sf100 ingest sort exhausted a 53 GB
+        # volume under lz4) — but costs ~2x wall on CPU-bound
+        # Arrow-shuffle paths (t_hook_pipeline at sf0.1: 1.7-2.0 s warm
+        # under lz4 vs 3.4-3.9 s under zstd, measured 3-run A/B).
+        # Default stays lz4 (Spark's own default; shuffles here are
+        # CPU-bound, not scratch-bound); scratch-constrained runs
+        # (scale_audit / make_big_sf ingest) opt into zstd via env.
+        .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{sp}]"))

@@ -146,6 +146,9 @@ def main() -> None:
         # second-level scaling shuffles tens of GB through repartition;
         # the local-mode default 1g heap would thrash/spill constantly
         .config("spark.driver.memory", "48g")
+        # scratch-constrained regime: dense shuffle/spill compression
+        # (engine default is lz4 — see session.py's measured trade)
+        .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
         .getOrCreate()
     )
     for t in list(SHIFT) + COPY:

@@ -32,6 +32,12 @@ from scdataset_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Audit runs are the scratch-constrained regime (big-SF ingest sort +
+# heavy shuffles share one local volume): default the shuffle codec to
+# zstd here — the engine default stays lz4 (see session.py's measured
+# trade) and the env still wins if set explicitly.
+os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
+
 GROUPS = {
     "headline": None,  # resolved from registry headline flags
     "dd": [
