@@ -40,6 +40,22 @@ def cosine_expr(a: str, b: str, digits: int = 4) -> F.Column:
     return F.expr(f"round(({dot}) / (({na}) * ({nb})), {digits})")
 
 
+def norm_col(vec: str) -> F.Column:
+    """``|v|`` as a column — precompute ONCE PER VECTOR before a pair
+    join so each pair pays one dot instead of three HOF aggregates
+    (measured on a 127 M-pair within-cell verify at 240 k vectors:
+    250 s → 88 s).  Bit-exact vs inline recomputation: same expression,
+    same left-fold order, so ``cosine_norm_expr`` below rounds the
+    identical double and oracle parity is unaffected."""
+    return F.expr(NORM.format(a=vec))
+
+
+def cosine_norm_expr(a: str, b: str, na: str, nb: str, digits: int = 4) -> F.Column:
+    """Cosine from precomputed norms — pairs with :func:`norm_col`."""
+    dot = DOT.format(a=a, b=b)
+    return F.expr(f"round(({dot}) / (({na}) * ({nb})), {digits})")
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -51,12 +67,16 @@ def brute_force_topk(
     """Exact top-k: broadcast the (small) query set against the
     candidate stream; rank by rounded cosine with id tiebreak so the
     top-k frontier is engine-deterministic."""
-    q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
-    c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
+    q = queries.select(
+        F.col(query_id), F.col(vec).alias("_qv"), norm_col(vec).alias("_qn")
+    )
+    c = candidates.select(
+        F.col(cand_id), F.col(vec).alias("_cv"), norm_col(vec).alias("_cn")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(query_id) != F.col(cand_id))
-        .withColumn("cosine", cosine_expr("_qv", "_cv"))
+        .withColumn("cosine", cosine_norm_expr("_qv", "_cv", "_qn", "_cn"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
@@ -119,10 +139,28 @@ def lsh_banded_pairs(
     seed: int = 7,
     min_cosine: float = 0.98,
     target_recall: float = 0.999,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by banded hyperplane LSH — the vector
     analogue of MinHash banding (``operators/dedup.py``): two vectors are
     candidates iff they share the full sign-signature of ANY band.
+
+    CANDIDATE VOLUME IS DATA-DEPENDENT, not just a function of band
+    width: the uniform-hash estimate (~bands·n²/2^rows) only covers
+    near-orthogonal pairs, but a pair at cosine c collides per band
+    w.p. (1-acos(c)/π)^rows — a CONSTANT — so any clustered mass at
+    moderate cosine (e.g. label clusters) contributes ~p_c·n_cluster²
+    candidates, quadratic in cluster size at ANY width (measured on the
+    label-clustered audit fixture: 2.9 M candidates from 240 k vectors
+    where the uniform estimate says ~14 k).  ``max_bucket`` drops band
+    buckets holding more vectors than the cap before the self-join —
+    the same backstop as ``simhash_hamming_pairs``: a bucket that hot
+    means the band carries no discriminative signal there; recall loss
+    is bounded to pairs whose ONLY agreeing band was capped.  Default
+    ``None`` keeps candidate generation exact (the oracle-checked
+    queries rely on that); set it (or pre-partition by an IVF cell and
+    verify within cells — ``semantic_dedup``) for clustered corpora at
+    scale.
 
     Amplification math: a pair at angle θ agrees per bit w.p. 1-θ/π, per
     band w.p. (1-θ/π)^rows, overall 1-(1-(1-θ/π)^rows)^bands.  ``bands``
@@ -191,6 +229,14 @@ def lsh_banded_pairs(
         .select(id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.sig").alias("sig"))
     )
     banded = persist_bounded(banded)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_id", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("band_id", "sig")
+        )
+        banded = banded.join(ok, ["band_id", "sig"], "left_semi")
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (
@@ -302,19 +348,33 @@ def assign_nearest_cell(
 ) -> DataFrame:
     """Assign each row its nearest centroid cell: argmin of squared
     distance, rounded to 6 digits with cell-id tiebreak so the argmin
-    is engine-deterministic.  One broadcast join + per-id window —
-    shuffle-free on the big side beyond the id-partitioned argmin.
-    ``df`` must carry ``(id_col, vec_alias)``; returns the same plus
-    ``_cell``."""
+    is engine-deterministic.
+
+    ZERO-SHUFFLE on the big side: the centroid frame is collapsed to a
+    ONE-ROW array (collect_list of (cell, centroid) structs), broadcast,
+    and the argmin folds over that array inside each row with HOFs —
+    one distance evaluation per centroid, no row multiplication.  The
+    previous crossJoin + per-id window form materialized n·cells rows
+    and shuffled them all (including the vector payload) just to pick
+    one per id — fine at the 8-cell oracle scale, catastrophic at the
+    n/500-cell audit scale (240 k vectors × 480 cells = 115 M wide rows
+    through an exchange).  ``df`` must carry ``(id_col, vec_alias)``;
+    returns the same plus ``_cell``."""
+    cent_arr = cent.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("_cents")
+    )
+    dist = _DIST_SQL.format(a=vec_alias, b="c.centroid")
+    pick = (
+        f"aggregate(transform(_cents, c -> named_struct("
+        f"'d', {dist}, 'cell', c.cell)), "
+        "named_struct('d', CAST('Infinity' AS DOUBLE), 'cell', -1), "
+        "(acc, s) -> IF(s.d < acc.d OR (s.d = acc.d AND s.cell < acc.cell), s, acc)"
+        ").cell"
+    )
     return (
-        df.crossJoin(F.broadcast(cent))
-        .withColumn("_dist", F.expr(_DIST_SQL.format(a=vec_alias, b="centroid")))
-        .withColumn(
-            "_ark",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("_dist", "cell")),
-        )
-        .where(F.col("_ark") == 1)
-        .select(id_col, vec_alias, F.col("cell").alias("_cell"))
+        df.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_cell", F.expr(pick))
+        .select(id_col, vec_alias, "_cell")
     )
 
 
@@ -393,14 +453,14 @@ def semantic_dedup(
     cent = seeded_centroids(df, n_clusters, seed, id_col, vec)
     a = assign_nearest_cell(
         df.select(F.col(id_col), F.col(vec).alias("_cv")), cent, id_col, "_cv"
-    )
+    ).withColumn("_n", norm_col("_cv"))
     a = persist_bounded(a)
     x = a.alias("x")
     y = a.alias("y")
     dropped = (
         x.join(y, "_cell")
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .where(cosine_expr("x._cv", "y._cv") >= threshold)
+        .where(cosine_norm_expr("x._cv", "y._cv", "x._n", "y._n") >= threshold)
         .select(F.col(f"y.{id_col}").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(1))

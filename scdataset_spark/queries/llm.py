@@ -694,13 +694,21 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sim.lsh_banded_pairs(
         c, id_col="vec_id", vec="v", bands=EMB_BANDS, rows_per_band=EMB_ROWS_PER_BAND
     )
-    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"))
-    b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"))
+    # norms ride the vector-fetch join so each candidate pair pays ONE
+    # dot, not three HOF aggregates (bit-exact; see sim.norm_col)
+    a = c.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"),
+        sim.norm_col("v").alias("_na"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"),
+        sim.norm_col("v").alias("_nb"),
+    )
     return (
         cand.select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
         .join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn("cosine", sim.cosine_expr("_va", "_vb"))
+        .withColumn("cosine", sim.cosine_norm_expr("_va", "_vb", "_na", "_nb"))
         .where(F.col("cosine") >= 0.98)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -735,13 +743,19 @@ def dd_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sim.lsh_banded_pairs(
         c, id_col="vec_id", vec="v", bands=EMB_BANDS, rows_per_band=EMB_ROWS_PER_BAND
     )
-    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"))
-    b = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"))
+    a = c.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"),
+        sim.norm_col("v").alias("_na"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"),
+        sim.norm_col("v").alias("_nb"),
+    )
     verified = (
         cand.select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
         .join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn("cosine", sim.cosine_expr("_va", "_vb"))
+        .withColumn("cosine", sim.cosine_norm_expr("_va", "_vb", "_na", "_nb"))
         .where(F.col("cosine") >= 0.98)
         .select("vec_a", "vec_b")
     )

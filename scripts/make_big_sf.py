@@ -112,16 +112,28 @@ def scale_table(
             )
         rep = rep.withColumn("text", rot)
     if table == "embeddings":
-        # element-wise deterministic perturbation (±10%, seeded by
-        # (vec_id, element, replica)): rotates each replica's vectors to
-        # a different direction so cosine cliques don't replicate;
-        # replica 0 keeps the original vectors bit-exact
+        # Element-wise deterministic perturbation, seeded by
+        # (vec_id, element, replica); replica 0 keeps the original
+        # vectors bit-exact.  MAGNITUDE IS LOAD-BEARING: multiplicative
+        # noise x*(1+d) leaves cos(v, v') ~ 1/sqrt(1+E[d^2]), so the
+        # original +-10% (E[d^2]=0.0033) kept every replica at ~0.998
+        # cosine to its source — ABOVE the 0.98 near-dup threshold, and
+        # factor-f scaling silently manufactured f-sized TRUE near-dup
+        # cliques (measured: 15.7M candidate pairs at factor 100, vs
+        # ~40k planted — quadratic in f by construction, so embedding
+        # dedup audits measured the fixture, not the engine; the sf100
+        # candidate-join OOM traced here, not only to band width).
+        # +-60% (E[d^2]=0.12) puts same-source replicas at ~0.944 and
+        # replica-to-replica (independent draws) at ~0.893 — both
+        # safely below 0.98 — while the WITHIN-replica planted near-dup
+        # structure (emb_corpus's additive noise, ~0.9995 cosine) is
+        # scale-invariant, so the true pair set stays linear in f.
         rep = rep.withColumn(
             "embedding",
             F.when(F.col("_c") == 0, F.col("embedding")).otherwise(
                 F.expr(
                     "transform(embedding, (x, i) -> CAST(x * (1.0 + "
-                    "(pmod(xxhash64(vec_id, i, _c), 200) - 100) / 1000.0) "
+                    "(pmod(xxhash64(vec_id, i, _c), 1200) - 600) / 1000.0) "
                     "AS FLOAT))"
                 )
             ),

@@ -51,9 +51,34 @@ GROUPS = {
 }
 
 
+def _semantic_dedup_scaled(spark, sf_dir):
+    """Audit-only variant of dd_semantic_dedup with the CELL BUDGET the
+    operator's docstring prescribes: n_clusters ~ n/500 keeps the exact
+    within-cell pair volume at Σ|cell|² ≈ 500·n — linear in n — where
+    the registered query's fixed 8 cells (sized for the sf0.01 oracle)
+    would go quadratic.  This is the designed scale path for clustered
+    embedding corpora, where banded LSH candidate volume is inherently
+    ~n² (moderate-cosine pairs collide at a constant per-band rate)."""
+    from scdataset_spark.operators.similarity import semantic_dedup
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, sf_dir)
+    n = c.count()
+    return semantic_dedup(
+        c, id_col="vec_id", vec="v",
+        n_clusters=max(8, n // 500), threshold=0.98, seed=11,
+    )
+
+
+# audit-only measurement paths (operator called with scale-sized
+# parameters); registry names always win on collision
+EXTRA = {"semantic_dedup_scaled": _semantic_dedup_scaled}
+
+
 def run_one(spark, name: str) -> float:
+    fn = REGISTRY[name].fn if name in REGISTRY else EXTRA[name]
     t0 = time.perf_counter()
-    REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
