@@ -586,3 +586,57 @@ class ClassBalancedSampling(SamplingStrategy):
             sampling_size=self.sampling_size,
         )
         return inner.plan(weighted, seed=seed, epoch=epoch)
+
+
+@dataclass
+class StratifiedSampling(SamplingStrategy):
+    """O19 — exact per-stratum proportional sampling WITHOUT
+    replacement: every stratum contributes exactly
+    ``ceil(n_stratum * fraction_ppm / 1e6)`` rows, chosen by seeded
+    mix-rank within the stratum.  The exact-count twin of Spark's own
+    ``sampleBy`` (per-row Bernoulli, count only approximate) — the
+    posture a curation pipeline needs when per-source token budgets
+    must come out deterministic (cf. the reference's sorted computed
+    subsets, ``strategy.py:65-116``).
+
+    Quotas are INTEGER arithmetic (``(n*ppm + 999_999) div 1_000_000``)
+    so both engines compute identical counts — no double rounding.
+    Shape: one groupBy for stratum counts (broadcast back — stratum
+    cardinality is label-sized), one per-stratum window rank (shuffle
+    partitioned BY STRATUM; a pathologically hot stratum inherits the
+    window's single-reducer cost — at that point rank via the bucketed
+    ``_rank_by_key`` per stratum), then the kept rows are re-numbered
+    to dense ``pos`` in row_id order (a computed subset is fetched
+    sorted, like the reference's).
+    """
+
+    stratum_col: str = "label"
+    fraction_ppm: int = 100_000
+
+    def __post_init__(self):
+        if not 0 < self.fraction_ppm <= 1_000_000:
+            raise ValueError(
+                f"fraction_ppm must be in (0, 1e6], got {self.fraction_ppm}"
+            )
+
+    def plan(self, df: DataFrame, seed: int = 42, epoch: int = 0) -> DataFrame:
+        s = _seed_eff(seed, epoch)
+        base = self._subset(df)
+        quotas = (
+            base.groupBy(self.stratum_col)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn(
+                "_q",
+                F.expr(f"(_cnt * {self.fraction_ppm} + 999999) div 1000000"),
+            )
+            .drop("_cnt")
+        )
+        w = Window.partitionBy(self.stratum_col).orderBy("_sk", "row_id")
+        kept = (
+            base.withColumn("_sk", F.expr(mix_sql("row_id", s, "spark")))
+            .withColumn("_srnk", F.row_number().over(w))
+            .join(F.broadcast(quotas), self.stratum_col)
+            .where(F.col("_srnk") <= F.col("_q"))
+            .drop("_sk", "_srnk", "_q")
+        )
+        return with_pos(kept, "row_id", "pos", buckets=POS_BUCKETS)

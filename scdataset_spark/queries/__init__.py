@@ -37,6 +37,7 @@ _SWEEP_PRIORITY = [
     # --- new in round 7: first external check ---
     "dd_duplicate_spans",
     "dd_semantic_dedup",
+    "o19_stratified_sample",
     "dd_incremental_verified",
     "o5_positional_weights",
     # --- last externally checked in round 4: three rounds stale ---

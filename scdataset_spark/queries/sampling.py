@@ -664,3 +664,44 @@ def o17_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ts") / F.col("zt"), 6).alias("temp_share"),
         )
     )
+
+
+# ------------------------------------------------------------------ O19
+@query(
+    "o19_stratified_sample",
+    survey_ref="O19,S2",
+    oracle=f"""
+WITH counts AS (
+  SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1
+),
+q AS (
+  SELECT c_mktsegment, (cnt * 150000 + 999999) // 1000000 AS quota FROM counts
+),
+r AS (
+  SELECT c_custkey AS row_id, c_mktsegment,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY ({_mix('c_custkey', SEED)}), c_custkey
+         ) AS rnk
+  FROM customer
+),
+kept AS (
+  SELECT r.row_id, r.c_mktsegment
+  FROM r JOIN q USING (c_mktsegment) WHERE rnk <= quota
+)
+SELECT row_id, c_mktsegment AS stratum,
+       row_number() OVER (ORDER BY row_id) - 1 AS pos
+FROM kept
+""",
+)
+def o19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum 15% sample of customers by market segment:
+    every segment contributes exactly ceil(0.15 * n_segment) rows, the
+    deterministic-count posture Spark's Bernoulli sampleBy cannot give."""
+    from scdataset_spark.operators.strategies import StratifiedSampling
+
+    cust = load_table(spark, "customer", sf_dir)
+    strat = StratifiedSampling(stratum_col="c_mktsegment", fraction_ppm=150_000)
+    return strat.plan(cust, seed=SEED).select(
+        "row_id", F.col("c_mktsegment").alias("stratum"), "pos"
+    )

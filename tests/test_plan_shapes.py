@@ -372,3 +372,32 @@ def test_incremental_verified_is_bounded_join_shape(spark):
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_plans_lazily_with_broadcast_quotas(spark):
+    """O19: plan() runs no job; quota table broadcasts; no cartesian."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.strategies import StratifiedSampling
+
+    cust = load_table(spark, "customer", SF_DIR)
+    sc = spark.sparkContext
+    group = "stratified-lazy-check"
+    sc.setJobGroup(group, "plan construction must be job-free")
+    try:
+        planned = StratifiedSampling(
+            stratum_col="c_mktsegment", fraction_ppm=150_000
+        ).plan(cust, seed=7)
+        assert "pos" in planned.columns
+        assert "_srnk" not in planned.columns and "_q" not in planned.columns
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        planned.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -31,6 +31,9 @@ LIBRARY_ONLY = {
     "novel_documents (dd_minhash_lsh, dd_incremental_novel); also the "
     "materialization unit in the foreachBatch streaming test",
     "hyperplane_bucket_expr": "expression behind sim_lsh_ann buckets",
+    "cosine_expr": "inline-norm cosine used inside ivf_topk/"
+    "ivf_seeded_topk/lsh_bucketed_topk (small probed-cell pair volumes);"
+    " hot pair paths go through cosine_norm_expr, which IS query-wired",
     "lsh_bands_for_recall": "amplification sizing used for the bands "
     "default inside lsh_banded_pairs; math pinned by the full-recall "
     "test in test_similarity_extra",
