@@ -110,3 +110,28 @@ class TestSemanticDedup:
         df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
         out = semantic_dedup(df, n_clusters=3, threshold=0.999, seed=3)
         assert out.where(~F.col("kept")).count() == 0
+
+
+class TestBandedMaxBucket:
+    def test_hot_bucket_cap_drops_saturated_band(self, spark):
+        """A clique of near-identical vectors shares every band bucket;
+        capping below the clique size must drop those buckets (and with
+        them the clique's pairs), while max_bucket=None keeps them."""
+        import numpy as np
+
+        from scdataset_spark.operators.similarity import lsh_banded_pairs
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=16)
+        rows = [(i, [float(x) for x in base + rng.normal(scale=1e-4, size=16)])
+                for i in range(20)]
+        rows += [(100 + i, [float(x) for x in rng.normal(size=16)]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        exact = lsh_banded_pairs(df, rows_per_band=8, bands=4, dim=16).collect()
+        clique = {(r.id_a, r.id_b) for r in exact if r.id_a < 20 and r.id_b < 20}
+        assert len(clique) == 190  # all C(20,2) near-identical pairs collide
+        capped = lsh_banded_pairs(
+            df, rows_per_band=8, bands=4, dim=16, max_bucket=10
+        ).collect()
+        capped_pairs = {(r.id_a, r.id_b) for r in capped}
+        assert not (clique & capped_pairs)
