@@ -59,12 +59,12 @@ def _semantic_dedup_scaled(spark, sf_dir):
     would go quadratic.  This is the designed scale path for clustered
     embedding corpora, where banded LSH candidate volume is inherently
     ~n² (moderate-cosine pairs collide at a constant per-band rate)."""
-    from scdataset_spark.operators.similarity import semantic_dedup
+    from scdataset_spark.operators.similarity import semantic_dedup_fast
     from scdataset_spark.queries.llm import emb_corpus
 
     c = emb_corpus(spark, sf_dir)
     n = c.count()
-    return semantic_dedup(
+    return semantic_dedup_fast(
         c, id_col="vec_id", vec="v",
         n_clusters=max(8, n // 500), threshold=0.98, seed=11,
     )

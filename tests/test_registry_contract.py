@@ -31,6 +31,10 @@ LIBRARY_ONLY = {
     "novel_documents (dd_minhash_lsh, dd_incremental_novel); also the "
     "materialization unit in the foreachBatch streaming test",
     "hyperplane_bucket_expr": "expression behind sim_lsh_ann buckets",
+    "semantic_dedup_fast": "vectorized (BLAS) twin of semantic_dedup "
+    "for production cell counts — not bit-parity with a SQL oracle by "
+    "nature (summation order); pinned equal to the oracle-checked exact "
+    "path in test_span_semantic_dedup, measured in scale_audit",
     "cosine_expr": "inline-norm cosine used inside ivf_topk/"
     "ivf_seeded_topk/lsh_bucketed_topk (small probed-cell pair volumes);"
     " hot pair paths go through cosine_norm_expr, which IS query-wired",

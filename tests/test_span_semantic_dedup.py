@@ -135,3 +135,43 @@ class TestBandedMaxBucket:
         ).collect()
         capped_pairs = {(r.id_a, r.id_b) for r in capped}
         assert not (clique & capped_pairs)
+
+
+class TestSemanticDedupFast:
+    def test_fast_equals_exact_on_planted_corpus(self, spark):
+        """The vectorized path must reproduce the exact path row-for-row
+        on the planted corpus (cosines sit far from the 0.98 boundary,
+        so BLAS-vs-fold summation differences cannot flip a verdict)."""
+        from scdataset_spark.operators.similarity import semantic_dedup_fast
+        from scdataset_spark.queries.llm import emb_corpus
+        from tests.conftest import SF_DIR
+
+        c = emb_corpus(spark, SF_DIR)
+        for k in (8, 40):
+            exact = {
+                (r["vec_id"], r["cell"], r["kept"])
+                for r in semantic_dedup(
+                    c, id_col="vec_id", vec="v", n_clusters=k, seed=11
+                ).collect()
+            }
+            fast = {
+                (r["vec_id"], r["cell"], r["kept"])
+                for r in semantic_dedup_fast(
+                    c, id_col="vec_id", vec="v", n_clusters=k, seed=11
+                ).collect()
+            }
+            assert exact == fast, f"k={k}: {len(exact ^ fast)} differing rows"
+
+    def test_fast_blocked_gram_matches_unblocked(self, spark):
+        from scdataset_spark.operators.similarity import semantic_dedup_fast
+        from scdataset_spark.queries.llm import emb_corpus
+        from tests.conftest import SF_DIR
+
+        c = emb_corpus(spark, SF_DIR)
+        a = sorted(map(tuple, semantic_dedup_fast(
+            c, id_col="vec_id", vec="v", n_clusters=8, seed=11, block=7
+        ).collect()))
+        b = sorted(map(tuple, semantic_dedup_fast(
+            c, id_col="vec_id", vec="v", n_clusters=8, seed=11, block=4096
+        ).collect()))
+        assert a == b
