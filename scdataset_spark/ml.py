@@ -61,6 +61,58 @@ def tfidf_expression(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set
+    — the retrieval scorer a curation pipeline uses to mine
+    domain-relevant training documents from a crawl (quality-classifier
+    seeding, targeted corpus selection).
+
+    Pure relational shape, all JVM-side: one explode pass feeds BOTH
+    per-doc length (all tokens) and per-(doc, term) tf (term-filtered
+    BEFORE the aggregation, so the heavy tf shuffle carries only query
+    terms); df and the 1-row (N, avgdl) stats broadcast back.  idf is
+    the Robertson/Sparck-Jones form ``ln(1 + (N - df + .5)/(df + .5))``.
+
+    Scales as: big side touched by one scan + one slim groupBy; no
+    window, no self-join; the score join on ``id_col`` shuffles only
+    docs containing a query term.
+    """
+    terms = [t.replace("'", "") for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(w), 6).alias("bm25"))
+    )
+
+
 def hashed_tfidf_pipeline(docs: DataFrame, text_col: str = "text", features: int = 1024) -> DataFrame:
     """MLlib Tokenizer → HashingTF → IDF (the pipeline-native variant;
     murmur3 bucketed, so checked by shape/statistics rather than oracle)."""

@@ -69,6 +69,52 @@ def cap_hot_tokens(
     return inverted.join(keep, token_col, "left_semi")
 
 
+def per_group_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[F.Column],
+    k: int,
+    salts: int = 16,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Exact per-group top-k that survives a hot group.
+
+    A plain ``row_number() OVER (PARTITION BY group)`` funnels each
+    group through ONE reducer — the documented weakness of the
+    window-rank posture for low-cardinality/viral groups (the per-domain
+    document cap in a crawl-curation pipeline is the canonical case:
+    a handful of domains hold millions of documents each).  Two exact
+    phases instead:
+
+    1. rank within ``(group, salt)`` and keep local top-k — no reducer
+       ever sees more than ~|group|/salts rows, and the global top-k is
+       necessarily a subset of the union of per-salt top-ks;
+    2. re-rank the <= salts*k survivors per group (tiny) for the final
+       exact rank.
+
+    ``order_exprs`` must be a TOTAL order within each group (tie-break
+    on a unique id) or ranks are nondeterministic.  The salt is a pure
+    function of row values (``xxhash64`` over the ordering expressions)
+    so recompute/speculation is stable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(*order_exprs), F.lit(salts))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_exprs)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lr", F.row_number().over(w1))
+        .where(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_cols: list[str], buckets: int = 32
 ) -> None:

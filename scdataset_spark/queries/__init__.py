@@ -22,6 +22,7 @@ from scdataset_spark.queries import llm  # noqa: F401,E402
 from scdataset_spark.queries import streaming_batch  # noqa: F401,E402
 from scdataset_spark.queries import metrics  # noqa: F401,E402
 from scdataset_spark.queries import extended  # noqa: F401,E402
+from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
@@ -35,6 +36,10 @@ from scdataset_spark.queries import extended  # noqa: F401,E402
 # only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new in round 7: first external check ---
+    "dq_profile",
+    "dq_outliers",
+    "o20_per_source_cap",
+    "tx_bm25",
     "dd_duplicate_spans",
     "dd_semantic_dedup",
     "o19_stratified_sample",

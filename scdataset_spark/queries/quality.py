@@ -1,0 +1,145 @@
+"""Data-quality / curation queries: profiling, outlier screens,
+per-group caps, and BM25 relevance mining.
+
+These are the pre-training gates of an LLM data pipeline (reference
+scope: the reference validates per-dataset inputs at construction,
+``src/scdataset/scdataset.py`` ctor; corpus-level profiling/curation is
+the scale-out generalization this engine adds as first-class ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.ml import bm25_scores
+from scdataset_spark.operators.quality import numeric_outliers, profile_columns
+from scdataset_spark.operators.skew import per_group_top_k
+from scdataset_spark.plans.seeds import mix_sql
+from scdataset_spark.queries.registry import query
+
+SEED = 42
+
+
+def _mix(k: str, seed: int) -> str:
+    return mix_sql(k, seed, "duckdb")
+
+
+# ------------------------------------------------------------ profiling
+@query(
+    "dq_profile",
+    survey_ref="§2.14 quality",
+    oracle="""
+SELECT '_table' AS col_name, 'rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM events
+UNION ALL SELECT 'value', 'nulls', CAST(count(*) FILTER (value IS NULL) AS DOUBLE) FROM events
+UNION ALL SELECT 'value', 'distinct', CAST(count(DISTINCT value) AS DOUBLE) FROM events
+UNION ALL SELECT 'user_id', 'nulls', CAST(count(*) FILTER (user_id IS NULL) AS DOUBLE) FROM events
+UNION ALL SELECT 'user_id', 'distinct', CAST(count(DISTINCT user_id) AS DOUBLE) FROM events
+UNION ALL SELECT 'event_type', 'nulls', CAST(count(*) FILTER (event_type IS NULL) AS DOUBLE) FROM events
+UNION ALL SELECT 'event_type', 'distinct', CAST(count(DISTINCT event_type) AS DOUBLE) FROM events
+UNION ALL SELECT 'value', 'min', min(value) FROM events
+UNION ALL SELECT 'value', 'max', max(value) FROM events
+UNION ALL SELECT 'value', 'mean', round(avg(value), 6) FROM events
+UNION ALL SELECT 'user_id', 'min', CAST(min(user_id) AS DOUBLE) FROM events
+UNION ALL SELECT 'user_id', 'max', CAST(max(user_id) AS DOUBLE) FROM events
+UNION ALL SELECT 'user_id', 'mean', round(avg(user_id), 6) FROM events
+""",
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass column profile of the events table as a
+    narrow (col_name, metric, value) frame: null counts, exact distinct
+    cardinalities, numeric ranges/means.  ONE distributed agg; the
+    ``approx=True`` switch (HLL++, no Expand amplification) is the
+    100-TB posture and is shape-tested instead of oracle-checked."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    return profile_columns(
+        ev, numeric_cols=["value", "user_id"], categorical_cols=["event_type"]
+    )
+
+
+@query(
+    "dq_outliers",
+    survey_ref="§2.14 quality",
+    oracle="""
+WITH s AS (SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM events)
+SELECT event_id, value, round((value - mu) / sigma, 6) AS z
+FROM events, s
+WHERE abs((value - mu) / sigma) > 3.0
+""",
+)
+def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier screen on the events value column —
+    the numeric-metadata filter a curation pipeline applies before
+    training.  1-row stats aggregate broadcast over the scan; the big
+    side is never shuffled."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    return numeric_outliers(ev, "value", ["event_id"], z_threshold=3.0)
+
+
+# --------------------------------------------------------- per-group cap
+@query(
+    "o20_per_source_cap",
+    survey_ref="O20,O19",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ({_mix('doc_id', SEED)}), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT doc_id, source, rnk FROM r WHERE rnk <= 10
+""",
+)
+def o20_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (crawl-curation quota: at most k docs
+    per domain, chosen by seeded shuffle order).  Uses the salted
+    two-phase exact top-k (``per_group_top_k``) so a viral source with
+    millions of documents never funnels through one reducer — the
+    scale answer to the hot-stratum caveat documented on O19's
+    window-rank path."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False).select(
+        "doc_id", "source"
+    )
+    order = [F.expr(mix_sql("doc_id", SEED, "spark")), F.col("doc_id")]
+    return per_group_top_k(docs, ["source"], order, k=10).select(
+        "doc_id", "source", "rnk"
+    )
+
+
+# ----------------------------------------------------------------- BM25
+_BM25_TERMS = ("spark", "window", "dup")
+
+
+@query(
+    "tx_bm25",
+    survey_ref="§2.14 text",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)
+SELECT tf.doc_id,
+       round(sum(
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+GROUP BY tf.doc_id
+""",
+)
+def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a fixed query-term set
+    (two common terms + one rare for idf contrast) — retrieval-scored
+    corpus mining.  All-relational: term-filtered tf, broadcast df and
+    (N, avgdl); expression structure mirrored term-for-term in the
+    oracle so float evaluation order is identical."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return bm25_scores(docs, list(_BM25_TERMS))

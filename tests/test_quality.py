@@ -1,0 +1,149 @@
+"""Data-quality operators: profile, outlier screen, salted exact
+per-group top-k, BM25."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from scdataset_spark.ml import bm25_scores
+from scdataset_spark.operators.quality import numeric_outliers, profile_columns
+from scdataset_spark.operators.skew import per_group_top_k
+from scdataset_spark.plans.seeds import mix_sql
+from tests.conftest import SF_DIR_SMALL
+
+
+class TestProfile:
+    def test_exact_and_approx_agree_on_shape(self, spark):
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+        exact = profile_columns(ev, ["value"], ["event_type"])
+        approx = profile_columns(ev, ["value"], ["event_type"], approx=True)
+        assert exact.columns == approx.columns == ["col_name", "metric", "value"]
+        e = {(r.col_name, r.metric): r.value for r in exact.collect()}
+        a = {(r.col_name, r.metric): r.value for r in approx.collect()}
+        assert set(e) == set(a)
+        # non-distinct metrics are identical; approx distinct is within rsd
+        for k, v in e.items():
+            if k[1] != "distinct":
+                assert a[k] == v
+            else:
+                assert a[k] == pytest.approx(v, rel=0.2)
+
+    def test_profile_values(self, spark):
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+        prof = {
+            (r.col_name, r.metric): r.value
+            for r in profile_columns(ev, ["value"], ["event_type"]).collect()
+        }
+        n = ev.count()
+        assert prof[("_table", "rows")] == float(n)
+        assert prof[("event_type", "nulls")] == 0.0
+        assert prof[("event_type", "distinct")] == float(
+            ev.select("event_type").distinct().count()
+        )
+        assert prof[("value", "min")] <= prof[("value", "mean")] <= prof[("value", "max")]
+
+    def test_single_job_one_agg(self, spark):
+        """The whole profile is ONE aggregate over one scan — no
+        per-column driver loop (the plan contains exactly one
+        HashAggregate pair chain over the single source)."""
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+        plan = profile_columns(ev, ["value", "user_id"], ["event_type"])._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Relation") == 1
+
+
+class TestOutliers:
+    def test_matches_recompute(self, spark):
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+        got = numeric_outliers(ev, "value", ["event_id"], 2.5)
+        row = ev.agg(
+            F.avg("value").alias("mu"), F.stddev_pop("value").alias("s")
+        ).first()
+        expect = ev.where(
+            F.abs((F.col("value") - row.mu) / row.s) > 2.5
+        ).count()
+        assert got.count() == expect
+        for r in got.collect():
+            assert abs(r.z) > 2.5
+
+    def test_big_side_not_shuffled(self, spark):
+        """Stats come back as a broadcast: the events scan feeds the
+        filter directly with no Exchange above it on the big side."""
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+        physical = (
+            numeric_outliers(ev, "value", ["event_id"], 3.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
+
+
+class TestPerGroupTopK:
+    def test_exact_vs_window_rank(self, spark):
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False).select(
+            "doc_id", "source"
+        )
+        order = [F.expr(mix_sql("doc_id", 7, "spark")), F.col("doc_id")]
+        got = {
+            (r.source, r.rnk): r.doc_id
+            for r in per_group_top_k(docs, ["source"], order, k=5, salts=4).collect()
+        }
+        w = Window.partitionBy("source").orderBy(*order)
+        want = {
+            (r.source, r.rnk): r.doc_id
+            for r in docs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .collect()
+        }
+        assert got == want
+
+    def test_salt_count_invariance(self, spark):
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False).select(
+            "doc_id", "source"
+        )
+        order = [F.expr(mix_sql("doc_id", 7, "spark")), F.col("doc_id")]
+        a = sorted(
+            (r.source, r.rnk, r.doc_id)
+            for r in per_group_top_k(docs, ["source"], order, k=3, salts=2).collect()
+        )
+        b = sorted(
+            (r.source, r.rnk, r.doc_id)
+            for r in per_group_top_k(docs, ["source"], order, k=3, salts=32).collect()
+        )
+        assert a == b
+
+    def test_k_validation(self, spark):
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        with pytest.raises(ValueError, match="k must be"):
+            per_group_top_k(docs, ["source"], [F.col("doc_id")], k=0)
+
+
+class TestBM25:
+    def test_rare_term_outscores_common(self, spark):
+        """A doc containing the rare term 'dup' must outscore docs with
+        only common terms (idf dominance), and every score is finite
+        and positive."""
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        scored = bm25_scores(docs, ["spark", "dup"]).collect()
+        assert scored
+        has_dup = {
+            r.doc_id
+            for r in docs.where(
+                F.array_contains(F.split("text", " "), "dup")
+            ).collect()
+        }
+        if has_dup:
+            best_dup = max(r.bm25 for r in scored if r.doc_id in has_dup)
+            best_plain = max(
+                (r.bm25 for r in scored if r.doc_id not in has_dup), default=0.0
+            )
+            assert best_dup > best_plain
+        for r in scored:
+            assert r.bm25 > 0
+
+    def test_only_matching_docs_scored(self, spark):
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        scored = bm25_scores(docs, ["dup"])
+        match = docs.where(F.array_contains(F.split("text", " "), "dup")).count()
+        assert scored.count() == match
