@@ -38,6 +38,8 @@ _SWEEP_PRIORITY = [
     # --- new in round 7: first external check ---
     "dq_profile",
     "dq_outliers",
+    "ts_gap_fill",
+    "w5_distribution",
     "o20_per_source_cap",
     "tx_bm25",
     "dd_duplicate_spans",

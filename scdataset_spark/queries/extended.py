@@ -554,3 +554,31 @@ def skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     return salted_count(li, ["l_returnflag", "l_linestatus"], salts=16)
+
+
+@query(
+    "w5_distribution",
+    survey_ref="W5",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def w5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window battery — ntile / percent_rank / cume_dist
+    over orders per priority class.  Demonstrates the analytic-function
+    surface; for a pathologically hot partition the bucketed
+    ``_rank_by_key`` posture applies (see O19 notes)."""
+    orders = load_table(spark, "orders", sf_dir, with_row_id=False)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -291,3 +291,41 @@ def ev_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("total_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@query(
+    "ts_gap_fill",
+    survey_ref="§2.11,W5",
+    oracle="""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS hr, event_type,
+         sum(CAST(value AS DECIMAL(24,8))) AS s, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+h AS (SELECT hr, event_type, round(CAST(s AS DOUBLE) / n, 6) AS v FROM b),
+bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+spine AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr FROM bounds) g
+),
+j AS (
+  SELECT s.event_type, s.hr, h.v, h.v IS NULL AS is_gap
+  FROM spine s LEFT JOIN h ON s.hr = h.hr AND s.event_type = h.event_type
+)
+SELECT event_type, CAST(hr AS TIMESTAMP) AS hr,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       is_gap
+FROM j
+""",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup + gap fill: hourly avg(value) per event_type on
+    a dense hour spine, gaps forward-filled.  The raw scan collapses to
+    one rollup; the fill window runs over the tiny spine, never the
+    events table (see ``gap_fill_hourly``)."""
+    from scdataset_spark.streaming.events import gap_fill_hourly
+
+    return gap_fill_hourly(load_table(spark, "events", sf_dir, with_row_id=False))

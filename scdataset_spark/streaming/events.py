@@ -173,3 +173,58 @@ def first_event_dedup(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Hypertable-style resample + interpolate: hourly avg(value) per
+    event_type on a DENSE hour spine (global [min, max] hour range),
+    with gaps forward-filled from the last observed bucket.
+
+    Shape at scale: the heavy input collapses to one hourly rollup
+    (map-side partial agg, one shuffle keyed (hour, type)); the spine
+    is hours x types — tiny even for years of data — built by
+    exploding ``sequence()`` over a broadcast 1-row bounds aggregate,
+    never by scanning the big side again.  The forward-fill window
+    partitions by event_type over the SPINE (bounded rows), not the
+    raw events.  Averages are decimal-exact sums divided by counts,
+    rounded before the fill so the carried value is engine-portable.
+    """
+    hourly = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(24,8)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col("win.start").alias("hr"),
+            "event_type",
+            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias("v"),
+        )
+    )
+    bounds = hourly.agg(F.min("hr").alias("_lo"), F.max("hr").alias("_hi"))
+    types = events.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(hourly, ["event_type", "hr"], "left")
+    return joined.select(
+        "event_type",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNull().alias("is_gap"),
+    )

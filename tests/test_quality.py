@@ -147,3 +147,31 @@ class TestBM25:
         scored = bm25_scores(docs, ["dup"])
         match = docs.where(F.array_contains(F.split("text", " "), "dup")).count()
         assert scored.count() == match
+
+
+class TestGapFill:
+    def test_gaps_forward_filled(self, spark):
+        from datetime import datetime
+
+        from scdataset_spark.streaming.events import gap_fill_hourly
+
+        rows = [
+            ("A", datetime(2024, 1, 1, 0, 30), 10.0),
+            ("A", datetime(2024, 1, 1, 3, 15), 40.0),
+            ("B", datetime(2024, 1, 1, 1, 5), 7.0),
+        ]
+        ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+        got = {
+            (r.event_type, r.hr.hour): (r.value_ffill, r.is_gap)
+            for r in gap_fill_hourly(ev).collect()
+        }
+        # dense spine: global hours 0..3 for both types
+        assert len(got) == 8
+        assert got[("A", 0)] == (10.0, False)
+        assert got[("A", 1)] == (10.0, True)   # filled from hour 0
+        assert got[("A", 2)] == (10.0, True)
+        assert got[("A", 3)] == (40.0, False)
+        # B has no observation before hour 1: leading null stays null
+        assert got[("B", 0)] == (None, True)
+        assert got[("B", 1)] == (7.0, False)
+        assert got[("B", 3)] == (7.0, True)
