@@ -247,6 +247,128 @@ def lsh_banded_pairs(
     )
 
 
+def embed_cosine_pairs_fast(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.98,
+    bands: int | None = None,
+    rows_per_band: int = 24,
+    dim: int = 64,
+    seed: int = 7,
+    target_recall: float = 0.999,
+    max_bucket: int | None = 20_000,
+    digits: int = 4,
+    block: int = 2048,
+) -> DataFrame:
+    """LSH-banded near-dup pairs with BUCKET-LOCAL verification — the
+    scale twin of the exact candidate-join + cosine-verify chain
+    (``dd_embed_cosine``'s shape).
+
+    The exact chain shuffles |candidates| pair rows and then joins the
+    full vector onto BOTH sides — 2·|candidates| vector copies.  On a
+    clustered corpus candidates grow ~p_c·n_cluster² (see
+    :func:`lsh_banded_pairs`), so at the sf100e audit (2.4 M vectors,
+    ~285 M candidates) that join wants ~300 GB of shuffle — more
+    scratch than a node has.  Here the vector rides the BANDING shuffle
+    instead (n·bands float32 copies, ~18 GB at the same scale — bounded
+    by corpus size, not candidate count), and each (band, sig) bucket
+    verifies its own pairs with a strip-blocked numpy Gram inside
+    ``applyInPandas``; only pairs ≥ threshold ever leave the bucket.
+    Cross-bucket duplicates collapse with one groupBy on the (tiny)
+    surviving pairs.
+
+    float32 transport + BLAS summation make this deterministic but not
+    bit-parity with the HOF-expression oracle — same contract as
+    :func:`semantic_dedup_fast`: the exact path carries the oracle;
+    ``tests/test_similarity_extra`` pins fast == exact on the planted
+    corpus (cosines far from the threshold boundary).  ``max_bucket``
+    skips saturated buckets (no discriminative signal) like
+    ``simhash_hamming_pairs``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from scdataset_spark.plans.seeds import mix_py
+
+    if bands is None:
+        bands = lsh_bands_for_recall(rows_per_band, threshold, target_recall)
+    weights = [
+        [float(2 * (mix_py(g * dim + d, seed) % 2) - 1) for d in range(dim)]
+        for g in range(bands * rows_per_band)
+    ]
+    sig = (
+        f"aggregate(sequence(0, {rows_per_band - 1}), 0L, (acc, p) -> acc + "
+        f"CASE WHEN aggregate(zip_with({vec}, element_at(_W, {{base}} + p + 1), "
+        "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0 "
+        "THEN shiftleft(1L, p) ELSE 0L END)"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(sig.format(base=b * rows_per_band)).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        df.withColumn("_W", F.lit(weights))
+        .select(
+            F.col(id_col),
+            F.col(vec).cast("array<float>").alias("_v32"),
+            F.explode(band_structs).alias("_b"),
+        )
+        .select(
+            id_col,
+            F.col("_b.band_id").alias("band_id"),
+            F.col("_b.sig").alias("sig"),
+            "_v32",
+        )
+    )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_id", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("band_id", "sig")
+        )
+        banded = banded.join(ok, ["band_id", "sig"], "left_semi")
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        pdf = pdf.sort_values(pdf.columns[0]).reset_index(drop=True)
+        ids = pdf.iloc[:, 0].to_numpy()
+        V = np.stack(pdf["_v32"].to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        out_a, out_b, out_c = [], [], []
+        for j0 in range(0, n, block):
+            j1 = min(j0 + block, n)
+            G = np.round(Vn @ Vn[j0:j1].T, digits)
+            ii, jj = np.nonzero(G >= thr)
+            keep = ii < (jj + j0)  # strict upper triangle in global index
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep] + j0])
+            out_c.append(G[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    pairs = banded.select(id_col, "band_id", "sig", "_v32").groupBy(
+        "band_id", "sig"
+    ).applyInPandas(_bucket_pairs, "id_a bigint, id_b bigint, cos double")
+    return pairs.groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -545,6 +667,8 @@ def semantic_dedup_fast(
     threshold: float = 0.98,
     seed: int = 11,
     block: int = 1024,
+    coarse_route_k: int = 512,
+    probes: int = 3,
 ) -> DataFrame:
     """:func:`semantic_dedup` at production cell counts — same
     cluster-then-dominance semantics, with the two stages that go
@@ -590,14 +714,70 @@ def semantic_dedup_fast(
     out_schema = f"{id_col} bigint, cell int, kept boolean"
     assign_schema = f"{id_col} bigint, _v array<double>, cell int"
 
+    k = len(cells)
+    two_level = k > coarse_route_k
+
     def _assign(batches):
         c2 = (C * C).sum(axis=1)
+        if two_level:
+            # Flat argmin is O(n·k) flops AND an n×k distance matrix per
+            # batch; with the budget rule k ~ n/c that is QUADRATIC in n
+            # (measured: 36x time for 10x vectors at the sf100e audit).
+            # Route through ~sqrt(k) coarse probes first — pick a
+            # deterministic spread of the (cell-sorted) centroids as
+            # probes, pre-assign every centroid to its nearest probe,
+            # then argmin only within the routed probe's member set:
+            # O(n·sqrt(k)) flops.  Routing is approximate at cell
+            # boundaries (SemDeDup's clustering is heuristic by
+            # construction); the registered oracle query keeps the exact
+            # flat path (k=8 < coarse_route_k).
+            g = int(np.ceil(np.sqrt(k)))
+            sel = np.linspace(0, k - 1, g).astype(np.int64)
+            S = C[sel]
+            # a few Lloyd rounds ON THE CENTROIDS (g×k distances,
+            # driver-trivial) so probe regions are balanced Voronoi
+            # groups rather than arbitrary strided picks
+            for _ in range(5):
+                s2 = (S * S).sum(axis=1)
+                cmem = (c2[:, None] + s2[None, :] - 2.0 * (C @ S.T)).argmin(axis=1)
+                for s in range(g):
+                    m = cmem == s
+                    if m.any():
+                        S[s] = C[m].mean(axis=0)
+            s2 = (S * S).sum(axis=1)
+            groups = [np.where(cmem == s)[0] for s in range(g)]
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            d2 = (X * X).sum(axis=1, keepdims=True) + c2[None, :] - 2.0 * (X @ C.T)
-            idx = d2.argmin(axis=1)  # first min -> lowest cell on ties
+            x2 = (X * X).sum(axis=1, keepdims=True)
+            if not two_level:
+                d2 = x2 + c2[None, :] - 2.0 * (X @ C.T)
+                idx = d2.argmin(axis=1)  # first min -> lowest cell on ties
+            else:
+                droute = x2 + s2[None, :] - 2.0 * (X @ S.T)
+                p = min(probes, g)
+                order = np.argsort(droute, kind="stable", axis=1)[:, :p]
+                best_d = np.full(len(X), np.inf)
+                idx = np.zeros(len(X), dtype=np.int64)
+                for col in range(p):
+                    route = order[:, col]
+                    for s in np.unique(route):
+                        rows = np.where(route == s)[0]
+                        mem = groups[s]
+                        if len(mem) == 0:  # probe lost its own seed to a tie
+                            mem = sel[s : s + 1]
+                        sub = (
+                            x2[rows]
+                            + c2[mem][None, :]
+                            - 2.0 * (X[rows] @ C[mem].T)
+                        )
+                        j = sub.argmin(axis=1)
+                        d = sub[np.arange(len(rows)), j]
+                        upd = d < best_d[rows]  # strict: ties keep nearer probe
+                        rr = rows[upd]
+                        best_d[rr] = d[upd]
+                        idx[rr] = mem[j[upd]]
             yield pd.DataFrame(
                 {
                     pdf.columns[0]: pdf.iloc[:, 0].to_numpy(),
