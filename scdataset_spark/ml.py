@@ -84,7 +84,9 @@ def bm25_scores(
     window, no self-join; the score join on ``id_col`` shuffles only
     docs containing a query term.
     """
-    terms = [t.replace("'", "") for t in query_terms]
+    # terms reach SQL only as bound isin() values — no escaping needed,
+    # and stripping characters would silently unmatch tokens like "don't"
+    terms = list(query_terms)
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )

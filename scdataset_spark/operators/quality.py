@@ -81,6 +81,12 @@ def numeric_outliers(
     no window, no shuffle of the big side.  The z-score is rounded to
     6 on output; the *filter* compares unrounded, so a value must sit
     within float ulps of the threshold to flip between engines.
+
+    Degenerate spread (``stddev_pop`` = 0 on a constant column, or NULL
+    on an all-NULL/empty input) is defined as **no outliers**: every
+    value IS the mean, so nothing deviates.  Guarded explicitly because
+    engines disagree on x/0.0 (Spark SQL → NULL, DuckDB → ±inf) — the
+    oracle mirrors the same ``sigma > 0`` convention.
     """
     stats = df.agg(
         F.avg(value_col).alias("_mu"),
@@ -90,6 +96,6 @@ def numeric_outliers(
     return (
         df.select(*id_cols, value_col)
         .crossJoin(F.broadcast(stats))
-        .where(F.abs(z) > z_threshold)
+        .where((F.col("_sigma") > 0) & (F.abs(z) > z_threshold))
         .select(*id_cols, value_col, F.round(z, 6).alias("z"))
     )

@@ -122,11 +122,28 @@ def lsh_bands_for_recall(
     recall at cosine 0.98 from ~0.97 to ~0.84)."""
     import math
 
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall!r} "
+            "(recall 1.0 is unreachable under probabilistic banding — "
+            "use the exact verify path instead)"
+        )
+    if not -1.0 <= min_cosine <= 1.0:
+        raise ValueError(f"min_cosine must be in [-1, 1], got {min_cosine!r}")
     p = 1.0 - math.acos(min_cosine) / math.pi
     p_band = p**rows_per_band
     if p_band >= 1.0:
         return 1
-    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+    bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+    if bands > 4096:
+        # p_band this small means the band width is mis-sized for the
+        # target threshold (bands*rows hash cost would dwarf the scan)
+        raise ValueError(
+            f"derived band count {bands} > 4096: rows_per_band={rows_per_band} "
+            f"is too wide for min_cosine={min_cosine} at recall {target_recall}; "
+            "narrow the bands or lower the recall target"
+        )
+    return bands
 
 
 def lsh_banded_pairs(
@@ -668,7 +685,8 @@ def semantic_dedup_fast(
     seed: int = 11,
     block: int = 1024,
     coarse_route_k: int = 512,
-    probes: int = 3,
+    probes: int = 3,  # retained for signature compat; unused since the
+    # r8 bound-pruned search (exact, needs no probe-count knob)
 ) -> DataFrame:
     """:func:`semantic_dedup` at production cell counts — same
     cluster-then-dominance semantics, with the two stages that go
@@ -684,7 +702,10 @@ def semantic_dedup_fast(
       Centroids are COLLECTED once (k×dim doubles) at call time — an
       eager index-build job, the same posture as ``ivf_topk``'s KMeans
       fit (and why the registered oracle query uses the lazy exact
-      path instead).
+      path instead).  Past ``coarse_route_k`` cells the argmin goes
+      two-level — and stays EXACT via a triangle-inequality radius
+      bound (see the inline comment in ``_assign``), so the routed
+      and flat paths agree row-for-row.
     - **within-cell dominance**: ``applyInPandas`` per cell; the Gram
       matrix is built in ``block``-column strips so memory stays
       O(cell·block) even for fat cells.
@@ -723,20 +744,22 @@ def semantic_dedup_fast(
             # Flat argmin is O(n·k) flops AND an n×k distance matrix per
             # batch; with the budget rule k ~ n/c that is QUADRATIC in n
             # (measured: 36x time for 10x vectors at the sf100e audit).
-            # Route through ~sqrt(k) coarse probes first — pick a
-            # deterministic spread of the (cell-sorted) centroids as
-            # probes, pre-assign every centroid to its nearest probe,
-            # then argmin only within the routed probe's member set:
-            # O(n·sqrt(k)) flops.  Routing is approximate at cell
-            # boundaries (SemDeDup's clustering is heuristic by
-            # construction); the registered oracle query keeps the exact
-            # flat path (k=8 < coarse_route_k).
+            # Two-level EXACT search instead: group the k centroids
+            # under ~sqrt(k) coarse probes (a few driver-side Lloyd
+            # rounds on the centroids, g×k distances), then per row
+            # visit probe groups in nearest-probe order and PRUNE with
+            # the triangle inequality — a group whose probe satisfies
+            # d(row, probe) - radius(group) >= best-so-far cannot hold a
+            # nearer centroid (radius = max member-to-probe distance).
+            # Expected O(n·sqrt(k)) flops on clustered data, and the
+            # result is the flat argmin EXACTLY (up to BLAS summation
+            # ulps), not an approximation — the r7 advisor found the
+            # earlier top-p heuristic misassigned ~19% of rows at cell
+            # boundaries (k=40 planted corpus); the bound-based search
+            # agrees 100% there (tests/test_span_semantic_dedup.py).
             g = int(np.ceil(np.sqrt(k)))
             sel = np.linspace(0, k - 1, g).astype(np.int64)
             S = C[sel]
-            # a few Lloyd rounds ON THE CENTROIDS (g×k distances,
-            # driver-trivial) so probe regions are balanced Voronoi
-            # groups rather than arbitrary strided picks
             for _ in range(5):
                 s2 = (S * S).sum(axis=1)
                 cmem = (c2[:, None] + s2[None, :] - 2.0 * (C @ S.T)).argmin(axis=1)
@@ -744,8 +767,17 @@ def semantic_dedup_fast(
                     m = cmem == s
                     if m.any():
                         S[s] = C[m].mean(axis=0)
+            # groups/radii must come from the FINAL Lloyd-updated S
+            # (routing uses post-update S; stale pre-update membership
+            # breaks the radius bound's correctness contract)
             s2 = (S * S).sum(axis=1)
+            D2 = c2[:, None] + s2[None, :] - 2.0 * (C @ S.T)
+            cmem = D2.argmin(axis=1)
             groups = [np.where(cmem == s)[0] for s in range(g)]
+            radius = np.zeros(g)
+            for s in range(g):
+                if len(groups[s]):
+                    radius[s] = np.sqrt(np.maximum(D2[groups[s], s], 0.0).max())
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -755,26 +787,43 @@ def semantic_dedup_fast(
                 d2 = x2 + c2[None, :] - 2.0 * (X @ C.T)
                 idx = d2.argmin(axis=1)  # first min -> lowest cell on ties
             else:
-                droute = x2 + s2[None, :] - 2.0 * (X @ S.T)
-                p = min(probes, g)
-                order = np.argsort(droute, kind="stable", axis=1)[:, :p]
+                droute = np.sqrt(
+                    np.maximum(x2 + s2[None, :] - 2.0 * (X @ S.T), 0.0)
+                )
+                # visit groups in increasing LOWER-BOUND order (not
+                # nearest-probe order: lb = d(row,probe) - radius is not
+                # monotone in probe distance, so probe order would let a
+                # row early-exit past a fat group it still needs) — in
+                # lb order, the first group with lb >= best-so-far
+                # proves all remaining groups can't improve.
+                LB = droute - radius[None, :]
+                order = np.argsort(LB, kind="stable", axis=1)
                 best_d = np.full(len(X), np.inf)
                 idx = np.zeros(len(X), dtype=np.int64)
-                for col in range(p):
-                    route = order[:, col]
+                alive = np.arange(len(X))
+                for col in range(g):
+                    route = order[alive, col]
+                    lb = LB[alive, route]
+                    keep = lb < best_d[alive]
+                    alive = alive[keep]
+                    if not len(alive):
+                        break
+                    route = route[keep]
                     for s in np.unique(route):
-                        rows = np.where(route == s)[0]
+                        rows = alive[route == s]
                         mem = groups[s]
-                        if len(mem) == 0:  # probe lost its own seed to a tie
-                            mem = sel[s : s + 1]
+                        if len(mem) == 0:
+                            continue  # empty group holds no centroid
                         sub = (
                             x2[rows]
                             + c2[mem][None, :]
                             - 2.0 * (X[rows] @ C[mem].T)
                         )
                         j = sub.argmin(axis=1)
-                        d = sub[np.arange(len(rows)), j]
-                        upd = d < best_d[rows]  # strict: ties keep nearer probe
+                        d = np.sqrt(
+                            np.maximum(sub[np.arange(len(rows)), j], 0.0)
+                        )
+                        upd = d < best_d[rows]
                         rr = rows[upd]
                         best_d[rr] = d[upd]
                         idx[rr] = mem[j[upd]]

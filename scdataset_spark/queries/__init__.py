@@ -26,68 +26,17 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-7 priority: (a) any query NEW this round (never
-# externally checked) leads, then (b) staleness of the most recent external
-# check — the 24-query round-4 cohort (three rounds stale; the tail rounds
-# 5 and 6 could not reach), then the round-5 cohort, then the round-6
-# cohort last.  A 50-slot sweep covers the new entry + all 24 r4-stale +
-# the front of the r5 cohort, leaving no registry entry more than two
-# rounds externally stale after round 7.  Names and semantics are frozen;
-# only iteration order changes.
+# cosmetics.  Round-8 priority (VERDICT r7 task 3): (a) queries NEW this
+# round (never externally checked) lead, then (b) the 35-query cohort whose
+# most recent external check is round 5 (two rounds stale — the rotation
+# bound), then the round-6 cohort, then the round-7 cohort last.  A 50-slot
+# sweep covers every new entry plus the full r5-stale cohort, so after
+# round 8 no registry entry is more than two rounds externally stale.
+# Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 7: first external check ---
-    "dq_profile",
-    "dq_outliers",
-    "ts_gap_fill",
-    "w5_distribution",
-    "o20_per_source_cap",
-    "tx_bm25",
-    "dd_duplicate_spans",
-    "dd_semantic_dedup",
-    "o19_stratified_sample",
-    "dd_incremental_verified",
-    "o5_positional_weights",
-    # --- last externally checked in round 4: three rounds stale ---
-    "w5_top3_orders_per_customer",
-    "w5_lag_lead_gaps",
-    "w5_range_frame",
-    "g3_batch_entropy",
-    "g7_rollup_lineitem",
-    "g7_pivot_status_by_flag",
-    "g7_distinct_aggregates",
-    "g7_percentiles",
-    "g7_correlation",
-    "j_semi_active_customers",
-    "j_anti_customers_without_orders",
-    "setops_union_distinct",
-    "setops_repeat_customers",
-    "setops_lapsed_customers",
-    "sq_correlated_group_max",
-    "null_handling",
-    "scalar_functions_events",
-    "ev_session_capped",
-    "ev_session_funnel",
-    "tx_token_stats",
-    "tx_langid",
-    "tx_fingerprint",
-    "tx_sequence_pack",
-    "tx_token_budget",
-    # --- last externally checked in round 5: fills the sweep's tail slots ---
-    "j4_asof_join",
-    "dd_winnowing",
-    "dd_winnowing_pairs",
-    "tx_bpe_count",
-    "g4_shuffle_quality",
-    "mm_frame_sample",
-    "skew_salted_count",
-    "q17_small_quantity",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "tx_repetition",
-    "emb_quantize",
-    "dd_embed_exact",
-    "o17_temperature_mixture",
+    # --- new in round 8: never externally checked ---
+    "dd_embed_cosine_fast",
+    # --- last externally checked in round 5: two rounds stale, leads ---
     "dd_ngram_decontam",
     "ev_user_stats",
     "j_full_outer_nation_activity",
@@ -123,7 +72,7 @@ _SWEEP_PRIORITY = [
     "tx_pii_scrub",
     "pipe_curation",
     "ev_tumbling_window",
-    # --- last externally checked in round 6 (freshest; sweep tail) ---
+    # --- last externally checked in round 6 ---
     "dd_components_star",
     "o18_fetch_shuffle",
     "dd_incremental_novel",
@@ -174,8 +123,58 @@ _SWEEP_PRIORITY = [
     "q19_disjunctive_predicates",
     "q22_idle_wealthy_customers",
     "w5_running_revenue",
+    # --- last externally checked in round 7 (freshest; sweep tail) ---
+    "dq_profile",
+    "dq_outliers",
+    "ts_gap_fill",
+    "w5_distribution",
+    "o20_per_source_cap",
+    "tx_bm25",
+    "dd_duplicate_spans",
+    "dd_semantic_dedup",
+    "o19_stratified_sample",
+    "dd_incremental_verified",
+    "o5_positional_weights",
+    "w5_top3_orders_per_customer",
+    "w5_lag_lead_gaps",
+    "w5_range_frame",
+    "g3_batch_entropy",
+    "g7_rollup_lineitem",
+    "g7_pivot_status_by_flag",
+    "g7_distinct_aggregates",
+    "g7_percentiles",
+    "g7_correlation",
+    "j_semi_active_customers",
+    "j_anti_customers_without_orders",
+    "setops_union_distinct",
+    "setops_repeat_customers",
+    "setops_lapsed_customers",
+    "sq_correlated_group_max",
+    "null_handling",
+    "scalar_functions_events",
+    "ev_session_capped",
+    "ev_session_funnel",
+    "tx_token_stats",
+    "tx_langid",
+    "tx_fingerprint",
+    "tx_sequence_pack",
+    "tx_token_budget",
+    "j4_asof_join",
+    "dd_winnowing",
+    "dd_winnowing_pairs",
+    "tx_bpe_count",
+    "g4_shuffle_quality",
+    "mm_frame_sample",
+    "skew_salted_count",
+    "q17_small_quantity",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "tx_repetition",
+    "emb_quantize",
+    "dd_embed_exact",
+    "o17_temperature_mixture",
 ]
-
 
 def _apply_sweep_priority() -> None:
     if len(set(_SWEEP_PRIORITY)) != len(_SWEEP_PRIORITY):

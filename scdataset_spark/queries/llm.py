@@ -714,6 +714,66 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_cosine_pairs_only_oracle() -> str:
+    """Pair-set twin of :func:`_embed_cosine_oracle` — drops the cosine
+    column so the check is robust to the fast path's float32 transport
+    (identical banding → identical candidates; the ≥0.98 verdict agrees
+    for every planted pair because corpus cosines sit far from the
+    threshold)."""
+    band_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, {_duck_banded_sig(b)} AS sig FROM ecorpus"
+        for b in range(EMB_BANDS)
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), 'sum'))), 4)"
+    )
+    return f"""
+WITH {EMB_CORPUS_SQL},
+banded AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b
+FROM cand c JOIN ecorpus a ON c.vec_a = a.vec_id JOIN ecorpus b ON c.vec_b = b.vec_id
+WHERE {cos} >= 0.98
+"""
+
+
+@query(
+    "dd_embed_cosine_fast",
+    survey_ref="§2.14 dedup",
+    oracle=_embed_cosine_pairs_only_oracle(),
+)
+def dd_embed_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-local-verify twin of ``dd_embed_cosine``
+    (``similarity.embed_cosine_pairs_fast``): the vector rides the
+    banding shuffle and each (band, sig) bucket verifies its own pairs
+    with a strip-blocked numpy Gram — candidate pairs never shuffle
+    with two full vector copies attached, which is what makes the
+    exact chain scratch-bound at the sf100e audit scale.  Same banding
+    contract as the exact path (identical candidates), so the oracle
+    checks the full pair SET; the cosine value itself is float32
+    transport and is pinned fast-vs-exact in
+    ``tests/test_similarity_extra.py`` instead."""
+    c = emb_corpus(spark, sf_dir)
+    return (
+        sim.embed_cosine_pairs_fast(
+            c,
+            id_col="vec_id",
+            vec="v",
+            threshold=0.98,
+            bands=EMB_BANDS,
+            rows_per_band=EMB_ROWS_PER_BAND,
+            max_bucket=None,
+        )
+        .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
+    )
+
+
 @query(
     "dd_embed_components",
     survey_ref="§2.14 dedup",

@@ -65,7 +65,7 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM events)
 SELECT event_id, value, round((value - mu) / sigma, 6) AS z
 FROM events, s
-WHERE abs((value - mu) / sigma) > 3.0
+WHERE sigma > 0 AND abs((value - mu) / sigma) > 3.0
 """,
 )
 def dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

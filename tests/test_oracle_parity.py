@@ -25,15 +25,18 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 # runs every oracle query; the marker is a fast subset, not the gate.)
 # Updated each round from CORRECTNESS_r{N}.json ages.
 STALE_COHORT = {
-    "ev_session_capped", "ev_session_funnel", "g3_batch_entropy",
-    "g7_correlation", "g7_distinct_aggregates", "g7_percentiles",
-    "g7_pivot_status_by_flag", "g7_rollup_lineitem",
-    "j_anti_customers_without_orders", "j_semi_active_customers",
-    "null_handling", "scalar_functions_events", "setops_lapsed_customers",
-    "setops_repeat_customers", "setops_union_distinct",
-    "sq_correlated_group_max", "tx_fingerprint", "tx_langid",
-    "tx_sequence_pack", "tx_token_budget", "tx_token_stats",
-    "w5_lag_lead_gaps", "w5_range_frame", "w5_top3_orders_per_customer",
+    "dd_components", "dd_decontamination", "dd_dedup_corpus",
+    "dd_embed_components", "dd_embed_cosine", "dd_exact_groups",
+    "dd_minhash_lsh", "dd_ngram_decontam", "dd_simhash_pairs",
+    "ev_tumbling_window", "ev_user_stats", "g7_approx_sketches",
+    "g7_unpivot_flag_metrics", "j_full_outer_nation_activity",
+    "mm_multimodal_zip", "o12_exact_len", "o1_block_shuffle",
+    "o3_weighted_replace", "o9_epoch_reshuffle", "pipe_curation",
+    "q1_pricing_summary", "q21_waiting_supplier", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_forecast", "q9_product_profit",
+    "s1_streaming_scan", "s2_subset_split", "sim_ivf_ann", "sim_lsh_ann",
+    "sim_topk_cosine", "tx_length_buckets", "tx_normalize", "tx_pii_scrub",
+    "tx_quality_score",
 }
 
 ORACLE_PARAMS = [

@@ -160,3 +160,81 @@ class TestEpochPlanExport:
         one = back.where("fetch_id = 0").orderBy("pos").collect()
         raw = spark.read.parquet(os.path.join(out, "fetch_id=0")).collect()
         assert [r.pos for r in raw] == [r.pos for r in one]
+
+
+class TestEmbedCosinePairsFast:
+    def test_fast_equals_exact_on_planted_corpus(self, spark):
+        """Bucket-local verify must reproduce the exact candidate-join
+        chain pair-for-pair AND cosine-for-cosine (4 digits) on the
+        planted corpus — same banding contract, so the only possible
+        divergence is float32 transport on a boundary-straddling pair,
+        and the planted cosines sit far from 0.98."""
+        from scdataset_spark.operators.similarity import (
+            embed_cosine_pairs_fast,
+            lsh_banded_pairs,
+        )
+        from scdataset_spark.operators import similarity as sim
+        from scdataset_spark.queries.llm import (
+            EMB_BANDS,
+            EMB_ROWS_PER_BAND,
+            emb_corpus,
+        )
+
+        c = emb_corpus(spark, SF_DIR_SMALL)
+        cand = lsh_banded_pairs(
+            c, id_col="vec_id", vec="v",
+            bands=EMB_BANDS, rows_per_band=EMB_ROWS_PER_BAND,
+        )
+        a = c.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("_va"),
+            sim.norm_col("v").alias("_na"),
+        )
+        b = c.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"),
+            sim.norm_col("v").alias("_nb"),
+        )
+        exact = {
+            (r.id_a, r.id_b): r.cos
+            for r in cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("cos", sim.cosine_norm_expr("_va", "_vb", "_na", "_nb"))
+            .where(F.col("cos") >= 0.98)
+            .select("id_a", "id_b", "cos")
+            .collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): r.cos
+            for r in embed_cosine_pairs_fast(
+                c, id_col="vec_id", vec="v", threshold=0.98,
+                bands=EMB_BANDS, rows_per_band=EMB_ROWS_PER_BAND,
+                max_bucket=None,
+            ).collect()
+        }
+        assert exact, "planted corpus must contain near-dup pairs"
+        assert set(exact) == set(fast), (
+            f"pair sets differ: {sorted(set(exact) ^ set(fast))[:5]}"
+        )
+        for pair, cos in exact.items():
+            assert abs(fast[pair] - cos) < 5e-4, (pair, cos, fast[pair])
+
+    def test_max_bucket_skips_saturated_buckets(self, spark):
+        """A hot (band, sig) bucket above the cap must contribute no
+        pairs — mirrors lsh_banded_pairs' backstop semantics."""
+        import numpy as np
+
+        from scdataset_spark.operators.similarity import embed_cosine_pairs_fast
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=16)
+        rows = [
+            (i, [float(x) for x in base + rng.normal(scale=1e-4, size=16)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        full = embed_cosine_pairs_fast(
+            df, dim=16, rows_per_band=8, bands=4, max_bucket=None
+        ).count()
+        capped = embed_cosine_pairs_fast(
+            df, dim=16, rows_per_band=8, bands=4, max_bucket=10
+        ).count()
+        assert full == 30 * 29 // 2
+        assert capped == 0

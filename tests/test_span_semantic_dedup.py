@@ -175,3 +175,32 @@ class TestSemanticDedupFast:
             c, id_col="vec_id", vec="v", n_clusters=8, seed=11, block=4096
         ).collect()))
         assert a == b
+
+    def test_two_level_routing_matches_flat_argmin(self, spark):
+        """Exercise the k > coarse_route_k two-level path (inert in the
+        tests above because k <= 512 there) by LOWERING the route
+        threshold: the bound-pruned search must match the flat argmin
+        row-for-row — it is exact by the triangle inequality, unlike
+        the r7 top-p probe heuristic (measured 81% agreement here) and
+        unaffected by the r7 advisor's stale-membership bug (groups and
+        radii are derived from the FINAL Lloyd-updated probe set)."""
+        from scdataset_spark.operators.similarity import semantic_dedup_fast
+        from scdataset_spark.queries.llm import emb_corpus
+        from tests.conftest import SF_DIR
+
+        c = emb_corpus(spark, SF_DIR)
+        flat = {
+            (r["vec_id"], r["cell"], r["kept"])
+            for r in semantic_dedup_fast(
+                c, id_col="vec_id", vec="v", n_clusters=40, seed=11,
+                coarse_route_k=10_000,
+            ).collect()
+        }
+        routed = {
+            (r["vec_id"], r["cell"], r["kept"])
+            for r in semantic_dedup_fast(
+                c, id_col="vec_id", vec="v", n_clusters=40, seed=11,
+                coarse_route_k=16, probes=3,
+            ).collect()
+        }
+        assert flat == routed, f"{len(flat ^ routed)} differing rows"
