@@ -68,13 +68,19 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_spread: dict[str, float] = {}
     for name, fn in headline.items():
         times[name] = round(run_one(spark, fn, SF_DIR), 3)
-        # steady-state cost: best of two repeat runs of the identical
+        # steady-state cost: min of three repeat runs of the identical
         # plan (codegen already JIT-compiled after the first run; the
         # min suppresses same-box scheduler noise, which measured up to
-        # ±30% between whole bench invocations)
-        warm[name] = round(min(run_one(spark, fn, SF_DIR) for _ in range(2)), 3)
+        # ±30% between whole bench invocations).  The max-min spread is
+        # REPORTED per query so round-over-round deltas inside the
+        # spread read as session noise, not regressions — two rounds
+        # were burned chasing ±25% ghosts before this existed.
+        reps = [run_one(spark, fn, SF_DIR) for _ in range(3)]
+        warm[name] = round(min(reps), 3)
+        warm_spread[name] = round(max(reps) - min(reps), 3)
     total = round(sum(times.values()), 3)
     warm_total = round(sum(warm.values()), 3)
 
@@ -192,6 +198,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "n_queries": len(times),
                 "queries_warm": warm,
+                "queries_warm_spread": warm_spread,
                 "warm_total_sec": warm_total,
                 "ingest_sec": ingest_sec,
                 "loading_samples_per_sec": samples_per_sec,

@@ -454,7 +454,27 @@ def connected_components(
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    # lazy: the initial signature aggregate below is this frame's first
+    # action and materializes the checkpoint in the same job
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=False)
+
+    def signature(frame: DataFrame):
+        # convergence probe fused with the lazy checkpoint's
+        # materialization (this aggregate is the frame's FIRST action —
+        # one Spark action per round, same posture as
+        # connected_components_star below): labels only ever DECREASE
+        # under min-propagation, so an unchanged (count, hash-sum)
+        # signature means a fixed point.  A decimal sum of xxhash64
+        # colliding between two DIFFERENT label frames is vanishingly
+        # unlikely (and label monotonicity removes the adversarial
+        # case: every change strictly lowers some component id).
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("id", "component").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = signature(labels)
     converged = False
     for _ in range(max_iterations):
         neigh = (
@@ -476,22 +496,14 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_mn"), F.col("component"))
                 ).alias("component"),
             )
-            # lazy: the changed-label probe below is the frame's first
-            # action and materializes the checkpoint in the same job —
-            # one action per round, not two
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        sig = signature(new_labels)
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             converged = True
             break
+        prev_sig = sig
     if not converged:
         # partial labels are WRONG labels (distinct ids for one true
         # component) — surface it instead of silently returning them

@@ -75,6 +75,48 @@ def _semantic_dedup_scaled(spark, sf_dir):
 EXTRA = {"semantic_dedup_scaled": _semantic_dedup_scaled}
 
 
+def routing_agreement(spark) -> dict:
+    """Routed-vs-flat centroid-assignment agreement at the audit's cell
+    budget (r7 verdict task): the two-level path is exact by the
+    triangle-inequality radius bound, so agreement must be ~100% — any
+    daylight beyond BLAS-ulp boundary ties is a routing bug.  The flat
+    side pays the full O(n·k) argmin, so this is an audit probe, not a
+    per-round bench entry."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import semantic_dedup_fast
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, SF_DIR)
+    n = c.count()
+    k = max(8, n // 500)
+    t0 = time.perf_counter()
+    routed = semantic_dedup_fast(
+        c, id_col="vec_id", vec="v", n_clusters=k, seed=11,
+        coarse_route_k=min(512, max(8, k // 2)),  # force two-level even at small k
+    ).select("vec_id", F.col("cell").alias("rc"), F.col("kept").alias("rk"))
+    flat = semantic_dedup_fast(
+        c, id_col="vec_id", vec="v", n_clusters=k, seed=11,
+        coarse_route_k=1 << 40,
+    ).select("vec_id", F.col("cell").alias("fc"), F.col("kept").alias("fk"))
+    row = (
+        routed.join(flat, "vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("rc") == F.col("fc")).cast("long")).alias("cell_agree"),
+            F.sum((F.col("rk") == F.col("fk")).cast("long")).alias("kept_agree"),
+        )
+        .first()
+    )
+    return {
+        "n_vectors": int(row["n"]),
+        "n_clusters": int(k),
+        "cell_agreement": round(row["cell_agree"] / row["n"], 6),
+        "kept_agreement": round(row["kept_agree"] / row["n"], 6),
+        "probe_sec": round(time.perf_counter() - t0, 1),
+    }
+
+
 def run_one(spark, name: str) -> float:
     fn = REGISTRY[name].fn if name in REGISTRY else EXTRA[name]
     t0 = time.perf_counter()
@@ -153,6 +195,11 @@ def main() -> None:
             fh = fixture_health(spark)
             fh["fixture_health_sec"] = round(time.perf_counter() - t0, 1)
             print(json.dumps({"fixture_health": fh}), flush=True)
+        elif a == "routing":
+            print(
+                json.dumps({"routing_agreement": routing_agreement(spark)}),
+                flush=True,
+            )
         elif a in GROUPS:
             names += GROUPS[a]
         else:

@@ -362,6 +362,36 @@ class TestConnectedComponentsStar:
         }
         assert star == prop
 
+    def test_propagation_one_action_per_round(self, spark, monkeypatch):
+        """Mirror of test_one_action_per_round for the PROPAGATION
+        variant (r7 verdict parity ask): only the raw edge-lineage
+        checkpoint is eager; the initial label frame and every in-loop
+        label frame are lazy, materialized by the fused (count,
+        hash-sum) convergence-signature aggregate — one action per
+        round, no separate changed-label join job."""
+        from scdataset_spark.operators.dedup import connected_components
+
+        probe = spark.range(1)
+        cls = type(probe)
+        calls = []
+        orig = cls.localCheckpoint
+
+        def recording(self, eager=True):
+            calls.append(eager)
+            return orig(self, eager=eager)
+
+        monkeypatch.setattr(cls, "localCheckpoint", recording)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+        )
+        comp = {r.id: r.component for r in connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        assert calls, "checkpointing disappeared entirely?"
+        assert calls[0] is True  # the raw edge-lineage materialization
+        assert all(e is False for e in calls[1:]), (
+            f"initial labels + in-loop checkpoints must be lazy, got {calls}"
+        )
+
 
 class TestCappedSessionsStateful:
     def test_closed_chunks_match_batch_twin_across_restarts(self, spark, tmp_path):
