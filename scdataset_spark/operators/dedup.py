@@ -523,6 +523,7 @@ def connected_components_star(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 30,
+    seed_rounds: int = 1,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -567,6 +568,48 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+
+    # EXACT graph contraction before the star loop: one min-label
+    # propagation round computes l(x) = min(x, min neighbor) and maps
+    # the edge set to {(x, l(x))} ∪ {(l(u), l(v))} — components are
+    # preserved ((x, l(x)) keeps x attached; mapped edges keep l(u)
+    # connected to l(v) through u-v), but every duplicate CLIQUE
+    # collapses to a star immediately and chain diameter halves.  A
+    # seed round is one groupBy + two label joins + one distinct vs a
+    # star round's two groupBys + join + three unions + two distincts,
+    # so trading one for one cuts the per-decade round-count growth's
+    # constant (the r7 sf100 audit measured 10.6x for 10x docs with
+    # rounds growing one step per decade; A/B in BENCH_SCALE.md r8).
+    for _ in range(max(0, seed_rounds)):
+        und = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lab = und.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("u"), F.col("_mn")).alias("l")
+        )
+        mapped = (
+            e.join(
+                lab.select(F.col("u").alias("_ju"), F.col("l").alias("_lu")),
+                F.col("u") == F.col("_ju"),
+            )
+            .join(
+                lab.select(F.col("u").alias("_jv"), F.col("l").alias("_lv")),
+                F.col("v") == F.col("_jv"),
+            )
+            .select(
+                F.greatest("_lu", "_lv").alias("u"),
+                F.least("_lu", "_lv").alias("v"),
+            )
+        )
+        self_edges = lab.select(
+            F.greatest("u", "l").alias("u"), F.least("u", "l").alias("v")
+        )
+        e = (
+            mapped.unionByName(self_edges)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
 
     def signature(frame: DataFrame):
         # this aggregate is the frame's FIRST action, so it doubles as

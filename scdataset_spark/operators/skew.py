@@ -99,6 +99,16 @@ def per_group_top_k(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    for c in order_exprs:
+        s = str(c)
+        if " DESC" in s or " ASC" in s:
+            # SortOrder wrappers can't be hashed for the salt (codegen
+            # INTERNAL_ERROR); express descending order as a negated /
+            # inverted expression instead
+            raise ValueError(
+                f"order_exprs must be plain expressions, got sort order {s!r}; "
+                "write F.col(x).desc() as -F.col(x) (or an inverted key)"
+            )
     from pyspark.sql import Window
 
     salt = F.pmod(F.xxhash64(*order_exprs), F.lit(salts))

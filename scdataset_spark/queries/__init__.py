@@ -36,6 +36,9 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 _SWEEP_PRIORITY = [
     # --- new in round 8: never externally checked ---
     "dd_embed_cosine_fast",
+    "dd_keep_best",
+    "tx_vocabulary",
+    "o21_split_assign",
     # --- last externally checked in round 5: two rounds stale, leads ---
     "dd_ngram_decontam",
     "ev_user_stats",

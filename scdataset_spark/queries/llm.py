@@ -97,6 +97,50 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx_vocabulary",
+    survey_ref="§2.14 text",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT term, count(*) AS cnt FROM toks
+  WHERE term <> '' GROUP BY term HAVING count(*) >= 10
+)
+SELECT term, cnt,
+       row_number() OVER (ORDER BY cnt DESC, term) AS rank
+FROM counts ORDER BY cnt DESC, term LIMIT 50
+""",
+)
+def tx_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction (tokenizer-training prep): global
+    token counts, min-count floor, top-N by frequency.
+
+    Scale shape: the count is one map-side-combined groupBy on term
+    (hot tokens pre-aggregate per partition before the shuffle — no
+    salting needed because sum is associative), and the top-N is
+    Spark's TakeOrdered (per-partition heap + driver merge of N·parts
+    rows), never a global sort.  The rank window runs AFTER the limit,
+    on 50 rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 10)
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(50)
+    )
+    return counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "term")),
+    )
+
+
+@query(
     "tx_quality_score",
     survey_ref="§2.14 text",
     oracle=f"""
@@ -534,6 +578,83 @@ def dd_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corpus(spark, sf_dir).select("doc_id").join(
         drop, "doc_id", "left_anti"
+    )
+
+
+@query(
+    "dd_keep_best",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH RECURSIVE cand AS ({_minhash_oracle()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+{CORPUS_SQL},
+q AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop
+  FROM corpus
+),
+scored AS (
+  SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component,
+         CAST((500000 * n_stop) // n_tokens
+             + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 300000 ELSE 0 END)
+             + (CASE WHEN length(text) BETWEEN 100 AND 500 THEN 200000 ELSE 0 END)
+             AS DOUBLE) / 1000000 AS quality_score
+  FROM q LEFT JOIN comp c ON q.doc_id = c.id
+)
+SELECT component, doc_id AS keep_doc_id, quality_score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY quality_score DESC, doc_id
+  ) AS rn FROM scored
+) WHERE rn = 1
+""",
+)
+def dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup policy: per near-dup component keep the
+    HIGHEST-quality member (ties → lowest doc_id), not the arbitrary
+    min-id representative — what a curation pipeline actually ships
+    (cf. the keep-longest/keep-cleanest policies in C4/RefinedWeb-style
+    dedup).  Unpaired docs are their own singleton component.
+
+    Scale shape: components from the banded-LSH pair graph (short-key
+    equi-join, no all-pairs), quality from one scan, and the
+    per-component argmax through the SALTED two-phase top-k
+    (``per_group_top_k``) so a viral dup cluster with millions of
+    members never funnels through one reducer."""
+    from scdataset_spark.operators.skew import per_group_top_k
+
+    c = corpus(spark, sf_dir)
+    mh = dd.with_minhash(dd.with_shingles(c), num_hashes=12)
+    edges = dd.lsh_candidate_pairs(mh, num_hashes=12, bands=4)
+    comp = dd.connected_components(edges).withColumnRenamed("id", "doc_id")
+    scored = (
+        tx.with_quality_score(c)
+        .select("doc_id", "quality_score")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    best = per_group_top_k(
+        scored,
+        ["component"],
+        # negated score = descending (scores are non-null); SortOrder
+        # wrappers are rejected by per_group_top_k's salt
+        [-F.col("quality_score"), F.col("doc_id")],
+        k=1,
+    )
+    return best.select(
+        "component", F.col("doc_id").alias("keep_doc_id"), "quality_score"
     )
 
 

@@ -143,3 +143,45 @@ def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle so float evaluation order is identical."""
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
     return bm25_scores(docs, list(_BM25_TERMS))
+
+
+# ------------------------------------------------ deterministic splits
+_SPLIT_SEED = 77
+
+
+@query(
+    "o21_split_assign",
+    survey_ref="O21,S2",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, ({_mix('doc_id', _SPLIT_SEED)}) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+)
+def o21_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by keyed hash bucket
+    (90/5/5): the split a pipeline stamps at ingest so membership is
+    stable across reruns, machines, and engines — no sampling state,
+    no shuffle, just a projection over the scan (the mix() hash is the
+    same engine-portable mixer every sampling operator uses, so the
+    oracle checks the EXACT assignment, not just the proportions).
+
+    Scale shape: embarrassingly parallel; at 100 TB this is a
+    map-only stamp co-written with the data, and downstream readers
+    filter on the split column with predicate pushdown."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    bucket = F.expr(mix_sql("doc_id", _SPLIT_SEED, "spark")) % 1000
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
