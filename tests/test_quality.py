@@ -68,6 +68,24 @@ class TestOutliers:
         for r in got.collect():
             assert abs(r.z) > 2.5
 
+    def test_constant_column_yields_no_outliers(self, spark):
+        """sigma = 0 (constant column) is defined as NO outliers —
+        guarded explicitly because Spark's x/0.0 is NULL while DuckDB's
+        is ±inf, a full engine divergence without the guard (r7 advisor
+        finding)."""
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(10)], "id bigint, v double"
+        )
+        assert numeric_outliers(df, "v", ["id"], 1.0).count() == 0
+
+    def test_all_null_and_empty_inputs(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "id bigint, v double"
+        )
+        assert numeric_outliers(df, "v", ["id"], 1.0).count() == 0
+        empty = spark.createDataFrame([], "id bigint, v double")
+        assert numeric_outliers(empty, "v", ["id"], 1.0).count() == 0
+
     def test_big_side_not_shuffled(self, spark):
         """Stats come back as a broadcast: the events scan feeds the
         filter directly with no Exchange above it on the big side."""

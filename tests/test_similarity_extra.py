@@ -238,3 +238,33 @@ class TestEmbedCosinePairsFast:
         ).count()
         assert full == 30 * 29 // 2
         assert capped == 0
+
+
+class TestBandSizingValidation:
+    def test_target_recall_bounds(self):
+        import pytest as _pytest
+
+        from scdataset_spark.operators.similarity import lsh_bands_for_recall
+
+        with _pytest.raises(ValueError, match="target_recall"):
+            lsh_bands_for_recall(24, 0.98, target_recall=1.0)
+        with _pytest.raises(ValueError, match="target_recall"):
+            lsh_bands_for_recall(24, 0.98, target_recall=0.0)
+        with _pytest.raises(ValueError, match="min_cosine"):
+            lsh_bands_for_recall(24, 1.5)
+
+    def test_oversized_band_count_rejected(self):
+        import pytest as _pytest
+
+        from scdataset_spark.operators.similarity import lsh_bands_for_recall
+
+        # 64-bit bands at cosine 0.9: p_band ~ 3e-10 -> astronomical
+        # band count must raise, not silently return
+        with _pytest.raises(ValueError, match="band count"):
+            lsh_bands_for_recall(64, 0.90, target_recall=0.999)
+
+    def test_normal_sizing_unchanged(self):
+        from scdataset_spark.operators.similarity import lsh_bands_for_recall
+
+        assert lsh_bands_for_recall(24, 0.98, 0.999) == 30
+        assert lsh_bands_for_recall(3, 0.98, 0.95) == 2  # minhash-ish regime
