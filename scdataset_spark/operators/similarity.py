@@ -277,6 +277,7 @@ def embed_cosine_pairs_fast(
     max_bucket: int | None = 20_000,
     digits: int = 4,
     block: int = 2048,
+    vectorized_signatures: bool = True,
 ) -> DataFrame:
     """LSH-banded near-dup pairs with BUCKET-LOCAL verification — the
     scale twin of the exact candidate-join + cosine-verify chain
@@ -302,6 +303,16 @@ def embed_cosine_pairs_fast(
     corpus (cosines far from the threshold boundary).  ``max_bucket``
     skips saturated buckets (no discriminative signal) like
     ``simhash_hamming_pairs``.
+
+    ``vectorized_signatures`` (default on) computes the sign-bit
+    signatures as one ``X @ W.T`` per Arrow batch instead of the
+    Catalyst HOF fold — the fold evaluates bands·rows interpreted
+    64-dim dot products PER ROW and dominated the sf100e audit (621 s
+    cold ≈ 636 s warm: pure compute, no shuffle/cache effect).  A sign
+    bit can only differ from the fold's where a projection sits within
+    summation-order ulps of 0 (measure-zero on real embeddings, and a
+    flip merely perturbs CANDIDATE generation — verification decides
+    membership); the fold path is retained for bit-parity contexts.
     """
     import numpy as np
     import pandas as pd
@@ -314,35 +325,66 @@ def embed_cosine_pairs_fast(
         [float(2 * (mix_py(g * dim + d, seed) % 2) - 1) for d in range(dim)]
         for g in range(bands * rows_per_band)
     ]
-    sig = (
-        f"aggregate(sequence(0, {rows_per_band - 1}), 0L, (acc, p) -> acc + "
-        f"CASE WHEN aggregate(zip_with({vec}, element_at(_W, {{base}} + p + 1), "
-        "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0 "
-        "THEN shiftleft(1L, p) ELSE 0L END)"
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.expr(sig.format(base=b * rows_per_band)).alias("sig"),
+    if vectorized_signatures:
+        W = np.asarray(weights, dtype=np.float64)  # (bands*rows, dim)
+        n_bands, n_rows = int(bands), int(rows_per_band)
+        banded_schema = f"{id_col} bigint, band_id int, sig bigint, _v32 array<float>"
+
+        def _band(batches):
+            Wt = W.T
+            pows = 1 << np.arange(n_rows, dtype=np.int64)
+            bids = np.arange(n_bands, dtype=np.int32)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                bits = (X @ Wt) > 0
+                sigs = bits.reshape(len(X), n_bands, n_rows).astype(np.int64) @ pows
+                v32 = np.empty(len(X), dtype=object)
+                for i in range(len(X)):
+                    v32[i] = X[i].astype(np.float32)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf.iloc[:, 0].to_numpy(), n_bands),
+                        "band_id": np.tile(bids, len(X)),
+                        "sig": sigs.reshape(-1),
+                        "_v32": np.repeat(v32, n_bands),
+                    }
+                )
+
+        banded = df.select(
+            F.col(id_col), F.col(vec).alias("_v")
+        ).mapInPandas(_band, banded_schema)
+    else:
+        sig = (
+            f"aggregate(sequence(0, {rows_per_band - 1}), 0L, (acc, p) -> acc + "
+            f"CASE WHEN aggregate(zip_with({vec}, element_at(_W, {{base}} + p + 1), "
+            "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0 "
+            "THEN shiftleft(1L, p) ELSE 0L END)"
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.expr(sig.format(base=b * rows_per_band)).alias("sig"),
+                )
+                for b in range(bands)
+            ]
+        )
+        banded = (
+            df.withColumn("_W", F.lit(weights))
+            .select(
+                F.col(id_col),
+                F.col(vec).cast("array<float>").alias("_v32"),
+                F.explode(band_structs).alias("_b"),
             )
-            for b in range(bands)
-        ]
-    )
-    banded = (
-        df.withColumn("_W", F.lit(weights))
-        .select(
-            F.col(id_col),
-            F.col(vec).cast("array<float>").alias("_v32"),
-            F.explode(band_structs).alias("_b"),
+            .select(
+                id_col,
+                F.col("_b.band_id").alias("band_id"),
+                F.col("_b.sig").alias("sig"),
+                "_v32",
+            )
         )
-        .select(
-            id_col,
-            F.col("_b.band_id").alias("band_id"),
-            F.col("_b.sig").alias("sig"),
-            "_v32",
-        )
-    )
     if max_bucket is not None:
         ok = (
             banded.groupBy("band_id", "sig")

@@ -46,6 +46,7 @@ GROUPS = {
         "dd_components", "dd_components_star", "dd_dedup_corpus",
         "dd_decontamination", "dd_incremental_novel",
         "dd_incremental_verified", "dd_lsh_verified",
+        "dd_embed_cosine_fast", "dd_keep_best",
     ],
     "sim": ["sim_topk_cosine", "sim_lsh_ann", "sim_ivf_ann"],
 }

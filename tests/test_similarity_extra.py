@@ -216,6 +216,38 @@ class TestEmbedCosinePairsFast:
         for pair, cos in exact.items():
             assert abs(fast[pair] - cos) < 5e-4, (pair, cos, fast[pair])
 
+    def test_vectorized_and_fold_signatures_agree(self, spark):
+        """The BLAS signature matmul must produce the identical pair
+        set and cosines as the Catalyst HOF fold — a sign bit can only
+        differ where a projection sits within summation-order ulps of
+        zero, which real embeddings never do."""
+        from scdataset_spark.operators.similarity import embed_cosine_pairs_fast
+        from scdataset_spark.queries.llm import (
+            EMB_BANDS,
+            EMB_ROWS_PER_BAND,
+            emb_corpus,
+        )
+
+        c = emb_corpus(spark, SF_DIR_SMALL)
+        kw = dict(
+            id_col="vec_id", vec="v", threshold=0.98,
+            bands=EMB_BANDS, rows_per_band=EMB_ROWS_PER_BAND,
+            max_bucket=None,
+        )
+        vec = {
+            (r.id_a, r.id_b): r.cos
+            for r in embed_cosine_pairs_fast(
+                c, vectorized_signatures=True, **kw
+            ).collect()
+        }
+        fold = {
+            (r.id_a, r.id_b): r.cos
+            for r in embed_cosine_pairs_fast(
+                c, vectorized_signatures=False, **kw
+            ).collect()
+        }
+        assert vec == fold and vec
+
     def test_max_bucket_skips_saturated_buckets(self, spark):
         """A hot (band, sig) bucket above the cap must contribute no
         pairs — mirrors lsh_banded_pairs' backstop semantics."""
