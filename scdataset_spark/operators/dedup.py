@@ -523,7 +523,7 @@ def connected_components_star(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 30,
-    seed_rounds: int = 1,
+    seed_rounds: int = 0,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -569,17 +569,20 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
 
-    # EXACT graph contraction before the star loop: one min-label
-    # propagation round computes l(x) = min(x, min neighbor) and maps
-    # the edge set to {(x, l(x))} ∪ {(l(u), l(v))} — components are
-    # preserved ((x, l(x)) keeps x attached; mapped edges keep l(u)
-    # connected to l(v) through u-v), but every duplicate CLIQUE
-    # collapses to a star immediately and chain diameter halves.  A
-    # seed round is one groupBy + two label joins + one distinct vs a
-    # star round's two groupBys + join + three unions + two distincts,
-    # so trading one for one cuts the per-decade round-count growth's
-    # constant (the r7 sf100 audit measured 10.6x for 10x docs with
-    # rounds growing one step per decade; A/B in BENCH_SCALE.md r8).
+    # OPTIONAL exact graph contraction before the star loop: one
+    # min-label propagation round computes l(x) = min(x, min neighbor)
+    # and maps the edge set to {(x, l(x))} ∪ {(l(u), l(v))} —
+    # components are preserved ((x, l(x)) keeps x attached; mapped
+    # edges keep l(u) connected to l(v) through u-v), and every
+    # duplicate CLIQUE collapses to a star immediately.  Default OFF:
+    # the r8 A/B (BENCH_SCALE.md, cache-fair warm, solo sessions)
+    # measured the contraction winning at 62k docs (3.73 → 2.98 s),
+    # washing at 617k (6.34 → 6.07 s) and LOSING at 6.17 M
+    # (13.4 → 20.1 s) — the contraction's own two label joins +
+    # distinct grow linearly while the round it saves is bounded, so
+    # past ~1 M nodes the trade inverts.  The same A/B re-measured the
+    # r7 "10.6x for 10x docs" star scaling SOLO at 2.1x — the 10.6x
+    # was session-queue contamination, not round growth.
     for _ in range(max(0, seed_rounds)):
         und = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))

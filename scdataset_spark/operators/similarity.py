@@ -385,14 +385,23 @@ def embed_cosine_pairs_fast(
                 "_v32",
             )
         )
+    # Drop SINGLETON buckets before the grouped verify: a one-member
+    # (band, sig) bucket cannot produce a pair, and on a 24-bit band
+    # space most buckets are singletons — without this the grouped
+    # Pandas stage pays per-group DataFrame overhead for ~n·bands
+    # groups (measured at sf10e: 186 s with singletons vs the
+    # collision-only group count after the filter; the signature
+    # arithmetic itself was ruled out by a BLAS-vs-HOF A/B at equal
+    # cost).  The count aggregate doubles as the max_bucket screen.
+    counts = banded.groupBy("band_id", "sig").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    ok = counts.where(F.col("_bn") >= 2)
     if max_bucket is not None:
-        ok = (
-            banded.groupBy("band_id", "sig")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .where(F.col("_bn") <= max_bucket)
-            .select("band_id", "sig")
-        )
-        banded = banded.join(ok, ["band_id", "sig"], "left_semi")
+        ok = ok.where(F.col("_bn") <= max_bucket)
+    banded = banded.join(
+        ok.select("band_id", "sig"), ["band_id", "sig"], "left_semi"
+    )
     thr = float(threshold)
 
     def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":

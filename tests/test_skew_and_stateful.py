@@ -362,6 +362,28 @@ class TestConnectedComponentsStar:
         }
         assert star == prop
 
+    def test_seed_round_contraction_is_exact(self, spark):
+        """seed_rounds=1 (optional pre-star contraction) must produce
+        the identical (id -> component) map as the plain star loop on
+        a graph mixing chains, cliques, duplicates and self-loops."""
+        import random
+
+        from scdataset_spark.operators.dedup import connected_components_star
+
+        rng = random.Random(13)
+        raw = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+        raw += [(10, 11), (11, 12), (12, 13), (40, 40)]
+        edges = spark.createDataFrame(raw, "doc_a bigint, doc_b bigint")
+        plain = {
+            r.id: r.component
+            for r in connected_components_star(edges, seed_rounds=0).collect()
+        }
+        seeded = {
+            r.id: r.component
+            for r in connected_components_star(edges, seed_rounds=1).collect()
+        }
+        assert plain == seeded
+
     def test_propagation_one_action_per_round(self, spark, monkeypatch):
         """Mirror of test_one_action_per_round for the PROPAGATION
         variant (r7 verdict parity ask): only the raw edge-lineage
