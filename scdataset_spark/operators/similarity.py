@@ -288,13 +288,25 @@ def embed_cosine_pairs_fast(
     clustered corpus candidates grow ~p_c·n_cluster² (see
     :func:`lsh_banded_pairs`), so at the sf100e audit (2.4 M vectors,
     ~285 M candidates) that join wants ~300 GB of shuffle — more
-    scratch than a node has.  Here the vector rides the BANDING shuffle
-    instead (n·bands float32 copies, ~18 GB at the same scale — bounded
-    by corpus size, not candidate count), and each (band, sig) bucket
-    verifies its own pairs with a strip-blocked numpy Gram inside
-    ``applyInPandas``; only pairs ≥ threshold ever leave the bucket.
-    Cross-bucket duplicates collapse with one groupBy on the (tiny)
-    surviving pairs.
+    scratch than a node has.  Here only SIGNATURES ride the banding
+    shuffle (n·bands 20-byte rows); a count aggregate screens out
+    singleton / over-``max_bucket`` buckets, ONE float32 vector copy
+    joins onto the surviving (colliding) rows, and each (band, sig)
+    bucket verifies its own pairs with a strip-blocked numpy Gram;
+    only pairs ≥ threshold ever leave a bucket.  Cross-bucket
+    duplicates collapse with one groupBy on the (tiny) surviving
+    pairs.  Shuffle volume is therefore bounded by corpus size — never
+    candidate count — at every stage.
+
+    The verify stage is ``repartition(band_id, sig) +
+    sortWithinPartitions + mapInPandas`` rather than
+    ``groupBy().applyInPandas``: collision buckets are TINY and MANY
+    (sf10e: 327 k buckets of ~3.5 rows, Σ|bucket|² = 7.9 M — trivial
+    Gram flops), and per-GROUP pandas DataFrame construction cost
+    ~40 s at that scale; the streamed variant walks bucket boundaries
+    inside each Arrow batch with change-flag indices and carries the
+    (possibly batch-straddling) tail bucket into the next batch, so
+    per-bucket overhead is O(1) numpy slicing.
 
     float32 transport + BLAS summation make this deterministic but not
     bit-parity with the HOF-expression oracle — same contract as
@@ -328,9 +340,12 @@ def embed_cosine_pairs_fast(
     if vectorized_signatures:
         W = np.asarray(weights, dtype=np.float64)  # (bands*rows, dim)
         n_bands, n_rows = int(bands), int(rows_per_band)
-        banded_schema = f"{id_col} bigint, band_id int, sig bigint, _v32 array<float>"
 
         def _band(batches):
+            # SIG-ONLY rows: the vector does NOT ride the banding
+            # explode — 8x fewer Arrow bytes through the first shuffle;
+            # vectors join on AFTER the collision screen, onto the
+            # (typically small) surviving-row set only.
             Wt = W.T
             pows = 1 << np.arange(n_rows, dtype=np.int64)
             bids = np.arange(n_bands, dtype=np.int32)
@@ -340,21 +355,32 @@ def embed_cosine_pairs_fast(
                 X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
                 bits = (X @ Wt) > 0
                 sigs = bits.reshape(len(X), n_bands, n_rows).astype(np.int64) @ pows
-                v32 = np.empty(len(X), dtype=object)
-                for i in range(len(X)):
-                    v32[i] = X[i].astype(np.float32)
                 yield pd.DataFrame(
                     {
                         id_col: np.repeat(pdf.iloc[:, 0].to_numpy(), n_bands),
                         "band_id": np.tile(bids, len(X)),
                         "sig": sigs.reshape(-1),
-                        "_v32": np.repeat(v32, n_bands),
                     }
                 )
 
-        banded = df.select(
-            F.col(id_col), F.col(vec).alias("_v")
-        ).mapInPandas(_band, banded_schema)
+        sigs_df = df.select(F.col(id_col), F.col(vec).alias("_v")).mapInPandas(
+            _band, f"{id_col} bigint, band_id int, sig bigint"
+        )
+        counts = sigs_df.groupBy("band_id", "sig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        ok = counts.where(F.col("_bn") >= 2)
+        if max_bucket is not None:
+            ok = ok.where(F.col("_bn") <= max_bucket)
+        surviving = sigs_df.join(
+            ok.select("band_id", "sig"), ["band_id", "sig"], "left_semi"
+        )
+        banded = surviving.join(
+            df.select(
+                F.col(id_col), F.col(vec).cast("array<float>").alias("_v32")
+            ),
+            id_col,
+        )
     else:
         sig = (
             f"aggregate(sequence(0, {rows_per_band - 1}), 0L, (acc, p) -> acc + "
@@ -385,34 +411,32 @@ def embed_cosine_pairs_fast(
                 "_v32",
             )
         )
-    # Drop SINGLETON buckets before the grouped verify: a one-member
-    # (band, sig) bucket cannot produce a pair, and on a 24-bit band
-    # space most buckets are singletons — without this the grouped
-    # Pandas stage pays per-group DataFrame overhead for ~n·bands
-    # groups (measured at sf10e: 186 s with singletons vs the
-    # collision-only group count after the filter; the signature
-    # arithmetic itself was ruled out by a BLAS-vs-HOF A/B at equal
-    # cost).  The count aggregate doubles as the max_bucket screen.
-    counts = banded.groupBy("band_id", "sig").agg(
-        F.count(F.lit(1)).alias("_bn")
-    )
-    ok = counts.where(F.col("_bn") >= 2)
-    if max_bucket is not None:
-        ok = ok.where(F.col("_bn") <= max_bucket)
-    banded = banded.join(
-        ok.select("band_id", "sig"), ["band_id", "sig"], "left_semi"
-    )
+        # Drop SINGLETON buckets before the grouped verify: a
+        # one-member (band, sig) bucket cannot produce a pair, and on
+        # a 24-bit band space most buckets are singletons — without
+        # this the grouped Pandas stage pays per-group DataFrame
+        # overhead for ~n·bands groups (measured at sf10e: 186 s with
+        # singletons → 51 s with the filter; the signature arithmetic
+        # itself was ruled out by a BLAS-vs-HOF A/B at equal cost).
+        # The count aggregate doubles as the max_bucket screen.
+        counts = banded.groupBy("band_id", "sig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        ok = counts.where(F.col("_bn") >= 2)
+        if max_bucket is not None:
+            ok = ok.where(F.col("_bn") <= max_bucket)
+        banded = banded.join(
+            ok.select("band_id", "sig"), ["band_id", "sig"], "left_semi"
+        )
     thr = float(threshold)
 
-    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-            )
-        pdf = pdf.sort_values(pdf.columns[0]).reset_index(drop=True)
-        ids = pdf.iloc[:, 0].to_numpy()
-        V = np.stack(pdf["_v32"].to_numpy()).astype(np.float64)
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+    )
+
+    def _group_pairs(ids, V):
+        # one collision bucket, rows already id-sorted
+        n = len(ids)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         out_a, out_b, out_c = [], [], []
         for j0 in range(0, n, block):
@@ -423,6 +447,60 @@ def embed_cosine_pairs_fast(
             out_a.append(ids[ii[keep]])
             out_b.append(ids[jj[keep] + j0])
             out_c.append(G[ii[keep], jj[keep]])
+        return out_a, out_b, out_c
+
+    def _stream_pairs(batches):
+        # MANY tiny buckets per Arrow batch: rows arrive hash-partitioned
+        # on (band_id, sig) and sorted by (band_id, sig, id), so each
+        # bucket is a contiguous slice — np.unique finds the slice
+        # boundaries and the (possibly batch-straddling) tail bucket is
+        # carried into the next batch.  The per-GROUP pandas overhead of
+        # groupBy().applyInPandas() was the measured bottleneck at
+        # sf10e: 327 k collision buckets of ~3.5 rows each (Σ|bucket|²
+        # = 7.9 M — trivial Gram flops) cost ~40 s in DataFrame-per-
+        # group construction alone; per-BATCH amortization removes it.
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            b = pdf["band_id"].to_numpy()
+            s = pdf["sig"].to_numpy()
+            # bucket boundaries via change flags (needs only grouped-
+            # contiguous rows, which sortWithinPartitions guarantees)
+            starts = np.flatnonzero((b[1:] != b[:-1]) | (s[1:] != s[:-1])) + 1
+            # hold back the trailing bucket — it may continue in the
+            # next Arrow batch of this partition
+            tail_start = int(starts[-1]) if len(starts) else 0
+            if tail_start > 0:
+                chunk, carry = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
+            else:
+                chunk, carry = None, pdf
+            if chunk is None or not len(chunk):
+                continue
+            yield _emit(chunk)
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
+    def _emit(chunk):
+        b = chunk["band_id"].to_numpy()
+        s = chunk["sig"].to_numpy()
+        ids_all = chunk[id_col].to_numpy()
+        V_all = np.stack(chunk["_v32"].to_numpy()).astype(np.float64)
+        starts = np.flatnonzero((b[1:] != b[:-1]) | (s[1:] != s[:-1])) + 1
+        bounds = np.concatenate([[0], starts, [len(chunk)]])
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            a, b, cc = _group_pairs(ids_all[s:e], V_all[s:e])
+            out_a += a
+            out_b += b
+            out_c += cc
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -431,9 +509,12 @@ def embed_cosine_pairs_fast(
             }
         )
 
-    pairs = banded.select(id_col, "band_id", "sig", "_v32").groupBy(
-        "band_id", "sig"
-    ).applyInPandas(_bucket_pairs, "id_a bigint, id_b bigint, cos double")
+    pairs = (
+        banded.select(id_col, "band_id", "sig", "_v32")
+        .repartition(F.col("band_id"), F.col("sig"))
+        .sortWithinPartitions("band_id", "sig", id_col)
+        .mapInPandas(_stream_pairs, "id_a bigint, id_b bigint, cos double")
+    )
     return pairs.groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
 
 

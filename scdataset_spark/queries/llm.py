@@ -871,10 +871,11 @@ WHERE {cos} >= 0.98
 )
 def dd_embed_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-local-verify twin of ``dd_embed_cosine``
-    (``similarity.embed_cosine_pairs_fast``): the vector rides the
-    banding shuffle and each (band, sig) bucket verifies its own pairs
-    with a strip-blocked numpy Gram — candidate pairs never shuffle
-    with two full vector copies attached, which is what makes the
+    (``similarity.embed_cosine_pairs_fast``): sig-only banding, a
+    collision screen, one float32 vector copy joined onto surviving
+    rows, then each (band, sig) bucket verifies its own pairs with a
+    strip-blocked numpy Gram — candidate pairs never shuffle with two
+    full vector copies attached, which is what makes the
     exact chain scratch-bound at the sf100e audit scale.  Same banding
     contract as the exact path (identical candidates), so the oracle
     checks the full pair SET; the cosine value itself is float32
