@@ -66,6 +66,76 @@ def profile_columns(
     )
 
 
+def distribution_drift(
+    df_base: DataFrame,
+    df_curr: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index terms between a baseline and a
+    current snapshot of ``value_col`` — the drift gate a pipeline runs
+    when a new crawl/delivery lands, before it trains on it.
+
+    Fixed-width histogram over explicit ``[lo, hi)`` bounds (explicit
+    so both engines — and two runs over different data — bucket
+    identically; out-of-range values clamp into the edge bins).  Per
+    bin: ``p`` (baseline share), ``q`` (current share), and the PSI
+    term ``(p − q)·ln(p/q)`` with ``eps``-floored shares so empty bins
+    contribute a finite penalty (the standard PSI convention).  The
+    caller sums ``psi`` for the scalar index; per-bin terms are
+    returned because the *which bins moved* answer is what an operator
+    actually acts on.
+
+    Scale shape: each side is ONE scan + a ``n_buckets``-row groupBy
+    (map-side partial agg); everything after the two tiny histograms —
+    the full-outer bin join, totals, PSI arithmetic — happens on
+    ≤ ``n_buckets`` rows.  The big sides are never joined or shuffled
+    beyond their own aggregation; at 100 TB this costs exactly two
+    column scans.
+    """
+    width = (hi - lo) / n_buckets
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    hb = hist(df_base, "_nb")
+    hc = hist(df_curr, "_nc")
+    bins = hb.join(hc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("_nb", F.lit(0)).alias("_nb"),
+        F.coalesce("_nc", F.lit(0)).alias("_nc"),
+    )
+    totals = bins.agg(
+        F.sum("_nb").alias("_tb"), F.sum("_nc").alias("_tc")
+    )
+    p = F.greatest(F.col("_nb") / F.col("_tb"), F.lit(eps))
+    q = F.greatest(F.col("_nc") / F.col("_tc"), F.lit(eps))
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(p, 6).alias("p_base"),
+            F.round(q, 6).alias("p_curr"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi"),
+        )
+    )
+
+
 def numeric_outliers(
     df: DataFrame,
     value_col: str,

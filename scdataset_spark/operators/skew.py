@@ -125,6 +125,63 @@ def per_group_top_k(
     )
 
 
+def interleave_groups(
+    df: DataFrame,
+    group_col: str,
+    order_key: F.Column,
+    tiebreak_col: str,
+    first_exhausted: bool = True,
+    pos_col: str = "pos",
+    rn_col: str = "rn",
+    buckets: int = 64,
+) -> DataFrame:
+    """Deterministic round-robin interleave of a multi-source corpus
+    (the ``interleave_datasets`` shape): each group's rows get a seeded
+    within-group sequence ``rn``, then the global order is
+    ``(rn, group)`` — row 0 of every source, then row 1 of every
+    source, …  ``first_exhausted=True`` truncates every group at the
+    smallest group's size (strict balance — the default stopping
+    strategy); ``False`` keeps every row (exhausted groups simply stop
+    contributing).
+
+    ``order_key`` must be a numeric seeded expression (e.g. a ``mix``
+    of the id) — it is materialized and used as BOTH the within-group
+    shuffle order and the range-bucket key, with ``tiebreak_col``
+    breaking ties, so the interleave is a pure function of row values.
+
+    Scale shape: within-group numbering is
+    :func:`~scdataset_spark.plans.plan.grouped_bucketed_rank` (a hot
+    source spreads over ``buckets`` tasks, never one reducer); the
+    first-exhausted cutoff is a tiny per-group count aggregate
+    broadcast back; the global position is :func:`bucketed_rank` on
+    ``rn`` — no global single-partition window anywhere.
+    """
+    from scdataset_spark.plans.plan import bucketed_rank, grouped_bucketed_rank
+
+    keyed = df.withColumn("_ik", order_key)
+    ranked = grouped_bucketed_rank(
+        keyed,
+        [group_col],
+        "_ik",
+        [("_ik", "asc"), (tiebreak_col, "asc")],
+        out_col=rn_col,
+        buckets=buckets,
+    ).drop("_ik")
+    if first_exhausted:
+        sizes = ranked.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+        cutoff = sizes.agg(F.min("_gn").alias("_mn"))
+        ranked = ranked.crossJoin(F.broadcast(cutoff)).where(
+            F.col(rn_col) < F.col("_mn")
+        ).drop("_mn")
+    return bucketed_rank(
+        ranked,
+        rn_col,
+        [(rn_col, "asc"), (group_col, "asc")],
+        out_col=pos_col,
+        buckets=buckets,
+    )
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_cols: list[str], buckets: int = 32
 ) -> None:

@@ -121,6 +121,62 @@ def bucketed_rank(
     )
 
 
+def grouped_bucketed_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    order: list[tuple[str, str]],
+    out_col: str = "pos",
+    buckets: int = 64,
+) -> DataFrame:
+    """Per-GROUP 0-based exact rank by ``order`` without a per-group
+    single-reducer window — the grouped sibling of
+    :func:`bucketed_rank`, sharing its contract: ``bucket_col`` must be
+    the leading order column, ascending, so equal values share a bucket
+    and every tiebreak stays bucket-local.
+
+    The plain ``row_number() OVER (PARTITION BY group ...)`` puts each
+    group's WHOLE extent through one reducer — the hot-stratum hazard a
+    viral source hits at corpus scale.  Here rows range-bucket on
+    ``bucket_col`` (global bounds — bucket boundaries need not align
+    with groups), per-(group, bucket) counts prefix-sum into offsets on
+    a tiny ``|groups|·buckets``-row frame, and the numbering window
+    runs within (group, bucket) — a hot group spreads over ``buckets``
+    tasks.  One stats agg + one tiny window + one broadcast join, same
+    as the global primitive.
+    """
+    stats = df.agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        F.least(
+            F.lit(buckets - 1),
+            (
+                (F.col(bucket_col) - F.col("_lo"))
+                * buckets
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ).cast("bigint"),
+        ),
+    )
+    counts = b.groupBy(*group_cols, "_bucket").count()
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).drop("count")
+    sort_cols = [
+        F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order
+    ]
+    w_in = Window.partitionBy(*group_cols, "_bucket").orderBy(*sort_cols)
+    return (
+        b.join(F.broadcast(offsets), [*group_cols, "_bucket"])
+        .withColumn(out_col, F.row_number().over(w_in) - F.lit(1) + F.col("_offset"))
+        .drop("_bucket", "_offset", "_lo", "_hi")
+    )
+
+
 def with_pos(
     df: DataFrame,
     order_col: str = "row_id",

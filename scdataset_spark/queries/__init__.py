@@ -39,6 +39,8 @@ _SWEEP_PRIORITY = [
     "dd_keep_best",
     "tx_vocabulary",
     "o21_split_assign",
+    "dq_drift",
+    "o23_interleave",
     # --- last externally checked in round 5: two rounds stale, leads ---
     "dd_ngram_decontam",
     "ev_user_stats",

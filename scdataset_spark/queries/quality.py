@@ -14,8 +14,12 @@ from pyspark.sql import functions as F
 
 from scdataset_spark.catalog import load_table
 from scdataset_spark.ml import bm25_scores
-from scdataset_spark.operators.quality import numeric_outliers, profile_columns
-from scdataset_spark.operators.skew import per_group_top_k
+from scdataset_spark.operators.quality import (
+    distribution_drift,
+    numeric_outliers,
+    profile_columns,
+)
+from scdataset_spark.operators.skew import interleave_groups, per_group_top_k
 from scdataset_spark.plans.seeds import mix_sql
 from scdataset_spark.queries.registry import query
 
@@ -185,3 +189,105 @@ def o21_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# -------------------------------------------------- distribution drift
+_DRIFT_EPS = 1e-6
+
+
+@query(
+    "dq_drift",
+    survey_ref="§2.14 quality",
+    oracle=f"""
+WITH hb AS (
+  SELECT least(19, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bucket,
+         count(*) AS nb
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+),
+hc AS (
+  SELECT least(19, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bucket,
+         count(*) AS nc
+  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+),
+bins AS (
+  SELECT COALESCE(hb.bucket, hc.bucket) AS bucket,
+         COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc
+  FROM hb FULL OUTER JOIN hc ON hb.bucket = hc.bucket
+),
+t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM bins)
+SELECT bucket,
+       round(greatest(nb * 1.0 / tb, {_DRIFT_EPS}), 6) AS p_base,
+       round(greatest(nc * 1.0 / tc, {_DRIFT_EPS}), 6) AS p_curr,
+       round((greatest(nb * 1.0 / tb, {_DRIFT_EPS})
+              - greatest(nc * 1.0 / tc, {_DRIFT_EPS}))
+             * ln(greatest(nb * 1.0 / tb, {_DRIFT_EPS})
+                  / greatest(nc * 1.0 / tc, {_DRIFT_EPS})), 6) AS psi
+FROM bins, t
+""",
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift report between two snapshots of
+    the events value column (deterministic even/odd event_id split
+    stands in for baseline-vs-new-delivery): per-bin baseline share,
+    current share, and PSI term over a fixed 20-bin [0, 500) histogram.
+    The gate a pipeline runs when a new crawl lands — Σpsi > 0.2 is the
+    conventional "investigate before training" line.
+
+    Scale shape (``operators/quality.distribution_drift``): each side
+    is one scan + a 20-row groupBy; the join/totals/log arithmetic all
+    happen on ≤ 20 rows.  Two column scans at 100 TB, nothing else."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    base = ev.where(F.col("event_id") % 2 == 0)
+    curr = ev.where(F.col("event_id") % 2 == 1)
+    return distribution_drift(
+        base, curr, "value", lo=0.0, hi=500.0, n_buckets=20, eps=_DRIFT_EPS
+    )
+
+
+# ------------------------------------------------ round-robin interleave
+_INTERLEAVE_SEED = 91
+
+
+@query(
+    "o23_interleave",
+    survey_ref="O23,O13,O16",
+    oracle=f"""
+WITH r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ({_mix('event_id', _INTERLEAVE_SEED)}), event_id
+         ) - 1 AS rn
+  FROM events
+),
+m AS (
+  SELECT min(cnt) AS mn
+  FROM (SELECT count(*) AS cnt FROM events GROUP BY event_type)
+),
+f AS (SELECT event_id, event_type, rn FROM r, m WHERE rn < mn)
+SELECT event_id, event_type, rn,
+       row_number() OVER (ORDER BY rn, event_type) - 1 AS pos
+FROM f
+""",
+)
+def o23_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave of the events stream by
+    event_type (the ``interleave_datasets`` shape: row 0 of every
+    source, then row 1, …), first-exhausted stopping — every source
+    contributes exactly min(|source|) rows, in seeded within-source
+    order, so a trainer consuming the ``pos`` order sees a strictly
+    balanced source rotation.
+
+    Scale shape (``operators/skew.interleave_groups``): within-group
+    sequence via ``grouped_bucketed_rank`` (a hot source spreads over
+    64 range-bucket tasks instead of one PARTITION BY reducer), the
+    cutoff is a broadcast 1-row min, and the global position is the
+    bucketed-rank primitive — no single-partition window anywhere,
+    unlike the oracle's textbook OVER () formulation."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False).select(
+        "event_id", "event_type"
+    )
+    key = F.expr(mix_sql("event_id", _INTERLEAVE_SEED, "spark"))
+    return interleave_groups(
+        ev, "event_type", key, "event_id", first_exhausted=True
+    ).select("event_id", "event_type", "rn", "pos")

@@ -193,3 +193,144 @@ class TestGapFill:
         assert got[("B", 0)] == (None, True)
         assert got[("B", 1)] == (7.0, False)
         assert got[("B", 3)] == (7.0, True)
+
+
+class TestDistributionDrift:
+    def test_identical_sides_zero_psi(self, spark):
+        from scdataset_spark.operators.quality import distribution_drift
+
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+        out = distribution_drift(ev, ev, "value", 0.0, 500.0).collect()
+        assert out  # at least one populated bin
+        for r in out:
+            assert r.p_base == r.p_curr
+            assert r.psi == 0.0
+
+    def test_psi_terms_nonnegative_and_shares_sum_to_one(self, spark):
+        from scdataset_spark.operators.quality import distribution_drift
+
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+        base = ev.where(F.col("event_id") % 2 == 0)
+        curr = ev.where(F.col("event_id") % 2 == 1)
+        rows = distribution_drift(base, curr, "value", 0.0, 500.0).collect()
+        # (p-q) and ln(p/q) always share sign, so every term is >= 0
+        assert all(r.psi >= 0.0 for r in rows)
+        assert sum(r.p_base for r in rows) == pytest.approx(1.0, abs=1e-4)
+        assert sum(r.p_curr for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+    def test_disjoint_supports_use_eps_floor(self, spark):
+        """A bin present on one side only gets the eps-floored share,
+        not a NULL/inf — the standard PSI empty-bin convention."""
+        import math
+
+        from scdataset_spark.operators.quality import distribution_drift
+
+        a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+        b = spark.createDataFrame([(50.0 + i % 10,) for i in range(100)], "v double")
+        rows = distribution_drift(a, b, "v", 0.0, 100.0, n_buckets=10).collect()
+        by_bucket = {r.bucket: r for r in rows}
+        assert by_bucket[0].p_curr == 1e-6  # current side empty there
+        assert by_bucket[5].p_base == 1e-6
+        expect = (1.0 - 1e-6) * math.log(1.0 / 1e-6)
+        assert by_bucket[0].psi == pytest.approx(round(expect, 6), abs=2e-6)
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        from scdataset_spark.operators.quality import distribution_drift
+
+        a = spark.createDataFrame([(-5.0,), (105.0,)], "v double")
+        rows = distribution_drift(a, a, "v", 0.0, 100.0, n_buckets=10).collect()
+        assert sorted(r.bucket for r in rows) == [0, 9]
+
+
+class TestGroupedBucketedRank:
+    def test_matches_window_row_number(self, spark):
+        from scdataset_spark.plans.plan import grouped_bucketed_rank
+
+        ev = (
+            load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+            .select("event_id", "event_type")
+            .withColumn("_k", F.expr(mix_sql("event_id", 5, "spark")))
+        )
+        for buckets in (1, 7, 64):
+            got = {
+                (r.event_id, r.pos)
+                for r in grouped_bucketed_rank(
+                    ev,
+                    ["event_type"],
+                    "_k",
+                    [("_k", "asc"), ("event_id", "asc")],
+                    buckets=buckets,
+                ).collect()
+            }
+            w = Window.partitionBy("event_type").orderBy("_k", "event_id")
+            want = {
+                (r.event_id, r.pos)
+                for r in ev.withColumn(
+                    "pos", F.row_number().over(w) - F.lit(1)
+                ).collect()
+            }
+            assert got == want, f"buckets={buckets}"
+
+    def test_no_global_single_partition_window(self, spark):
+        """The numbering window partitions by (group, bucket) — the
+        plan must not contain a partition-less Window sort (the
+        single-reducer shape the primitive exists to avoid)."""
+        from scdataset_spark.plans.plan import grouped_bucketed_rank
+
+        ev = (
+            load_table(spark, "events", SF_DIR_SMALL, with_row_id=False)
+            .select("event_id", "event_type")
+            .withColumn("_k", F.col("event_id") * 7 % 1000)
+        )
+        big = grouped_bucketed_rank(
+            ev, ["event_type"], "_k", [("_k", "asc"), ("event_id", "asc")]
+        )
+        plan = big._jdf.queryExecution().executedPlan().toString()
+        win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert len(win_lines) == 2  # numbering window + offsets prefix-sum
+        for ln in win_lines:
+            # Spark renders `Window [exprs], [partitionSpec], [order]` —
+            # every window here must partition by the group column (the
+            # big one additionally by _bucket); a partition-less spec
+            # would be the single-reducer shape this primitive replaces
+            assert "], [event_type#" in ln
+
+
+class TestInterleave:
+    def test_first_exhausted_strict_balance(self, spark):
+        from scdataset_spark.operators.skew import interleave_groups
+
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False).select(
+            "event_id", "event_type"
+        )
+        key = F.expr(mix_sql("event_id", 91, "spark"))
+        out = interleave_groups(ev, "event_type", key, "event_id").collect()
+        sizes = ev.groupBy("event_type").count().collect()
+        mn = min(r["count"] for r in sizes)
+        ngroups = len(sizes)
+        assert len(out) == mn * ngroups
+        # every group contributes exactly mn rows, rn in [0, mn)
+        from collections import Counter
+
+        per = Counter(r.event_type for r in out)
+        assert set(per.values()) == {mn}
+        # the pos order is a strict rotation: rows [k*ngroups, (k+1)*ngroups)
+        # are rn == k, one per group
+        by_pos = sorted(out, key=lambda r: r.pos)
+        assert [r.pos for r in by_pos] == list(range(len(out)))
+        for k in range(mn):
+            window = by_pos[k * ngroups : (k + 1) * ngroups]
+            assert {r.rn for r in window} == {k}
+            assert len({r.event_type for r in window}) == ngroups
+
+    def test_all_exhausted_keeps_everything(self, spark):
+        from scdataset_spark.operators.skew import interleave_groups
+
+        ev = load_table(spark, "events", SF_DIR_SMALL, with_row_id=False).select(
+            "event_id", "event_type"
+        )
+        key = F.expr(mix_sql("event_id", 91, "spark"))
+        out = interleave_groups(
+            ev, "event_type", key, "event_id", first_exhausted=False
+        )
+        assert out.count() == ev.count()
