@@ -115,6 +115,61 @@ def bm25_scores(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own add-``alpha``-smoothed unigram LM — the CCNet/Wikipedia-LM
+    perplexity-filter shape (docs whose tokens are collectively
+    improbable under the corpus distribution are boilerplate, format
+    noise, or the wrong language; low ``avg_logprob`` = filter
+    candidates).  ``avg_logprob = mean_t ln((count(t) + α) /
+    (N + α·V))`` over the doc's tokens; higher is more typical.
+
+    Engine-portable determinism: each token's log-prob is a pure
+    function of (count, N, V) rounded to 8 digits BEFORE the per-doc
+    sum (so libm ulp differences between engines vanish), the sum runs
+    in DECIMAL(24,8) (order-independent), and the mean rounds to 6.
+
+    Scale shape: one token explode feeding BOTH aggregations — the
+    vocabulary count (groupBy term, map-side combined) and the per-doc
+    token count; the (N, V) stats are a 1-row broadcast; the scoring
+    join is token→vocab equi-join (shuffle bounded by token count).
+    No windows, no self-joins; at 100 TB this is two shuffles over the
+    token stream.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = vocab.agg(
+        F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    lp = F.round(
+        F.log(
+            (F.col("cnt") + F.lit(alpha))
+            / (F.col("_n") + F.lit(alpha) * F.col("_v"))
+        ),
+        8,
+    )
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(lp.cast("decimal(24,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def hashed_tfidf_pipeline(docs: DataFrame, text_col: str = "text", features: int = 1024) -> DataFrame:
     """MLlib Tokenizer → HashingTF → IDF (the pipeline-native variant;
     murmur3 bucketed, so checked by shape/statistics rather than oracle)."""

@@ -63,10 +63,22 @@ def brute_force_topk(
     query_id: str = "q_id",
     cand_id: str = "c_id",
     vec: str = "embedding",
+    two_phase: bool = True,
 ) -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the
     candidate stream; rank by rounded cosine with id tiebreak so the
-    top-k frontier is engine-deterministic."""
+    top-k frontier is engine-deterministic.
+
+    ``two_phase`` (default) ranks through the salted exact top-k
+    (:func:`~scdataset_spark.operators.skew.per_group_top_k`): a plain
+    ``row_number() OVER (PARTITION BY q_id)`` funnels each query's
+    ENTIRE scored candidate list — the whole corpus — through one
+    reducer, so at 2.4 M+ vectors every query is a hot group by
+    construction.  The salted form keeps per-reducer volume at
+    ~n/salts and re-ranks only ``salts·k`` survivors per query; the
+    result is identical (exact top-k is closed under per-salt top-k
+    union).  ``False`` keeps the single-window shape for tiny corpora.
+    """
     q = queries.select(
         F.col(query_id), F.col(vec).alias("_qv"), norm_col(vec).alias("_qn")
     )
@@ -78,6 +90,16 @@ def brute_force_topk(
         .where(F.col(query_id) != F.col(cand_id))
         .withColumn("cosine", cosine_norm_expr("_qv", "_cv", "_qn", "_cn"))
     )
+    if two_phase:
+        from scdataset_spark.operators.skew import per_group_top_k
+
+        return per_group_top_k(
+            scored,
+            [query_id],
+            [-F.col("cosine"), F.col(cand_id)],
+            k,
+            rank_col="rank",
+        ).select(query_id, cand_id, "cosine", "rank")
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -41,6 +41,7 @@ _SWEEP_PRIORITY = [
     "o21_split_assign",
     "dq_drift",
     "o23_interleave",
+    "tx_unigram_logprob",
     # --- last externally checked in round 5: two rounds stale, leads ---
     "dd_ngram_decontam",
     "ev_user_stats",

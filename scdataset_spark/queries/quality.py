@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scdataset_spark.catalog import load_table
-from scdataset_spark.ml import bm25_scores
+from scdataset_spark.ml import bm25_scores, unigram_logprob
 from scdataset_spark.operators.quality import (
     distribution_drift,
     numeric_outliers,
@@ -291,3 +291,30 @@ def o23_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_groups(
         ev, "event_type", key, "event_id", first_exhausted=True
     ).select("event_id", "event_type", "rn", "pos")
+
+
+# ------------------------------------------------- unigram LM scoring
+@query(
+    "tx_unigram_logprob",
+    survey_ref="§2.14 text",
+    oracle="""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+stats AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(CAST(round(ln((cnt + 0.5) / (n + 0.5 * v)), 8)
+                          AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6)
+         AS avg_logprob
+FROM toks JOIN vocab USING (term), stats
+GROUP BY doc_id
+""",
+)
+def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under the corpus's own
+    add-0.5-smoothed unigram LM (``ml.unigram_logprob``) — the
+    CCNet-style perplexity filter: docs improbable under the corpus
+    distribution are boilerplate/noise/wrong-language candidates.
+    Token log-probs round to 8 before an order-independent DECIMAL
+    sum, so the oracle checks exact values, not just shapes."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return unigram_logprob(docs)

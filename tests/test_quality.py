@@ -334,3 +334,42 @@ class TestInterleave:
             ev, "event_type", key, "event_id", first_exhausted=False
         )
         assert out.count() == ev.count()
+
+
+class TestUnigramLogprob:
+    def test_rare_tokens_score_lower(self, spark):
+        from scdataset_spark.ml import unigram_logprob
+
+        rows = [(1, "a a a a"), (2, "a a a z")]  # z appears once in corpus
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+        assert out[1].n_tokens == out[2].n_tokens == 4
+        assert out[2].avg_logprob < out[1].avg_logprob
+
+    def test_uniform_corpus_scores_equal(self, spark):
+        from scdataset_spark.ml import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [(i, "x y") for i in range(10)], "doc_id bigint, text string"
+        )
+        vals = {r.avg_logprob for r in unigram_logprob(docs).collect()}
+        assert len(vals) == 1
+
+
+class TestBruteForceTopkTwoPhase:
+    def test_two_phase_matches_window_path(self, spark):
+        from scdataset_spark.catalog import load_table as lt
+        from scdataset_spark.operators.similarity import brute_force_topk
+
+        e = lt(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 7").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        fast = {
+            tuple(r)
+            for r in brute_force_topk(q, c, k=5, two_phase=True).collect()
+        }
+        ref = {
+            tuple(r)
+            for r in brute_force_topk(q, c, k=5, two_phase=False).collect()
+        }
+        assert fast == ref
