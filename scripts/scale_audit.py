@@ -71,9 +71,45 @@ def _semantic_dedup_scaled(spark, sf_dir):
     )
 
 
+def _interleave_scaled(spark, sf_dir):
+    """Audit-only o23 variant over the DOCUMENTS table (the fixtures
+    scale documents, not events): 20 sources × n/20 docs each — every
+    group is hot, exactly the per-group numbering load
+    grouped_bucketed_rank exists for."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.skew import interleave_groups
+    from scdataset_spark.plans.seeds import mix_sql
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False).select(
+        "doc_id", "source"
+    )
+    key = F.expr(mix_sql("doc_id", 91, "spark"))
+    return interleave_groups(docs, "source", key, "doc_id")
+
+
+def _drift_scaled(spark, sf_dir):
+    """Audit-only dq_drift variant over documents.n_chars (scaled
+    table); two scans + 20-row arithmetic regardless of n."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.quality import distribution_drift
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    curr = docs.where(F.col("doc_id") % 2 == 1)
+    return distribution_drift(base, curr, "n_chars", 0.0, 2000.0)
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
-EXTRA = {"semantic_dedup_scaled": _semantic_dedup_scaled}
+EXTRA = {
+    "semantic_dedup_scaled": _semantic_dedup_scaled,
+    "interleave_scaled": _interleave_scaled,
+    "drift_scaled": _drift_scaled,
+}
 
 
 def routing_agreement(spark) -> dict:
