@@ -136,6 +136,60 @@ def distribution_drift(
     )
 
 
+def volume_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str = "day",
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) volume-anomaly screen over time buckets —
+    the "did yesterday's crawl delivery silently halve?" check a
+    pipeline runs on every ingest.  Per bucket: event count, the
+    corpus-wide median count, the median absolute deviation, and the
+    robust z-score ``(n − med) / (1.4826·mad)`` (1.4826 makes MAD
+    σ-consistent under normality); ``is_anomaly`` flags |z| > ``k``.
+
+    Median/MAD instead of mean/stddev because volume anomalies are
+    exactly the points that poison the moments they'd be screened by.
+
+    Scale shape: ONE big-side aggregation (groupBy on the truncated
+    timestamp, map-side partial agg) produces a buckets-sized frame —
+    days/hours, thousands of rows at most, independent of corpus size —
+    and the two exact-percentile passes + flag arithmetic run on that
+    tiny frame with 1-row broadcasts back.  The raw events are scanned
+    once.
+
+    Degenerate spread (``mad`` = 0: more than half the buckets share
+    one count) is defined as **no anomalies**, mirroring
+    :func:`numeric_outliers`'s ``sigma > 0`` convention — and the
+    engines' x/0.0 disagreement (Spark NULL, DuckDB ±inf) never
+    reaches the comparison.
+    """
+    counts = (
+        df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = counts.agg(F.expr("percentile(n_events, 0.5)").alias("_med"))
+    with_med = counts.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(n_events - _med), 0.5)").alias("_mad")
+    )
+    z = (F.col("n_events") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "bucket_ts",
+            "n_events",
+            F.round("_med", 6).alias("median_n"),
+            F.round("_mad", 6).alias("mad_n"),
+            F.when(F.col("_mad") > 0, F.round(z, 6)).alias("robust_z"),
+            (
+                (F.col("_mad") > 0) & (F.abs(z) > F.lit(k))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 def numeric_outliers(
     df: DataFrame,
     value_col: str,

@@ -830,6 +830,47 @@ def quantize_embeddings(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 5,
+) -> DataFrame:
+    """Seeded ±1 random projection (Achlioptas 2003): output dimension
+    ``j`` is ``Σ_i v_i · sign(mix((i−1)·out_dim + j, seed))`` — the
+    in-plan dimensionality reduction before a cheap ANN pass or a
+    disk-size shrink, with the projection matrix derived from the
+    engine-portable ``mix`` hash so no matrix is stored or shipped.
+
+    Emitted NARROW as ``(id, dim_id, value)`` rather than an array
+    column so every element is value-checkable.  Each ±v_i term is
+    exact (sign flip of a widened float); terms round to 8 and sum as
+    DECIMAL(24,8), making the result independent of summation order —
+    the same parity discipline as the unigram-LM scorer.
+
+    Scale shape: a pure per-row projection (dim·out_dim multiply-adds
+    inside one whole-stage-codegen expression), no shuffle, no Python;
+    the explode multiplies rows by ``out_dim`` but each output row is
+    16 bytes of payload."""
+    from scdataset_spark.plans.seeds import mix_sql
+
+    sign = (
+        f"IF(({mix_sql(f'((i - 1) * {out_dim} + j)', seed, 'spark')}) % 2 = 0, "
+        "1.0D, -1.0D)"
+    )
+    proj = (
+        f"transform(sequence(0, {out_dim - 1}), j -> "
+        f"CAST(aggregate(sequence(1, {dim}), CAST(0 AS DECIMAL(24,8)), "
+        f"(acc, i) -> acc + CAST(round({sign} * CAST(element_at({vec_col}, i) "
+        "AS DOUBLE), 8) AS DECIMAL(24,8))) AS DOUBLE))"
+    )
+    return df.select(
+        id_col, F.posexplode(F.expr(proj)).alias("dim_id", "value")
+    )
+
+
 def semantic_dedup_fast(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -492,6 +492,73 @@ class MixtureSampling(SamplingStrategy):
         return inner.plan(weighted, seed=seed, epoch=epoch)
 
 
+def mixture_plan(
+    df: DataFrame,
+    proportions_ppm: dict[str, int],
+    source_col: str = "source",
+) -> DataFrame:
+    """Feasibility plan for a WITHOUT-replacement mixture draw — the
+    calculator a pretraining run does before committing to "40% web,
+    30% code, …": given per-source relative weights (parts per
+    million), how large can the mixed corpus be before the scarcest
+    source runs dry, and how many rows does each source contribute?
+
+    Exact integer arithmetic end-to-end (the :class:`MixtureSampling`
+    convention): with ``W = Σ w_s``, source ``s`` caps the total at
+    ``floor(n_s · W / w_s)``; the plan total ``T`` is the minimum cap;
+    ``planned_rows_s = floor(T · w_s / W)`` and ``sample_ppm_s =
+    floor(planned_rows_s · 1e6 / n_s)`` is the per-source thinning
+    rate to feed a Bernoulli/hash sampler.  Headroom: at n ≈ 1e12 rows
+    and W ≤ 1e6, ``n·W ≤ 1e18 < 2^63``.
+
+    Scale shape: ONE groupBy-count on the big side (map-side partial
+    agg → #sources rows), a broadcast join against the weights
+    literal, and a 1-row broadcast min — the corpus is scanned once
+    and never re-shuffled.  Listed sources absent from the data are an
+    in-plan ``raise_error`` (their cap would silently be 0 and zero
+    out the whole plan); unlisted sources are excluded, mirroring
+    :class:`MixtureSampling`.
+    """
+    if not proportions_ppm:
+        raise ValueError("proportions_ppm is required (source -> parts-per-million)")
+    if any(p <= 0 for p in proportions_ppm.values()):
+        raise ValueError("proportions must be positive")
+    spark = df.sparkSession
+    prop = spark.createDataFrame(
+        sorted(proportions_ppm.items()), f"{source_col} string, weight_ppm bigint"
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    joined = F.broadcast(prop).join(counts, source_col, "left").withColumn(
+        "n_rows",
+        F.when(
+            F.col("n_rows").isNull() | (F.col("n_rows") == 0),
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_plan: listed source has no rows: "),
+                    F.col(source_col),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("n_rows")),
+    )
+    w_total = sum(proportions_ppm.values())
+    caps = joined.withColumn(
+        "_cap", F.expr(f"(n_rows * {w_total}) div weight_ppm")
+    )
+    t_min = caps.agg(F.min("_cap").alias("_t"))
+    return (
+        caps.crossJoin(F.broadcast(t_min))
+        .select(
+            source_col,
+            "n_rows",
+            "weight_ppm",
+            F.expr(f"(_t * weight_ppm) div {w_total}").alias("planned_rows"),
+            F.expr(
+                f"((_t * weight_ppm) div {w_total}) * 1000000 div n_rows"
+            ).alias("sample_ppm"),
+        )
+    )
+
+
 def attach_weights(
     df: DataFrame,
     weights: DataFrame,

@@ -274,6 +274,40 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 120,
+    stride: int = 90,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping character chunks
+    (the context-window / RAG-chunking shape: chunk ``i`` covers
+    ``[i*stride, i*stride + size)``; ``stride < size`` gives
+    ``size - stride`` characters of overlap so no boundary-spanning
+    content is lost).  Every document yields at least one chunk, even
+    when empty.
+
+    Pure per-row ``posexplode`` of an in-plan ``sequence`` — a narrow
+    map with no shuffle and no Python; output volume is
+    ``ceil(len/stride)`` rows per doc, so at 100 TB this is a streaming
+    re-shape the scan pipeline absorbs (chunk rows never need to
+    co-locate).  Columns: every input column except ``text_col``, plus
+    ``chunk_id``, ``chunk_text``, ``chunk_len``.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError(f"size and stride must be >= 1, got {size}, {stride}")
+    keep = [c for c in df.columns if c != text_col]
+    starts = F.expr(
+        f"sequence(0, greatest(length({text_col}), 1) - 1, {stride})"
+    )
+    return (
+        df.select(*keep, F.col(text_col).alias("_ct"), F.posexplode(starts).alias("chunk_id", "_cs"))
+        .withColumn("chunk_text", F.expr(f"substring(_ct, _cs + 1, {size})"))
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .drop("_ct", "_cs")
+    )
+
+
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Intra-document repetition signals (Gopher-style repetition rules,
     Rae et al. 2021 §A1.1): the fraction of duplicate tokens and
