@@ -94,6 +94,27 @@ def main() -> None:
 
     n_rows = load_table(spark, "lineitem", SF_DIR).count()
     samples_per_sec = round(n_rows / times["t_hook_pipeline"], 1)
+    # min-of-3 + spread for every loader metric (same treatment the
+    # query times got in r8: single-shot loader numbers drifted -26%
+    # and +10% on the SAME code path in one round — pure session noise
+    # that is only legible once the spread is reported alongside)
+    sps_warm = round(n_rows / warm["t_hook_pipeline"], 1)
+    sps_warm_spread = round(
+        n_rows / warm["t_hook_pipeline"]
+        - n_rows / (warm["t_hook_pipeline"] + warm_spread["t_hook_pipeline"]),
+        1,
+    )
+
+    def timed_sps(run, reps: int = 3) -> tuple[float, float]:
+        """samples/s at the fastest of ``reps`` runs, plus the max-min
+        samples/s spread across them."""
+        secs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            secs.append(time.perf_counter() - t0)
+        rates = sorted(n_rows / s for s in secs)
+        return round(rates[-1], 1), round(rates[-1] - rates[0], 1)
 
     # BASELINE.md's headline row is BlockShuffling random-access
     # loading (4,634.5 samples/s multi-worker / 4,032.9 single-core);
@@ -103,42 +124,45 @@ def main() -> None:
     from scdataset_spark.pipeline.hooks import run_hook_pipeline
     from scdataset_spark.plans.plan import with_batches
 
-    t0 = time.perf_counter()
     li = load_table(spark, "lineitem", SF_DIR)
-    planned = with_batches(
-        BlockShuffling(block_size=256, assume_dense=True)
-        .plan(li, seed=7)
-        .select("row_id", "pos", "l_quantity"),
-        batch_size=64,
-        fetch_factor=256,
-    )
-    run_hook_pipeline(
-        planned.select("row_id", "pos", "fetch_id", "l_quantity"),
-        "row_id bigint, pos bigint, fetch_id bigint, l_quantity double",
-        batch_size=64,
-    ).write.format("noop").mode("overwrite").save()
-    bs_sps = round(n_rows / (time.perf_counter() - t0), 1)
+
+    def _bs_run():
+        planned = with_batches(
+            BlockShuffling(block_size=256, assume_dense=True)
+            .plan(li, seed=7)
+            .select("row_id", "pos", "l_quantity"),
+            batch_size=64,
+            fetch_factor=256,
+        )
+        run_hook_pipeline(
+            planned.select("row_id", "pos", "fetch_id", "l_quantity"),
+            "row_id bigint, pos bigint, fetch_id bigint, l_quantity double",
+            batch_size=64,
+        ).write.format("noop").mode("overwrite").save()
+
+    bs_sps, bs_sps_spread = timed_sps(_bs_run)
 
     # the same loading shape WITH the reference's shuffle-before-yield
     # semantics (strategy.py:434; scdataset.py:533-548) — BASELINE.md's
     # loader rows run with the fetched buffer permuted before batch
     # slicing, so this is the directly comparable number
-    t0 = time.perf_counter()
-    planned_fs = with_batches(
-        BlockShuffling(block_size=256, assume_dense=True)
-        .plan(li, seed=7)
-        .select("row_id", "pos", "l_quantity"),
-        batch_size=64,
-        fetch_factor=256,
-        shuffle_within_fetch=True,
-        seed=11,
-    )
-    run_hook_pipeline(
-        planned_fs.select("row_id", "pos", "fetch_id", "l_quantity"),
-        "row_id bigint, pos bigint, fetch_id bigint, l_quantity double",
-        batch_size=64,
-    ).write.format("noop").mode("overwrite").save()
-    fs_sps = round(n_rows / (time.perf_counter() - t0), 1)
+    def _fs_run():
+        planned_fs = with_batches(
+            BlockShuffling(block_size=256, assume_dense=True)
+            .plan(li, seed=7)
+            .select("row_id", "pos", "l_quantity"),
+            batch_size=64,
+            fetch_factor=256,
+            shuffle_within_fetch=True,
+            seed=11,
+        )
+        run_hook_pipeline(
+            planned_fs.select("row_id", "pos", "fetch_id", "l_quantity"),
+            "row_id bigint, pos bigint, fetch_id bigint, l_quantity double",
+            batch_size=64,
+        ).write.format("noop").mode("overwrite").save()
+
+    fs_sps, fs_sps_spread = timed_sps(_fs_run)
     ent = (
         REGISTRY["g3_batch_entropy"].fn(spark, SF_DIR)
         .agg(SF.avg("entropy"))
@@ -164,13 +188,14 @@ def main() -> None:
             seed=11,
         )
 
-    t0 = time.perf_counter()
-    run_hook_pipeline(
-        _b1024_plan().select("row_id", "pos", "fetch_id", "l_quantity"),
-        "row_id bigint, pos bigint, fetch_id bigint, l_quantity double",
-        batch_size=64,
-    ).write.format("noop").mode("overwrite").save()
-    b1024_sps = round(n_rows / (time.perf_counter() - t0), 1)
+    def _b1024_run():
+        run_hook_pipeline(
+            _b1024_plan().select("row_id", "pos", "fetch_id", "l_quantity"),
+            "row_id bigint, pos bigint, fetch_id bigint, l_quantity double",
+            batch_size=64,
+        ).write.format("noop").mode("overwrite").save()
+
+    b1024_sps, b1024_sps_spread = timed_sps(_b1024_run)
     b1024_counts = _b1024_plan().groupBy("batch_id", "l_returnflag").agg(
         SF.count(SF.lit(1)).alias("cnt")
     )
@@ -202,10 +227,15 @@ def main() -> None:
                 "warm_total_sec": warm_total,
                 "ingest_sec": ingest_sec,
                 "loading_samples_per_sec": samples_per_sec,
+                "loading_samples_per_sec_warm": sps_warm,
+                "loading_samples_per_sec_warm_spread": sps_warm_spread,
                 "block_shuffle_loading_samples_per_sec": bs_sps,
+                "block_shuffle_loading_samples_per_sec_spread": bs_sps_spread,
                 "fetch_shuffled_loading_samples_per_sec": fs_sps,
+                "fetch_shuffled_loading_samples_per_sec_spread": fs_sps_spread,
                 "block_shuffle_avg_entropy_bits": round(ent, 3),
                 "loading_samples_per_sec_at_block_1024": b1024_sps,
+                "loading_samples_per_sec_at_block_1024_spread": b1024_sps_spread,
                 "entropy_at_block_1024": round(b1024_ent, 3),
             }
         )

@@ -435,8 +435,11 @@ def connected_components(
     cliques-of-duplicates with tiny diameter, so rounds ≈ 2-3; each
     round is one equi-join + one groupBy (both shuffle on node id) and
     the per-round frame is ``localCheckpoint``-ed so the iterative
-    lineage never compounds.  The convergence probe is a cheap
-    ``limit(1).count()`` on the changed-label set.
+    lineage never compounds.  Convergence is a (count, hash-sum)
+    signature fused with the checkpoint's materialization, CONFIRMED
+    exactly (changed-label join) on the round the signature first
+    repeats — so a hash-sum collision costs one extra probe, never a
+    wrong answer.
     """
     # Materialize the edge list ONCE before deriving nodes and the
     # undirected view: edges is typically an expensive lineage (LSH
@@ -499,10 +502,24 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         sig = signature(new_labels)
-        labels = new_labels
+        prev_labels, labels = labels, new_labels
         if sig == prev_sig:
-            converged = True
-            break
+            # The signature is probabilistic (a decimal sum of xxhash64
+            # could in principle collide between two DIFFERENT label
+            # frames).  Promote the first equality to an EXACT check —
+            # one join on the two checkpointed, buckets-sized label
+            # frames, paid once per call — so a collision degrades to
+            # one wasted probe instead of silently wrong components.
+            changed = (
+                new_labels.alias("n")
+                .join(prev_labels.alias("p"), "id")
+                .where(F.col("n.component") != F.col("p.component"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                break
         prev_sig = sig
     if not converged:
         # partial labels are WRONG labels (distinct ids for one true

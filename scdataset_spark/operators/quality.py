@@ -96,6 +96,10 @@ def distribution_drift(
     beyond their own aggregation; at 100 TB this costs exactly two
     column scans.
     """
+    if hi <= lo:
+        raise ValueError(f"hi must be > lo, got lo={lo}, hi={hi}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     width = (hi - lo) / n_buckets
 
     def hist(df: DataFrame, name: str) -> DataFrame:
@@ -164,10 +168,32 @@ def volume_anomalies(
     :func:`numeric_outliers`'s ``sigma > 0`` convention — and the
     engines' x/0.0 disagreement (Spark NULL, DuckDB ±inf) never
     reaches the comparison.
+
+    A COMPLETELY missing bucket — the most extreme delivery anomaly —
+    is visible: the observed [min, max] bucket range is gap-filled
+    (``sequence`` over the truncated timestamps at the bucket's
+    interval) and absent buckets count 0 before the median/MAD pass,
+    so a skipped day flags instead of silently vanishing from the
+    groupBy.  The gap-fill runs on the buckets-sized frame (persisted
+    once), never on the raw events.
     """
-    counts = (
+    from scdataset_spark.operators._cache import persist_bounded
+
+    observed = persist_bounded(
         df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = observed.agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    grid = span.where(F.col("_lo").isNotNull()).select(
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")
+        ).alias("bucket_ts")
+    )
+    counts = grid.join(observed, "bucket_ts", "left").select(
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
     )
     med = counts.agg(F.expr("percentile(n_events, 0.5)").alias("_med"))
     with_med = counts.crossJoin(F.broadcast(med))

@@ -353,6 +353,9 @@ def embed_cosine_pairs_fast(
 
     from scdataset_spark.plans.seeds import mix_py
 
+    # id transport type follows the input schema (string doc ids work
+    # the same as bigints: numpy object arrays repeat/concatenate fine)
+    id_sql_type = df.schema[id_col].dataType.simpleString()
     if bands is None:
         bands = lsh_bands_for_recall(rows_per_band, threshold, target_recall)
     weights = [
@@ -379,14 +382,14 @@ def embed_cosine_pairs_fast(
                 sigs = bits.reshape(len(X), n_bands, n_rows).astype(np.int64) @ pows
                 yield pd.DataFrame(
                     {
-                        id_col: np.repeat(pdf.iloc[:, 0].to_numpy(), n_bands),
+                        id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
                         "band_id": np.tile(bids, len(X)),
                         "sig": sigs.reshape(-1),
                     }
                 )
 
         sigs_df = df.select(F.col(id_col), F.col(vec).alias("_v")).mapInPandas(
-            _band, f"{id_col} bigint, band_id int, sig bigint"
+            _band, f"{id_col} {id_sql_type}, band_id int, sig bigint"
         )
         counts = sigs_df.groupBy("band_id", "sig").agg(
             F.count(F.lit(1)).alias("_bn")
@@ -452,8 +455,9 @@ def embed_cosine_pairs_fast(
         )
     thr = float(threshold)
 
+    id_np = "int64" if id_sql_type in ("bigint", "int", "smallint", "tinyint") else "object"
     empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-        {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+        {"id_a": id_np, "id_b": id_np, "cos": "float64"}
     )
 
     def _group_pairs(ids, V):
@@ -535,7 +539,10 @@ def embed_cosine_pairs_fast(
         banded.select(id_col, "band_id", "sig", "_v32")
         .repartition(F.col("band_id"), F.col("sig"))
         .sortWithinPartitions("band_id", "sig", id_col)
-        .mapInPandas(_stream_pairs, "id_a bigint, id_b bigint, cos double")
+        .mapInPandas(
+            _stream_pairs,
+            f"id_a {id_sql_type}, id_b {id_sql_type}, cos double",
+        )
     )
     return pairs.groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
 
@@ -860,14 +867,81 @@ def random_projection(
         f"IF(({mix_sql(f'((i - 1) * {out_dim} + j)', seed, 'spark')}) % 2 = 0, "
         "1.0D, -1.0D)"
     )
+    # the merge re-casts to the accumulator's exact type: decimal
+    # addition widens to DECIMAL(25,8) and Spark's HOF fold requires
+    # merge-result type == accumulator type (exactness is unaffected —
+    # 64 terms of |round(±v,8)| ≤ 1e8 stay far inside 16 integer digits)
     proj = (
         f"transform(sequence(0, {out_dim - 1}), j -> "
         f"CAST(aggregate(sequence(1, {dim}), CAST(0 AS DECIMAL(24,8)), "
-        f"(acc, i) -> acc + CAST(round({sign} * CAST(element_at({vec_col}, i) "
-        "AS DOUBLE), 8) AS DECIMAL(24,8))) AS DOUBLE))"
+        f"(acc, i) -> CAST(acc + CAST(round({sign} * CAST(element_at({vec_col}, i) "
+        "AS DOUBLE), 8) AS DECIMAL(24,8)) AS DECIMAL(24,8))) AS DOUBLE))"
     )
     return df.select(
         id_col, F.posexplode(F.expr(proj)).alias("dim_id", "value")
+    )
+
+
+def projected_bucket_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 5,
+    threshold: float = 0.98,
+) -> DataFrame:
+    """ANN near-dup pairs THROUGH the random projection: project
+    ``dim → out_dim`` (:func:`random_projection`), bucket each vector by
+    the ``out_dim`` sign bits of its projection (a single-band
+    hyperplane LSH whose hyperplanes ARE the projection rows — the
+    projection is computed once and reused as the index), equi-self-join
+    on the bucket, then verify every candidate with the exact cosine on
+    the ORIGINAL vectors.  Only pairs ≥ ``threshold`` survive.
+
+    The projection's decimal-sum exactness makes the bucket assignment
+    engine-portable (a sign can only differ where a projection lands on
+    exactly 0.0), so the full pair set is oracle-checkable — unlike
+    float-transport LSH variants.  Recall vs the unprojected exact pair
+    set is probabilistic (each near-dup pair flips any of the
+    ``out_dim`` sign bits with probability ~angle/pi) and is pinned by
+    a recall-band test rather than the oracle.
+
+    Scale shape: one narrow projection pass (no shuffle), one groupBy
+    on id (re-packs the narrow rows into one bucket key per vector),
+    one equi-self-join on a short integer key, and a vector-fetch join
+    onto the candidates only — the same corpus-bounded-shuffle posture
+    as the banded LSH chain; no cross product anywhere."""
+    proj = random_projection(df, id_col, vec_col, dim, out_dim, seed)
+    buckets = proj.groupBy(id_col).agg(
+        F.sum(F.expr("IF(value > 0, shiftleft(1L, dim_id), 0L)"))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    cand = (
+        buckets.select(F.col(id_col).alias("id_a"), "bucket")
+        .join(
+            buckets.select(F.col(id_col).alias("id_b"), "bucket"), "bucket"
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm_col(vec_col).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm_col(vec_col).alias("_nb"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cosine_norm_expr("_va", "_vb", "_na", "_nb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -999,7 +1073,13 @@ def semantic_dedup_fast(
                 for col in range(g):
                     route = order[alive, col]
                     lb = LB[alive, route]
-                    keep = lb < best_d[alive]
+                    # <= not <: a group whose lower bound EQUALS the
+                    # best distance can still hold an equidistant
+                    # centroid with a lower index (exact duplicates →
+                    # coincident centroids), and the flat argmin's tie
+                    # rule is lowest-index-wins — prune only strictly
+                    # worse groups so ties resolve identically.
+                    keep = lb <= best_d[alive]
                     alive = alive[keep]
                     if not len(alive):
                         break
@@ -1018,10 +1098,15 @@ def semantic_dedup_fast(
                         d = np.sqrt(
                             np.maximum(sub[np.arange(len(rows)), j], 0.0)
                         )
-                        upd = d < best_d[rows]
+                        cand = mem[j]
+                        # match the flat path's argmin tie rule exactly:
+                        # on equal distance keep the LOWER centroid index
+                        upd = (d < best_d[rows]) | (
+                            (d == best_d[rows]) & (cand < idx[rows])
+                        )
                         rr = rows[upd]
                         best_d[rr] = d[upd]
-                        idx[rr] = mem[j[upd]]
+                        idx[rr] = cand[upd]
             yield pd.DataFrame(
                 {
                     pdf.columns[0]: pdf.iloc[:, 0].to_numpy(),

@@ -26,67 +26,22 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-8 priority (VERDICT r7 task 3): (a) queries NEW this
-# round (never externally checked) lead, then (b) the 35-query cohort whose
-# most recent external check is round 5 (two rounds stale — the rotation
-# bound), then the round-6 cohort, then the round-7 cohort last.  A 50-slot
-# sweep covers every new entry plus the full r5-stale cohort, so after
-# round 8 no registry entry is more than two rounds externally stale.
-# Names and semantics are frozen; only iteration order changes.
+# cosmetics.  Round-9 priority (VERDICT r8 task 3): (a) the five queries
+# NEW this round (never externally checked) lead, then (b) the 42-query
+# cohort whose most recent external check is round 6 (two rounds stale —
+# the rotation bound), then the round-7 cohort, then the round-8 cohort
+# last.  A 50-slot sweep covers every new entry plus the full r6-stale
+# cohort, so after round 9 no registry entry is more than two rounds
+# externally stale.  Names and semantics are frozen; only iteration order
+# changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 8: never externally checked ---
-    "dd_embed_cosine_fast",
-    "dd_keep_best",
-    "tx_vocabulary",
-    "o21_split_assign",
-    "dq_drift",
-    "o23_interleave",
-    "tx_unigram_logprob",
-    # --- last externally checked in round 5: two rounds stale, leads ---
-    "dd_ngram_decontam",
-    "ev_user_stats",
-    "j_full_outer_nation_activity",
-    "g7_unpivot_flag_metrics",
-    "tx_length_buckets",
-    "s1_streaming_scan",
-    "s2_subset_split",
-    "o9_epoch_reshuffle",
-    "o12_exact_len",
-    "q3_shipping_priority",
-    "q6_revenue_forecast",
-    "o1_block_shuffle",
-    "o3_weighted_replace",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "g7_approx_sketches",
-    "q9_product_profit",
-    "q21_waiting_supplier",
-    "tx_quality_score",
-    "dd_exact_groups",
-    "dd_minhash_lsh",
-    "dd_simhash_pairs",
-    "dd_decontamination",
-    "dd_components",
-    "dd_dedup_corpus",
-    "dd_embed_cosine",
-    "dd_embed_components",
-    "sim_topk_cosine",
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "mm_multimodal_zip",
-    "tx_normalize",
-    "tx_pii_scrub",
-    "pipe_curation",
-    "ev_tumbling_window",
-    # --- last externally checked in round 6 ---
-    "dd_components_star",
-    "o18_fetch_shuffle",
-    "dd_incremental_novel",
-    "t_hook_pipeline",
-    "src_custom_datasource",
-    "s4_sparse_densify",
-    "s3_anndata_ingest",
-    "ml_label_encode",
+    # --- new in round 9: never externally checked ---
+    "o24_mixture_plan",
+    "tx_chunk_documents",
+    "sim_random_projection",
+    "sim_projected_ann",
+    "dq_volume_anomalies",
+    # --- last externally checked in round 6: two rounds stale, leads ---
     "ml_tfidf",
     "mm_binary_decode",
     "mm_feature_extract",
@@ -129,7 +84,7 @@ _SWEEP_PRIORITY = [
     "q19_disjunctive_predicates",
     "q22_idle_wealthy_customers",
     "w5_running_revenue",
-    # --- last externally checked in round 7 (freshest; sweep tail) ---
+    # --- last externally checked in round 7 ---
     "dq_profile",
     "dq_outliers",
     "ts_gap_fill",
@@ -180,6 +135,57 @@ _SWEEP_PRIORITY = [
     "emb_quantize",
     "dd_embed_exact",
     "o17_temperature_mixture",
+    # --- last externally checked in round 8 (freshest; sweep tail) ---
+    "dd_embed_cosine_fast",
+    "dd_keep_best",
+    "tx_vocabulary",
+    "o21_split_assign",
+    "dq_drift",
+    "o23_interleave",
+    "tx_unigram_logprob",
+    "dd_ngram_decontam",
+    "ev_user_stats",
+    "j_full_outer_nation_activity",
+    "g7_unpivot_flag_metrics",
+    "tx_length_buckets",
+    "s1_streaming_scan",
+    "s2_subset_split",
+    "o9_epoch_reshuffle",
+    "o12_exact_len",
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
+    "o1_block_shuffle",
+    "o3_weighted_replace",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "g7_approx_sketches",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "tx_quality_score",
+    "dd_exact_groups",
+    "dd_minhash_lsh",
+    "dd_simhash_pairs",
+    "dd_decontamination",
+    "dd_components",
+    "dd_dedup_corpus",
+    "dd_embed_cosine",
+    "dd_embed_components",
+    "sim_topk_cosine",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "mm_multimodal_zip",
+    "tx_normalize",
+    "tx_pii_scrub",
+    "pipe_curation",
+    "ev_tumbling_window",
+    "dd_components_star",
+    "o18_fetch_shuffle",
+    "dd_incremental_novel",
+    "t_hook_pipeline",
+    "src_custom_datasource",
+    "s4_sparse_densify",
+    "s3_anndata_ingest",
+    "ml_label_encode",
 ]
 
 def _apply_sweep_priority() -> None:

@@ -1756,3 +1756,135 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(
         c, id_col="vec_id", vec="v", n_clusters=8, threshold=0.98, seed=11
     )
+
+
+# ------------------------------------------------- document chunking
+@query(
+    "tx_chunk_documents",
+    survey_ref="§2.14 text",
+    oracle="""
+SELECT doc_id,
+       CAST(s // 90 AS INT) AS chunk_id,
+       substring(text, CAST(s + 1 AS INT), 120) AS chunk_text,
+       CAST(length(substring(text, CAST(s + 1 AS INT), 120)) AS INT) AS chunk_len
+FROM documents, unnest(generate_series(0, greatest(length(text), 1) - 1, 90)) AS t(s)
+""",
+)
+def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (size 120, stride 90 —
+    30 chars of overlap) of every document: the context-window /
+    RAG-chunking re-shape a training pipeline runs before embedding or
+    packing.  Pure per-row ``posexplode`` of an in-plan ``sequence``
+    (``textanalysis.chunk_documents``) — a narrow map, no shuffle, no
+    Python; at 100 TB the scan pipeline absorbs the ~len/stride row
+    multiplication because chunk rows never need to co-locate.  The
+    oracle re-derives every chunk boundary, text slice, and length
+    exactly (both engines' substring is 1-based with identical
+    past-end clamping)."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False).select(
+        "doc_id", "text"
+    )
+    return tx.chunk_documents(docs, text_col="text", size=120, stride=90)
+
+
+# --------------------------------------------- random projection (JL)
+_RP_SEED = 5
+_RP_OUT_DIM = 16
+
+
+def _random_projection_oracle() -> str:
+    sign = (
+        f"CASE WHEN ({mix_sql(f'((i - 1) * {_RP_OUT_DIM} + j)', _RP_SEED, 'duckdb')})"
+        " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+SELECT vec_id, CAST(j AS INT) AS dim_id,
+       CAST(sum(CAST(round({sign} * CAST(list_extract(embedding, i) AS DOUBLE), 8)
+                AS DECIMAL(24,8))) AS DOUBLE) AS value
+FROM embeddings,
+     unnest(generate_series(0, {_RP_OUT_DIM - 1})) AS tj(j),
+     unnest(generate_series(1, 64)) AS ti(i)
+GROUP BY vec_id, j
+"""
+
+
+@query(
+    "sim_random_projection",
+    survey_ref="§2.14 similarity",
+    oracle=_random_projection_oracle(),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded ±1 random projection (Achlioptas 2003) of the embedding
+    corpus 64 → 16 dims (``similarity.random_projection``): the
+    dimensionality reduction before a cheap ANN pass or a disk-size
+    shrink, with the projection matrix derived in-plan from the
+    engine-portable ``mix`` hash — nothing is stored or shipped.  Each
+    ±v_i term rounds to 8 and sums as DECIMAL(24,8), so the checked
+    values are independent of summation order.  Scale shape: a pure
+    per-row whole-stage-codegen expression, no shuffle, no Python."""
+    emb = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    return sim.random_projection(
+        emb, id_col="vec_id", vec_col="embedding", dim=64,
+        out_dim=_RP_OUT_DIM, seed=_RP_SEED,
+    )
+
+
+def _projected_ann_oracle() -> str:
+    sign = (
+        f"CASE WHEN ({mix_sql(f'((i - 1) * {_RP_OUT_DIM} + j)', _RP_SEED, 'duckdb')})"
+        " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, 65), i -> a.v[i] * b2.v[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> b2.v[i] * b2.v[i]), 'sum'))), 4)"
+    )
+    return f"""
+WITH {EMB_CORPUS_SQL},
+proj AS (
+  SELECT vec_id, j,
+         CAST(sum(CAST(round({sign} * list_extract(v, i), 8)
+                  AS DECIMAL(24,8))) AS DOUBLE) AS value
+  FROM ecorpus,
+       unnest(generate_series(0, {_RP_OUT_DIM - 1})) AS tj(j),
+       unnest(generate_series(1, 64)) AS ti(i)
+  GROUP BY vec_id, j
+),
+bk AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN value > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+cand AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c JOIN ecorpus a ON c.id_a = a.vec_id JOIN ecorpus b2 ON c.id_b = b2.vec_id
+WHERE {cos} >= 0.98
+"""
+
+
+@query(
+    "sim_projected_ann",
+    survey_ref="§2.14 similarity,§2.14 dedup",
+    oracle=_projected_ann_oracle(),
+)
+def sim_projected_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The random projection COMPOSED into an ANN near-dup path
+    (``similarity.projected_bucket_pairs``): project 64 → 16 dims,
+    bucket every vector by the 16 projected sign bits (the projection
+    rows double as the LSH hyperplanes), candidates = bucket
+    collisions, exact cosine ≥ 0.98 on the original vectors verifies.
+    The projection's order-independent decimal arithmetic makes the
+    bucket assignment — and therefore the full pair set — exactly
+    reproducible in the oracle; recall vs the unprojected chain is
+    pinned by a band test in tests/test_similarity_extra.py.  Scale
+    shape: narrow projection pass, short-integer-key self-join,
+    vector fetch onto candidates only — no cross product."""
+    c = emb_corpus(spark, sf_dir)
+    return sim.projected_bucket_pairs(
+        c, id_col="vec_id", vec_col="v", dim=64,
+        out_dim=_RP_OUT_DIM, seed=_RP_SEED, threshold=0.98,
+    ).withColumnRenamed("vec_id", "id_a")

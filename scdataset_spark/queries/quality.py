@@ -18,6 +18,7 @@ from scdataset_spark.operators.quality import (
     distribution_drift,
     numeric_outliers,
     profile_columns,
+    volume_anomalies,
 )
 from scdataset_spark.operators.skew import interleave_groups, per_group_top_k
 from scdataset_spark.plans.seeds import mix_sql
@@ -318,3 +319,46 @@ def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, so the oracle checks exact values, not just shapes."""
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
     return unigram_logprob(docs)
+
+
+# ------------------------------------------------- volume anomalies
+@query(
+    "dq_volume_anomalies",
+    survey_ref="§2.14 quality",
+    oracle="""
+WITH c AS (
+  SELECT date_trunc('day', ts) AS bucket_ts, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+span AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM c),
+g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket_ts FROM span),
+b AS (
+  SELECT g.bucket_ts, CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+  FROM g LEFT JOIN c USING (bucket_ts)
+),
+m AS (SELECT quantile_cont(n_events, 0.5) AS med FROM b),
+d AS (SELECT quantile_cont(abs(n_events - med), 0.5) AS mad FROM b, m)
+SELECT bucket_ts, n_events,
+       round(med, 6) AS median_n,
+       round(mad, 6) AS mad_n,
+       CASE WHEN mad > 0
+            THEN round((n_events - med) / (1.4826 * mad), 6) END AS robust_z,
+       (mad > 0 AND abs((n_events - med) / (1.4826 * mad)) > 3.5) AS is_anomaly
+FROM b, m, d
+""",
+)
+def dq_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) daily-volume anomaly screen over the events
+    stream — the "did yesterday's delivery silently halve (or vanish)?"
+    ingest gate.  The observed [min, max] day range is GAP-FILLED so a
+    completely missing day counts 0 and flags, instead of being
+    invisible to the groupBy; median/MAD then run over the filled
+    sequence (``operators/quality.volume_anomalies``).
+
+    Scale shape: one groupBy on the truncated timestamp (map-side
+    partial agg) reduces the corpus to a days-sized frame; the
+    gap-fill, exact percentiles, and flag arithmetic all run on that
+    tiny persisted frame with 1-row broadcasts.  The raw events are
+    scanned exactly once at any corpus size."""
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    return volume_anomalies(ev, "ts", bucket="day", k=3.5)

@@ -705,3 +705,42 @@ def o19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat.plan(cust, seed=SEED).select(
         "row_id", F.col("c_mktsegment").alias("stratum"), "pos"
     )
+
+
+# --------------------------------------------------------- O24 mixture
+_MIX_PPM = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+_MIX_W = sum(_MIX_PPM.values())
+
+
+def _mixture_plan_oracle() -> str:
+    rows = ", ".join(
+        f"('{s}', CAST({w} AS BIGINT))" for s, w in sorted(_MIX_PPM.items())
+    )
+    return f"""
+WITH w(source, weight_ppm) AS (VALUES {rows}),
+c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY 1),
+j AS (SELECT w.source, c.n_rows, w.weight_ppm FROM w JOIN c USING (source)),
+t AS (SELECT min(n_rows * {_MIX_W} // weight_ppm) AS tmin FROM j)
+SELECT source, n_rows, weight_ppm,
+       CAST(tmin * weight_ppm // {_MIX_W} AS BIGINT) AS planned_rows,
+       CAST((tmin * weight_ppm // {_MIX_W}) * 1000000 // n_rows AS BIGINT)
+         AS sample_ppm
+FROM j, t
+"""
+
+
+@query("o24_mixture_plan", survey_ref="O24,O3", oracle=_mixture_plan_oracle())
+def o24_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHOUT-replacement mixture feasibility plan over the documents
+    corpus (50/30/20 across three sources): how large can the mixed
+    corpus get before the scarcest source runs dry, how many rows each
+    source contributes, and the per-source thinning rate (ppm) to feed
+    a hash sampler — the calculator a pretraining run does before
+    committing to a data mixture.  Exact integer arithmetic end-to-end
+    (``strategies.mixture_plan``); the corpus is scanned ONCE into a
+    #sources-row count frame, everything else is broadcast joins on
+    that tiny frame, so the plan costs one aggregation at any scale."""
+    from scdataset_spark.operators.strategies import mixture_plan
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    return mixture_plan(docs, _MIX_PPM, source_col="source")

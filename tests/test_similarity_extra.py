@@ -85,6 +85,43 @@ class TestBandedLSHPairs:
         assert len(cand) < 0.05 * n * (n - 1) / 2, f"fan-out too high: {len(cand)}"
 
 
+class TestProjectedAnnPairs:
+    def test_recall_band_vs_unprojected_brute_force(self, spark):
+        """The 16-dim projected-bucket ANN path must (a) return ONLY
+        true pairs (exact verify on original vectors) and (b) retain
+        most of them: each ~0.9995-cosine planted pair flips any of the
+        16 projected sign bits with p ~ angle/pi, giving expected
+        recall ~(1 - 0.01)^16 ~ 0.85 — pin a 0.6 floor."""
+        import numpy as np
+
+        from scdataset_spark.operators.similarity import projected_bucket_pairs
+        from scdataset_spark.queries.llm import emb_corpus
+
+        c = emb_corpus(spark, SF_DIR_SMALL)
+        rows = c.collect()
+        n = len(rows)
+        ids = np.array([r.vec_id for r in rows])
+        V = np.array([r.v for r in rows], dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = np.round(Vn @ Vn.T, 4)
+        ia, ib = np.triu_indices(n, 1)
+        hit = C[ia, ib] >= 0.98
+        truth = {
+            (int(min(x, y)), int(max(x, y)))
+            for x, y in zip(ids[ia[hit]], ids[ib[hit]])
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in projected_bucket_pairs(
+                c, id_col="vec_id", vec_col="v", threshold=0.98
+            ).collect()
+        }
+        assert truth, "planted corpus must contain true near-dup pairs"
+        assert got <= truth, f"false pairs: {sorted(got - truth)[:5]}"
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.6, f"projected-bucket recall {recall}"
+
+
 class TestAttachWeights:
     def test_global_scope_joins_by_row_id(self, spark):
         cust = load_table(spark, "customer", SF_DIR_SMALL)
