@@ -827,9 +827,21 @@ def winnowing_fingerprints(
         + "))"
     )
     hashes = f"transform({kgram}, s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    # window min as an UNROLLED least() of clamped element_at — NOT
+    # array_min(slice(...)): slice allocates a window-sized array per
+    # position, and the allocation dominated the whole operator at
+    # scale (profiled at 6.17 M docs / sf100d: md5 of every gram 2.3 s,
+    # slice-based window mins +18.3 s on top; the unroll removes the
+    # per-position allocation).  Clamped duplicate elements (the
+    # size(h) < window edge) cannot change a min.
+    win_terms = ", ".join(
+        "element_at(h, j)" if i == 0
+        else f"element_at(h, least(j + {i}, size(h)))"
+        for i in range(window)
+    )
     mins = (
         f"array_distinct(transform(sequence(1, greatest(size(h) - {window - 1}, 1)), "
-        f"j -> array_min(slice(h, j, {window}))))"
+        f"j -> least({win_terms})))"
     )
     fps = (
         f"transform(array(split({text_col}, ' ')), t -> "
