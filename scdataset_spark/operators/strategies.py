@@ -512,23 +512,31 @@ def mixture_plan(
     and W ≤ 1e6, ``n·W ≤ 1e18 < 2^63``.
 
     Scale shape: ONE groupBy-count on the big side (map-side partial
-    agg → #sources rows), a broadcast join against the weights
-    literal, and a 1-row broadcast min — the corpus is scanned once
-    and never re-shuffled.  Listed sources absent from the data are an
-    in-plan ``raise_error`` (their cap would silently be 0 and zero
-    out the whole plan); unlisted sources are excluded, mirroring
-    :class:`MixtureSampling`.
+    agg → #sources rows, persisted so the caps/min/plan branches reuse
+    it instead of re-scanning), the counts frame broadcast onto the
+    weights literal, and a 1-row broadcast min — the corpus is scanned
+    once and never re-shuffled.  Listed sources absent from the data
+    are an in-plan ``raise_error`` (their cap would silently be 0 and
+    zero out the whole plan); unlisted sources are excluded, mirroring
+    :class:`MixtureSampling`.  (The preserved side of the left-outer
+    join cannot be broadcast in Spark — the hint would be silently
+    dropped and the tiny join would shuffle — so the COUNTS side is
+    the broadcast one, which is also the side worth not recomputing.)
     """
     if not proportions_ppm:
         raise ValueError("proportions_ppm is required (source -> parts-per-million)")
     if any(p <= 0 for p in proportions_ppm.values()):
         raise ValueError("proportions must be positive")
+    from scdataset_spark.operators._cache import persist_bounded
+
     spark = df.sparkSession
     prop = spark.createDataFrame(
         sorted(proportions_ppm.items()), f"{source_col} string, weight_ppm bigint"
     )
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    joined = F.broadcast(prop).join(counts, source_col, "left").withColumn(
+    counts = persist_bounded(
+        df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    joined = prop.join(F.broadcast(counts), source_col, "left").withColumn(
         "n_rows",
         F.when(
             F.col("n_rows").isNull() | (F.col("n_rows") == 0),

@@ -401,3 +401,49 @@ def test_stratified_sample_plans_lazily_with_broadcast_quotas(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_is_shuffle_free_narrow_map(spark):
+    """Chunking is a per-row re-shape: the plan must contain NO
+    exchange and NO Python stage — at 100 TB the scan pipeline absorbs
+    the row multiplication without any co-location."""
+    plan = _plan(spark, "tx_chunk_documents")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_is_shuffle_free_narrow_map(spark):
+    """The projection is one whole-stage-codegen expression per row;
+    nothing to shuffle."""
+    plan = _plan(spark, "sim_random_projection")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_plan_broadcasts_everything_after_one_agg(spark):
+    """One big-side groupBy-count, PERSISTED (the caps/min/plan
+    branches read the cache — InMemoryTableScan — instead of
+    re-scanning the corpus); the counts frame joins onto the weights
+    literal via broadcast-hash (the preserved side of the left-outer
+    can't broadcast, so counts is the build side) and the 1-row min is
+    a broadcast.  Never a cartesian over data rows."""
+    plan = _plan(spark, "o24_mixture_plan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_volume_anomalies_reuses_persisted_day_counts(spark):
+    """The gap-fill + percentile passes run on the persisted
+    days-sized frame (InMemoryTableScan), not on re-derivations of the
+    raw events aggregation; the tiny-frame joins are broadcasts."""
+    plan = _plan(spark, "dq_volume_anomalies")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_projected_ann_no_cartesian(spark):
+    """Candidates come from a bucket equi-self-join; vectors join onto
+    candidates only.  No cross product anywhere."""
+    plan = _plan(spark, "sim_projected_ann")
+    assert "CartesianProduct" not in plan

@@ -253,6 +253,32 @@ class TestEmbedCosinePairsFast:
         for pair, cos in exact.items():
             assert abs(fast[pair] - cos) < 5e-4, (pair, cos, fast[pair])
 
+    def test_string_ids_supported_on_both_paths(self, spark):
+        """The mapInPandas schemas derive the id type from the input
+        frame, so string doc ids must flow through banding + bucket
+        verify unchanged on BOTH the vectorized and fold signature
+        paths (regression: the vectorized path hardcoded bigint and
+        read ids positionally)."""
+        from scdataset_spark.operators.similarity import embed_cosine_pairs_fast
+
+        base = [float(i % 7 + 1) for i in range(64)]
+        near = [v + 1e-4 for v in base]
+        far = [float((-1) ** i * (i % 5 + 1)) for i in range(64)]
+        df = spark.createDataFrame(
+            [("doc-a", base), ("doc-b", near), ("doc-c", far)],
+            "id string, embedding array<double>",
+        )
+        for vectorized in (True, False):
+            pairs = {
+                (r.id_a, r.id_b)
+                for r in embed_cosine_pairs_fast(
+                    df, id_col="id", vec="embedding", threshold=0.98,
+                    bands=8, rows_per_band=8,
+                    vectorized_signatures=vectorized,
+                ).collect()
+            }
+            assert pairs == {("doc-a", "doc-b")}, (vectorized, pairs)
+
     def test_vectorized_and_fold_signatures_agree(self, spark):
         """The BLAS signature matmul must produce the identical pair
         set and cosines as the Catalyst HOF fold — a sign bit can only

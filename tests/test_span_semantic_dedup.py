@@ -204,3 +204,36 @@ class TestSemanticDedupFast:
             ).collect()
         }
         assert flat == routed, f"{len(flat ^ routed)} differing rows"
+
+    def test_routing_tie_break_on_duplicate_vectors(self, spark):
+        """Exact duplicate vectors make seeded centroids COINCIDE, so
+        rows sit at exactly equal distance to several centroids — the
+        case where the routed path's update rule must reproduce the
+        flat argmin's lowest-index-wins tie rule (the r8 advisor
+        finding: strict '<' updates kept the first-visited group
+        instead).  120 rows = 30 distinct vectors x 4 copies,
+        n_clusters=40 guarantees duplicate centroids; coarse_route_k=8
+        forces the two-level path."""
+        from scdataset_spark.operators.similarity import semantic_dedup_fast
+
+        rows = [
+            (p * 100 + copy, [float((p * 31 + i * 7) % 13 - 6) for i in range(64)])
+            for p in range(30)
+            for copy in range(4)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+        flat = {
+            (r["vec_id"], r["cell"], r["kept"])
+            for r in semantic_dedup_fast(
+                df, id_col="vec_id", vec="v", n_clusters=40, seed=11,
+                coarse_route_k=10_000,
+            ).collect()
+        }
+        routed = {
+            (r["vec_id"], r["cell"], r["kept"])
+            for r in semantic_dedup_fast(
+                df, id_col="vec_id", vec="v", n_clusters=40, seed=11,
+                coarse_route_k=8,
+            ).collect()
+        }
+        assert flat == routed, f"{len(flat ^ routed)} differing rows"
