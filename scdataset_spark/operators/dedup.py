@@ -948,3 +948,91 @@ def duplicate_span_coverage(
             ).alias("dup_token_fraction"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """The TRANSFORM counterpart of :func:`duplicate_span_coverage`
+    (Lee et al. 2021's actual intervention): rewrite every document
+    with its corpus-duplicated token spans REMOVED.  A token position
+    is removed iff some ``k``-gram covering it occurs >= 2 times in the
+    whole corpus, so ``k`` is the minimum span length removed — the
+    exact-substring dedup pass that runs after document-level dedup to
+    strip shared boilerplate/quotations the surviving documents still
+    carry.
+
+    Relational shape (all short-key equi operations, no window):
+
+    1. the same slim gram-hash explode + corpus df screen as the
+       coverage metric (60-bit md5 prefix rides the shuffle, never the
+       gram text);
+    2. each duplicated gram START expands to its <= ``k`` covered
+       positions (``explode(sequence(...))`` — a narrow xk re-shape of
+       the already-small duplicated-position set), distinct;
+    3. one (id, position) anti-join drops covered tokens, and the
+       rebuilt text is an order-independent sorted-struct aggregation
+       (``array_sort(collect_list(struct(pos, tok)))`` → join) — the
+       same engine-exact rebuild discipline as the decimal sums.
+
+    At 100 TB the dominant cost is the token-level explode (the honest
+    floor for a token-level rewrite) and two hash-partitioned shuffles
+    on (gram-hash) and (id, pos).  Fully-duplicated documents survive
+    as empty strings (``clean_text = ''``), never dropped rows.
+    Output: ``n_tokens``, ``removed_tokens``, ``clean_text``.
+    """
+    from scdataset_spark.operators._cache import widen_if_narrow
+
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(t, least(i + {j}, size(t)))" for j in range(k)
+    ) + ")"
+    ghash = (
+        f"transform(array(split({text_col}, ' ')), t -> "
+        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)), "
+        f"i -> CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS BIGINT)))[0]"
+    )
+    wide = widen_if_narrow(df)
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+    )
+    grams = wide.select(
+        F.col(id_col), F.posexplode(F.expr(ghash)).alias("_p0", "gh")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gh")
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup_hashes, "gh", "left_semi")
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("tpos"),
+        )
+        .distinct()
+    )
+    tokens = wide.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_t0", "tok"),
+    ).select(id_col, (F.col("_t0") + 1).alias("tpos"), "tok")
+    kept = tokens.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(tpos, tok))),"
+            " s -> s.tok), ' ')"
+        ).alias("_clean"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.coalesce("_clean", F.lit("")).alias("clean_text"),
+    )

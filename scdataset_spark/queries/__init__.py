@@ -36,6 +36,7 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # changes.
 _SWEEP_PRIORITY = [
     # --- new in round 9: never externally checked ---
+    "dd_remove_spans",
     "o24_mixture_plan",
     "tx_chunk_documents",
     "sim_random_projection",

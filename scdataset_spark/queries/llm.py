@@ -1888,3 +1888,62 @@ def sim_projected_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, id_col="vec_id", vec_col="v", dim=64,
         out_dim=_RP_OUT_DIM, seed=_RP_SEED, threshold=0.98,
     ).withColumnRenamed("vec_id", "id_a")
+
+
+def _remove_spans_oracle(k: int = 5) -> str:
+    gram = " || ' ' || ".join(
+        f"sp[least(i + {j}, len(sp))]" for j in range(k)
+    )
+    return f"""
+WITH {CORPUS_SQL},
+sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+base AS (SELECT doc_id, len(sp) AS n_tokens, sp FROM sp_t),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(sp) - {k - 1}, 1) + 1),
+             i -> {{'pos': i,
+                    'gh': ('0x' || substr(md5({gram}), 1, 15))::BIGINT}})) AS u
+    FROM base) t
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS tpos
+  FROM g, unnest(generate_series(0, {k - 1})) AS tj(j)
+  WHERE gh IN (SELECT gh FROM dup)
+),
+tok AS (
+  SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(sp) + 1),
+             i -> {{'tpos': i, 'tok': sp[i]}})) AS u
+    FROM base) t
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+  WHERE c.tpos IS NULL
+),
+rb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.n_tokens - coalesce(rb.n_kept, 0) AS BIGINT) AS removed_tokens,
+       coalesce(rb.clean, '') AS clean_text
+FROM base b LEFT JOIN rb USING (doc_id)
+"""
+
+
+@query("dd_remove_spans", survey_ref="§2.14 dedup", oracle=_remove_spans_oracle())
+def dd_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN removal (Lee et al. 2021's intervention,
+    not just its metric): rewrite each planted-corpus document with
+    every token covered by a corpus-duplicated 5-gram stripped —
+    fully-duplicated docs survive as empty strings, partial boilerplate
+    is excised in place (``dedup.remove_duplicate_spans``).  The oracle
+    re-derives every cleaned string byte-for-byte: gram hashing, the
+    df >= 2 screen, position expansion, and the order-stable rebuild
+    are all engine-portable."""
+    return dd.remove_duplicate_spans(corpus(spark, sf_dir), k=5)
