@@ -890,6 +890,11 @@ def projected_bucket_pairs(
     out_dim: int = 16,
     seed: int = 5,
     threshold: float = 0.98,
+    verify_local: bool = False,
+    max_bucket: int | None = None,
+    digits: int = 4,
+    block: int = 2048,
+    vectorized_projection: bool = False,
 ) -> DataFrame:
     """ANN near-dup pairs THROUGH the random projection: project
     ``dim → out_dim`` (:func:`random_projection`), bucket each vector by
@@ -910,14 +915,82 @@ def projected_bucket_pairs(
     Scale shape: one narrow projection pass (no shuffle), one groupBy
     on id (re-packs the narrow rows into one bucket key per vector),
     one equi-self-join on a short integer key, and a vector-fetch join
-    onto the candidates only — the same corpus-bounded-shuffle posture
-    as the banded LSH chain; no cross product anywhere."""
-    proj = random_projection(df, id_col, vec_col, dim, out_dim, seed)
-    buckets = proj.groupBy(id_col).agg(
-        F.sum(F.expr("IF(value > 0, shiftleft(1L, dim_id), 0L)"))
-        .cast("bigint")
-        .alias("bucket")
-    )
+    onto the candidates only — no cross product anywhere.  BUT on a
+    CLUSTERED corpus the default join-verify is candidate-proportional:
+    a cluster's vectors mostly agree on all ``out_dim`` sign bits, so
+    candidates grow ~Σ|cluster|² and the pair join goes scratch-bound
+    exactly like the exact embedding chain (measured: the 288 k-vector
+    sf10e audit did not finish inside 10 minutes at out_dim=16).  Past
+    ~10^5 clustered vectors set ``verify_local=True``: vectors ride ONE
+    float32 copy to their bucket (``repartition(bucket) +
+    sortWithinPartitions + mapInPandas``) and each bucket verifies its
+    own pairs with a strip-blocked BLAS Gram, so shuffle volume stays
+    corpus-bounded and only >= ``threshold`` pairs ever leave a bucket
+    (the ``embed_cosine_pairs_fast`` posture; float64 Gram, same
+    ``digits`` rounding — pinned equal to the join path on the planted
+    corpus).  Size ``out_dim`` ≳ log2(n_vectors) + 4 regardless, and
+    cap degenerate boilerplate buckets with ``max_bucket``.
+
+    ``vectorized_projection=True`` is the second half of the scale
+    posture: the decimal HOF projection evaluates out_dim·dim mix()
+    expressions + DECIMAL boxing PER ROW (the exact-parity discipline
+    the ORACLE needs — and the same Catalyst-fold wall the embedding
+    signatures hit at 2.4 M rows), while buckets only need SIGNS — one
+    ``X @ W.T`` per Arrow batch with the identical mix-derived ±1
+    matrix produces the same sign bits except where a projection sits
+    within ulps of exactly 0 (pinned bucket-for-bucket on the planted
+    corpus)."""
+    import numpy as np
+
+    if vectorized_projection:
+        import pandas as pd
+
+        from scdataset_spark.plans.seeds import mix_py
+
+        W = np.asarray(
+            [
+                [
+                    float(1 - 2 * (mix_py((i - 1) * out_dim + j, seed) % 2 != 0))
+                    for i in range(1, dim + 1)
+                ]
+                for j in range(out_dim)
+            ]
+        )  # (out_dim, dim); sign convention identical to random_projection
+        pows = (1 << np.arange(out_dim, dtype=np.int64))
+        idt = df.schema[id_col].dataType.simpleString()
+
+        def _bucket(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                bits = (X @ W.T) > 0
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "bucket": bits.astype(np.int64) @ pows,
+                    }
+                )
+
+        buckets = df.select(
+            F.col(id_col), F.col(vec_col).alias("_v")
+        ).mapInPandas(_bucket, f"{id_col} {idt}, bucket bigint")
+    else:
+        proj = random_projection(df, id_col, vec_col, dim, out_dim, seed)
+        buckets = proj.groupBy(id_col).agg(
+            F.sum(F.expr("IF(value > 0, shiftleft(1L, dim_id), 0L)"))
+            .cast("bigint")
+            .alias("bucket")
+        )
+    counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    ok = counts.where(F.col("_bn") >= 2)
+    if max_bucket is not None:
+        ok = ok.where(F.col("_bn") <= max_bucket)
+    buckets = buckets.join(ok.select("bucket"), "bucket", "left_semi")
+    if verify_local:
+        return _bucket_local_cosine_pairs(
+            df, buckets, id_col, vec_col, threshold, digits, block
+        )
     cand = (
         buckets.select(F.col(id_col).alias("id_a"), "bucket")
         .join(
@@ -943,6 +1016,102 @@ def projected_bucket_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _bucket_local_cosine_pairs(
+    df: DataFrame,
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    digits: int,
+    block: int,
+) -> DataFrame:
+    """Verify every same-bucket pair INSIDE its bucket with a
+    strip-blocked float64 Gram, streaming Arrow batches whose rows
+    arrive hash-partitioned on ``bucket`` and sorted by (bucket, id) —
+    bucket boundaries are change-flag slices and a batch-straddling
+    tail bucket carries into the next batch (the
+    ``embed_cosine_pairs_fast`` verify posture: per-bucket overhead is
+    O(1) numpy slicing, shuffle volume is one vector copy per row,
+    never candidate-proportional)."""
+    import numpy as np
+    import pandas as pd
+
+    id_sql_type = df.schema[id_col].dataType.simpleString()
+    id_np = "int64" if id_sql_type in ("bigint", "int", "smallint", "tinyint") else "object"
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+        {"id_a": id_np, "id_b": id_np, "cos": "float64"}
+    )
+    thr = float(threshold)
+
+    def _emit(chunk):
+        b = chunk["bucket"].to_numpy()
+        ids_all = chunk[id_col].to_numpy()
+        V_all = np.stack(chunk["_v32"].to_numpy()).astype(np.float64)
+        starts = np.flatnonzero(b[1:] != b[:-1]) + 1
+        bounds = np.concatenate([[0], starts, [len(chunk)]])
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            ids, V = ids_all[s:e], V_all[s:e]
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            n = len(ids)
+            for j0 in range(0, n, block):
+                j1 = min(j0 + block, n)
+                G = np.round(Vn @ Vn[j0:j1].T, digits)
+                ii, jj = np.nonzero(G >= thr)
+                keep = ii < (jj + j0)
+                out_a.append(ids[ii[keep]])
+                out_b.append(ids[jj[keep] + j0])
+                out_c.append(G[ii[keep], jj[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    def _stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            b = pdf["bucket"].to_numpy()
+            starts = np.flatnonzero(b[1:] != b[:-1]) + 1
+            tail_start = int(starts[-1]) if len(starts) else 0
+            if tail_start > 0:
+                chunk, carry = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
+                yield _emit(chunk)
+            else:
+                carry = pdf
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
+    rows = assigned.join(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<float>").alias("_v32")
+        ),
+        id_col,
+    )
+    pairs = (
+        rows.select(id_col, "bucket", "_v32")
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", id_col)
+        .mapInPandas(
+            _stream, f"id_a {id_sql_type}, id_b {id_sql_type}, cos double"
+        )
+    )
+    # cross-bucket duplicates impossible (one bucket per vector), but
+    # keep the output contract identical to the join path
+    return pairs.select("id_a", "id_b", F.col("cos").alias("cosine"))
 
 
 def semantic_dedup_fast(

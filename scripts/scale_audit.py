@@ -103,12 +103,30 @@ def _drift_scaled(spark, sf_dir):
     return distribution_drift(base, curr, "n_chars", 0.0, 2000.0)
 
 
+def _projected_ann_scaled(spark, sf_dir):
+    """Audit-only sim_projected_ann with SCALE-SIZED parameters: the
+    registered query's out_dim=16 + join verify is the sf0.01 oracle
+    shape; on a clustered corpus at 10^5+ vectors the sizing rule is
+    out_dim ≳ log2(n) + 4 and verify_local=True (bucket-local Gram —
+    candidates never ride a shuffle).  out_dim=24 covers the sf10e
+    (288 k) and sf100e (2.4 M) fixtures."""
+    from scdataset_spark.operators.similarity import projected_bucket_pairs
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, sf_dir)
+    return projected_bucket_pairs(
+        c, id_col="vec_id", vec_col="v", out_dim=24, threshold=0.98,
+        verify_local=True, max_bucket=20_000, vectorized_projection=True,
+    )
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
 EXTRA = {
     "semantic_dedup_scaled": _semantic_dedup_scaled,
     "interleave_scaled": _interleave_scaled,
     "drift_scaled": _drift_scaled,
+    "projected_ann_scaled": _projected_ann_scaled,
 }
 
 

@@ -121,6 +121,58 @@ class TestProjectedAnnPairs:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.6, f"projected-bucket recall {recall}"
 
+    def test_local_verify_matches_join_verify(self, spark):
+        """verify_local=True (bucket-local BLAS Gram, the clustered-
+        corpus scale path) must produce the identical pair set as the
+        exact join verify, with cosines agreeing to the shared
+        rounding."""
+        from scdataset_spark.operators.similarity import projected_bucket_pairs
+        from scdataset_spark.queries.llm import emb_corpus
+
+        c = emb_corpus(spark, SF_DIR_SMALL)
+        join_pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in projected_bucket_pairs(
+                c, id_col="vec_id", vec_col="v", threshold=0.98
+            ).collect()
+        }
+        local_pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in projected_bucket_pairs(
+                c, id_col="vec_id", vec_col="v", threshold=0.98,
+                verify_local=True,
+            ).collect()
+        }
+        assert set(join_pairs) == set(local_pairs)
+        for pair, cos in join_pairs.items():
+            # float32 transport on the local path: 5e-4 envelope
+            assert abs(local_pairs[pair] - cos) < 5e-4, (pair, cos)
+
+    def test_vectorized_projection_matches_decimal_buckets(self, spark):
+        """The BLAS sign-bit projection must land every vector in the
+        SAME bucket as the decimal-exact HOF projection (a sign can
+        only differ where a projection sits within ulps of exactly 0),
+        so the full fast-path pair set equals the slow path's."""
+        from scdataset_spark.operators.similarity import projected_bucket_pairs
+        from scdataset_spark.queries.llm import emb_corpus
+
+        c = emb_corpus(spark, SF_DIR_SMALL)
+        slow = {
+            (r.id_a, r.id_b)
+            for r in projected_bucket_pairs(
+                c, id_col="vec_id", vec_col="v", threshold=0.98,
+                verify_local=True,
+            ).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b)
+            for r in projected_bucket_pairs(
+                c, id_col="vec_id", vec_col="v", threshold=0.98,
+                verify_local=True, vectorized_projection=True,
+            ).collect()
+        }
+        assert slow == fast, f"{len(slow ^ fast)} differing pairs"
+
 
 class TestAttachWeights:
     def test_global_scope_joins_by_row_id(self, spark):
