@@ -6,9 +6,14 @@ Composes the §2.14 surface the way a production pipeline would:
   2. exact dedup     — md5 fingerprint groups, keep min doc_id
   3. near dedup      — MinHash+LSH candidates -> connected components,
                        keep one representative per cluster
-  4. decontamination — drop train docs sharing >= 5 exact 3-grams with
+  4. span removal    — strip corpus-duplicated 5-gram spans from the
+                       survivors (exact substring dedup: document-level
+                       dedup keeps one copy of a NEAR-dup cluster, but
+                       shared boilerplate inside surviving docs only
+                       dies here)
+  5. decontamination — drop train docs sharing >= 5 exact 3-grams with
                        the (here: residue-split) eval set
-  5. token budgeting — BPE-ish counts, pack survivors into 2048-token
+  6. token budgeting — BPE-ish counts, pack survivors into 2048-token
                        context windows
 
 Run: python examples/curate_corpus.py  (uses /root/testdata/sf0.001)
@@ -69,7 +74,15 @@ def main() -> None:
         kept = kept.join(dupes, "doc_id", "left_anti")
     n3 = kept.count()
 
-    # 4. exact n-gram decontamination vs the eval split ---------------
+    # 4. duplicate-span removal (exact substring dedup) ---------------
+    cleaned = dd.remove_duplicate_spans(kept, k=5)
+    kept = (
+        cleaned.where(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    n3b = kept.count()
+
+    # 5. exact n-gram decontamination vs the eval split ---------------
     sh = dd.with_shingles(kept).select("doc_id", F.explode("shingles").alias("s"))
     ev = sh.where(F.col("doc_id") % 10 == 3).select("s").distinct()
     hits = (
@@ -83,7 +96,7 @@ def main() -> None:
     kept = kept.join(hits, "doc_id", "left_anti")
     n4 = kept.count()
 
-    # 5. token budget + context-window packing ------------------------
+    # 6. token budget + context-window packing ------------------------
     budgeted = tx.with_bpe_token_count(kept).select("doc_id", "n_bpe")
     packed = with_running_sum(budgeted, "n_bpe", "doc_id", out="cum", buckets=16)
     windows = packed.select(
@@ -93,7 +106,7 @@ def main() -> None:
 
     print(
         f"documents: {n0} -> quality {n1} -> exact-dedup {n2} "
-        f"-> near-dedup {n3} -> decontaminated {n4}"
+        f"-> near-dedup {n3} -> span-cleaned {n3b} -> decontaminated {n4}"
     )
     print(f"packed into {n_windows} x 2048-token context windows")
 
