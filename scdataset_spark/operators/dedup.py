@@ -560,11 +560,11 @@ def connected_components_star(
     materializes it — the checkpoint persists as a side effect of the
     job the probe needed anyway, so the iterative lineage never
     compounds and no separate materialization job runs.  Convergence =
-    edge multiset fixed point, detected by a (count, sum(xxhash64))
-    signature — a 64-bit-sum collision between DIFFERENT consecutive
-    edge sets is vanishingly unlikely, and a false "converged" would
-    still surface downstream because the final labels take a grouped
-    min over the star edges.
+    edge-set fixed point, detected by a (count, sum(xxhash64))
+    signature and CONFIRMED exactly (anti-join emptiness between the
+    two checkpointed edge frames — counts already match via the
+    signature) on the round the signature first repeats, so a hash-sum
+    collision costs one extra probe, never a wrong answer.
     """
     # Materialize the (possibly expensive: LSH candidates + verify)
     # edge lineage ONCE; nodes and the initial edge set both derive
@@ -672,11 +672,22 @@ def connected_components_star(
     sig = signature(e)
     converged = False
     for _ in range(max_iterations):
-        e = small_star(large_star(e)).localCheckpoint(eager=False)
+        prev_e, e = e, small_star(large_star(e)).localCheckpoint(eager=False)
         new_sig = signature(e)
         if new_sig == sig:
-            converged = True
-            break
+            # same posture as connected_components: promote the first
+            # signature equality to an EXACT set comparison (counts are
+            # already equal via the signature, so one-sided anti-join
+            # emptiness proves set equality — both frames are
+            # checkpointed, one cheap extra job per call).  A hash-sum
+            # collision degrades to one wasted probe, never wrong
+            # components.
+            changed = (
+                e.join(prev_e, ["u", "v"], "left_anti").limit(1).count()
+            )
+            if changed == 0:
+                converged = True
+                break
         sig = new_sig
     if not converged:
         raise RuntimeError(
