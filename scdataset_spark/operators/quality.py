@@ -179,6 +179,28 @@ def volume_anomalies(
     """
     from scdataset_spark.operators._cache import persist_bounded
 
+    # date_trunc accepts more unit spellings than INTERVAL does
+    # ('quarter', 'dd', 'mon', ... are valid truncations but not valid
+    # interval units) — map every supported bucket to its gap-fill
+    # stride explicitly and reject the rest up front, instead of
+    # letting the sequence() expression throw a parse error at the
+    # first action.
+    steps = {
+        "minute": "interval 1 minute",
+        "hour": "interval 1 hour",
+        "day": "interval 1 day", "dd": "interval 1 day",
+        "week": "interval 1 week",
+        "month": "interval 1 month", "mon": "interval 1 month",
+        "mm": "interval 1 month",
+        "quarter": "interval 3 month",
+        "year": "interval 1 year", "yyyy": "interval 1 year",
+        "yy": "interval 1 year",
+    }
+    step = steps.get(bucket.lower())
+    if step is None:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}: one of {sorted(steps)}"
+        )
     observed = persist_bounded(
         df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -187,9 +209,7 @@ def volume_anomalies(
         F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
     )
     grid = span.where(F.col("_lo").isNotNull()).select(
-        F.explode(
-            F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")
-        ).alias("bucket_ts")
+        F.explode(F.expr(f"sequence(_lo, _hi, {step})")).alias("bucket_ts")
     )
     counts = grid.join(observed, "bucket_ts", "left").select(
         "bucket_ts",

@@ -286,6 +286,118 @@ def lsh_banded_pairs(
     )
 
 
+def _streamed_bucket_gram(
+    rows: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    id_sql_type: str,
+    threshold: float,
+    digits: int,
+    block: int,
+) -> DataFrame:
+    """Shared bucket-LOCAL pair verification: ``rows`` carries
+    (*key_cols, id, float32 vector); rows are hash-partitioned on the
+    key and sorted by (key, id), and each (key) bucket verifies its own
+    pairs with a strip-blocked float64 Gram — only pairs ≥ ``threshold``
+    ever leave a bucket, so shuffle volume is one vector copy per row,
+    never candidate-proportional.
+
+    MANY tiny buckets per Arrow batch is the expected regime (measured
+    at sf10e: 327 k collision buckets of ~3.5 rows; per-GROUP pandas
+    DataFrame construction in ``groupBy().applyInPandas()`` cost ~40 s
+    at that scale): bucket boundaries are change-flag slices inside
+    each batch and the (possibly batch-straddling) tail bucket carries
+    into the next batch, so per-bucket overhead is O(1) numpy slicing.
+    Used by both :func:`embed_cosine_pairs_fast` (key = (band_id, sig))
+    and the projected-bucket local verify (key = bucket)."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    id_np = "int64" if id_sql_type in ("bigint", "int", "smallint", "tinyint") else "object"
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+        {"id_a": id_np, "id_b": id_np, "cos": "float64"}
+    )
+
+    def _starts(chunk):
+        # bucket boundaries via change flags OR-ed across the key
+        # columns (needs only grouped-contiguous rows, which
+        # sortWithinPartitions guarantees)
+        flags = None
+        for kc in key_cols:
+            a = chunk[kc].to_numpy()
+            f = a[1:] != a[:-1]
+            flags = f if flags is None else (flags | f)
+        return np.flatnonzero(flags) + 1
+
+    def _group_pairs(ids, V):
+        # one collision bucket, rows already id-sorted
+        n = len(ids)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        out_a, out_b, out_c = [], [], []
+        for j0 in range(0, n, block):
+            j1 = min(j0 + block, n)
+            G = np.round(Vn @ Vn[j0:j1].T, digits)
+            ii, jj = np.nonzero(G >= thr)
+            keep = ii < (jj + j0)  # strict upper triangle in global index
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep] + j0])
+            out_c.append(G[ii[keep], jj[keep]])
+        return out_a, out_b, out_c
+
+    def _emit(chunk):
+        ids_all = chunk[id_col].to_numpy()
+        V_all = np.stack(chunk["_v32"].to_numpy()).astype(np.float64)
+        bounds = np.concatenate([[0], _starts(chunk), [len(chunk)]])
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            a, b, cc = _group_pairs(ids_all[s:e], V_all[s:e])
+            out_a += a
+            out_b += b
+            out_c += cc
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    def _stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            starts = _starts(pdf)
+            # hold back the trailing bucket — it may continue in the
+            # next Arrow batch of this partition
+            tail_start = int(starts[-1]) if len(starts) else 0
+            if tail_start > 0:
+                chunk, carry = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
+            else:
+                chunk, carry = None, pdf
+            if chunk is None or not len(chunk):
+                continue
+            yield _emit(chunk)
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
+    return (
+        rows.repartition(*[F.col(k) for k in key_cols])
+        .sortWithinPartitions(*key_cols, id_col)
+        .mapInPandas(
+            _stream, f"id_a {id_sql_type}, id_b {id_sql_type}, cos double"
+        )
+    )
+
+
 def embed_cosine_pairs_fast(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -453,97 +565,16 @@ def embed_cosine_pairs_fast(
         banded = banded.join(
             ok.select("band_id", "sig"), ["band_id", "sig"], "left_semi"
         )
-    thr = float(threshold)
-
-    id_np = "int64" if id_sql_type in ("bigint", "int", "smallint", "tinyint") else "object"
-    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-        {"id_a": id_np, "id_b": id_np, "cos": "float64"}
+    pairs = _streamed_bucket_gram(
+        banded.select(id_col, "band_id", "sig", "_v32"),
+        ["band_id", "sig"],
+        id_col,
+        id_sql_type,
+        threshold,
+        digits,
+        block,
     )
-
-    def _group_pairs(ids, V):
-        # one collision bucket, rows already id-sorted
-        n = len(ids)
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        out_a, out_b, out_c = [], [], []
-        for j0 in range(0, n, block):
-            j1 = min(j0 + block, n)
-            G = np.round(Vn @ Vn[j0:j1].T, digits)
-            ii, jj = np.nonzero(G >= thr)
-            keep = ii < (jj + j0)  # strict upper triangle in global index
-            out_a.append(ids[ii[keep]])
-            out_b.append(ids[jj[keep] + j0])
-            out_c.append(G[ii[keep], jj[keep]])
-        return out_a, out_b, out_c
-
-    def _stream_pairs(batches):
-        # MANY tiny buckets per Arrow batch: rows arrive hash-partitioned
-        # on (band_id, sig) and sorted by (band_id, sig, id), so each
-        # bucket is a contiguous slice — np.unique finds the slice
-        # boundaries and the (possibly batch-straddling) tail bucket is
-        # carried into the next batch.  The per-GROUP pandas overhead of
-        # groupBy().applyInPandas() was the measured bottleneck at
-        # sf10e: 327 k collision buckets of ~3.5 rows each (Σ|bucket|²
-        # = 7.9 M — trivial Gram flops) cost ~40 s in DataFrame-per-
-        # group construction alone; per-BATCH amortization removes it.
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            b = pdf["band_id"].to_numpy()
-            s = pdf["sig"].to_numpy()
-            # bucket boundaries via change flags (needs only grouped-
-            # contiguous rows, which sortWithinPartitions guarantees)
-            starts = np.flatnonzero((b[1:] != b[:-1]) | (s[1:] != s[:-1])) + 1
-            # hold back the trailing bucket — it may continue in the
-            # next Arrow batch of this partition
-            tail_start = int(starts[-1]) if len(starts) else 0
-            if tail_start > 0:
-                chunk, carry = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
-            else:
-                chunk, carry = None, pdf
-            if chunk is None or not len(chunk):
-                continue
-            yield _emit(chunk)
-        if carry is not None and len(carry):
-            yield _emit(carry)
-
-    def _emit(chunk):
-        b = chunk["band_id"].to_numpy()
-        s = chunk["sig"].to_numpy()
-        ids_all = chunk[id_col].to_numpy()
-        V_all = np.stack(chunk["_v32"].to_numpy()).astype(np.float64)
-        starts = np.flatnonzero((b[1:] != b[:-1]) | (s[1:] != s[:-1])) + 1
-        bounds = np.concatenate([[0], starts, [len(chunk)]])
-        out_a, out_b, out_c = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            a, b, cc = _group_pairs(ids_all[s:e], V_all[s:e])
-            out_a += a
-            out_b += b
-            out_c += cc
-        if not out_a:
-            return empty
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cos": np.concatenate(out_c),
-            }
-        )
-
-    pairs = (
-        banded.select(id_col, "band_id", "sig", "_v32")
-        .repartition(F.col("band_id"), F.col("sig"))
-        .sortWithinPartitions("band_id", "sig", id_col)
-        .mapInPandas(
-            _stream_pairs,
-            f"id_a {id_sql_type}, id_b {id_sql_type}, cos double",
-        )
-    )
+    # a pair colliding in SEVERAL bands appears once per band — collapse
     return pairs.groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
 
 
@@ -1012,7 +1043,9 @@ def projected_bucket_pairs(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cosine", cosine_norm_expr("_va", "_vb", "_na", "_nb"))
+        .withColumn(
+            "cosine", cosine_norm_expr("_va", "_vb", "_na", "_nb", digits=digits)
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1027,87 +1060,25 @@ def _bucket_local_cosine_pairs(
     digits: int,
     block: int,
 ) -> DataFrame:
-    """Verify every same-bucket pair INSIDE its bucket with a
-    strip-blocked float64 Gram, streaming Arrow batches whose rows
-    arrive hash-partitioned on ``bucket`` and sorted by (bucket, id) —
-    bucket boundaries are change-flag slices and a batch-straddling
-    tail bucket carries into the next batch (the
-    ``embed_cosine_pairs_fast`` verify posture: per-bucket overhead is
-    O(1) numpy slicing, shuffle volume is one vector copy per row,
-    never candidate-proportional)."""
-    import numpy as np
-    import pandas as pd
-
+    """Verify every same-bucket pair INSIDE its bucket via the shared
+    :func:`_streamed_bucket_gram` machinery (one float32 vector copy
+    per row through the shuffle, blocked Gram per bucket, only
+    >= threshold pairs leave)."""
     id_sql_type = df.schema[id_col].dataType.simpleString()
-    id_np = "int64" if id_sql_type in ("bigint", "int", "smallint", "tinyint") else "object"
-    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-        {"id_a": id_np, "id_b": id_np, "cos": "float64"}
-    )
-    thr = float(threshold)
-
-    def _emit(chunk):
-        b = chunk["bucket"].to_numpy()
-        ids_all = chunk[id_col].to_numpy()
-        V_all = np.stack(chunk["_v32"].to_numpy()).astype(np.float64)
-        starts = np.flatnonzero(b[1:] != b[:-1]) + 1
-        bounds = np.concatenate([[0], starts, [len(chunk)]])
-        out_a, out_b, out_c = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            ids, V = ids_all[s:e], V_all[s:e]
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            n = len(ids)
-            for j0 in range(0, n, block):
-                j1 = min(j0 + block, n)
-                G = np.round(Vn @ Vn[j0:j1].T, digits)
-                ii, jj = np.nonzero(G >= thr)
-                keep = ii < (jj + j0)
-                out_a.append(ids[ii[keep]])
-                out_b.append(ids[jj[keep] + j0])
-                out_c.append(G[ii[keep], jj[keep]])
-        if not out_a:
-            return empty
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cos": np.concatenate(out_c),
-            }
-        )
-
-    def _stream(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            b = pdf["bucket"].to_numpy()
-            starts = np.flatnonzero(b[1:] != b[:-1]) + 1
-            tail_start = int(starts[-1]) if len(starts) else 0
-            if tail_start > 0:
-                chunk, carry = pdf.iloc[:tail_start], pdf.iloc[tail_start:]
-                yield _emit(chunk)
-            else:
-                carry = pdf
-        if carry is not None and len(carry):
-            yield _emit(carry)
-
     rows = assigned.join(
         df.select(
             F.col(id_col), F.col(vec_col).cast("array<float>").alias("_v32")
         ),
         id_col,
     )
-    pairs = (
-        rows.select(id_col, "bucket", "_v32")
-        .repartition(F.col("bucket"))
-        .sortWithinPartitions("bucket", id_col)
-        .mapInPandas(
-            _stream, f"id_a {id_sql_type}, id_b {id_sql_type}, cos double"
-        )
+    pairs = _streamed_bucket_gram(
+        rows.select(id_col, "bucket", "_v32"),
+        ["bucket"],
+        id_col,
+        id_sql_type,
+        threshold,
+        digits,
+        block,
     )
     # cross-bucket duplicates impossible (one bucket per vector), but
     # keep the output contract identical to the join path

@@ -26,11 +26,11 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-9 priority (VERDICT r8 task 3): (a) the five queries
+# cosmetics.  Round-9 priority (VERDICT r8 task 3): (a) the six queries
 # NEW this round (never externally checked) lead, then (b) the 42-query
 # cohort whose most recent external check is round 6 (two rounds stale —
 # the rotation bound), then the round-7 cohort, then the round-8 cohort
-# last.  A 50-slot sweep covers every new entry plus the full r6-stale
+# last.  A 50-slot sweep covers all six new entries plus the full r6-stale
 # cohort, so after round 9 no registry entry is more than two rounds
 # externally stale.  Names and semantics are frozen; only iteration order
 # changes.

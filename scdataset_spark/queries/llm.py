@@ -1887,7 +1887,7 @@ def sim_projected_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.projected_bucket_pairs(
         c, id_col="vec_id", vec_col="v", dim=64,
         out_dim=_RP_OUT_DIM, seed=_RP_SEED, threshold=0.98,
-    ).withColumnRenamed("vec_id", "id_a")
+    )
 
 
 def _remove_spans_oracle(k: int = 5) -> str:

@@ -108,14 +108,15 @@ def _projected_ann_scaled(spark, sf_dir):
     registered query's out_dim=16 + join verify is the sf0.01 oracle
     shape; on a clustered corpus at 10^5+ vectors the sizing rule is
     out_dim ≳ log2(n) + 4 and verify_local=True (bucket-local Gram —
-    candidates never ride a shuffle).  out_dim=24 covers the sf10e
-    (288 k) and sf100e (2.4 M) fixtures."""
+    candidates never ride a shuffle).  out_dim=32 satisfies the rule
+    at both audited fixtures (sf10e 288 k → ≳22.1; sf100e 2.4 M →
+    ≳25.2)."""
     from scdataset_spark.operators.similarity import projected_bucket_pairs
     from scdataset_spark.queries.llm import emb_corpus
 
     c = emb_corpus(spark, sf_dir)
     return projected_bucket_pairs(
-        c, id_col="vec_id", vec_col="v", out_dim=24, threshold=0.98,
+        c, id_col="vec_id", vec_col="v", out_dim=32, threshold=0.98,
         verify_local=True, max_bucket=20_000, vectorized_projection=True,
     )
 
