@@ -269,3 +269,76 @@ def numeric_outliers(
         .where((F.col("_sigma") > 0) & (F.abs(z) > z_threshold))
         .select(*id_cols, value_col, F.round(z, 6).alias("z"))
     )
+
+
+def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
+    """Deequ-style declarative constraint verification in ONE
+    distributed aggregation: every constraint compiles to a counting
+    expression over the same scan (map-side partial agg, single
+    shuffle of one row), and the result is a narrow
+    ``(constraint, violations, passed)`` frame — the go/no-go gate a
+    pipeline runs on every ingest, generalizing the reference's eager
+    per-dataset ctor validation (``src/scdataset/scdataset.py``) to
+    corpus scale.
+
+    Supported constraint dicts (``type`` + fields):
+
+    - ``{"type": "not_null", "col": c}`` — violations = NULL rows
+    - ``{"type": "unique", "col": c}`` — violations = non-NULL rows
+      minus distinct values (exact ``count(DISTINCT)``; at many unique
+      constraints prefer one call per pass — each adds an Expand)
+    - ``{"type": "accepted_values", "col": c, "values": [...]}`` —
+      violations = non-NULL rows outside the set
+    - ``{"type": "min", "col": c, "bound": x}`` / ``{"type": "max",
+      "col": c, "bound": x}`` — violations = non-NULL rows below/above
+      the bound
+
+    Rows with ``passed = violations == 0``.  Constraint names are
+    deterministic (``type(col)``...) so the output is oracle-stable;
+    the name column is ``check_name`` (``constraint`` is a reserved
+    word in both engines).
+    """
+    if not constraints:
+        raise ValueError("constraints list is required")
+    aggs = []
+    names = []
+    for c in constraints:
+        t = c["type"]
+        col = c["col"]
+        if t == "not_null":
+            name = f"not_null({col})"
+            expr = F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        elif t == "unique":
+            name = f"unique({col})"
+            expr = F.count(F.col(col)) - F.countDistinct(F.col(col))
+        elif t == "accepted_values":
+            vals = list(c["values"])
+            if not vals:
+                raise ValueError(f"accepted_values({col}): empty value set")
+            name = f"accepted_values({col})"
+            expr = F.sum(
+                F.when(
+                    F.col(col).isNotNull() & ~F.col(col).isin(vals), 1
+                ).otherwise(0)
+            )
+        elif t == "min":
+            name = f"min({col})>={c['bound']}"
+            expr = F.sum(
+                F.when(F.col(col) < F.lit(c["bound"]), 1).otherwise(0)
+            )
+        elif t == "max":
+            name = f"max({col})<={c['bound']}"
+            expr = F.sum(
+                F.when(F.col(col) > F.lit(c["bound"]), 1).otherwise(0)
+            )
+        else:
+            raise ValueError(f"unknown constraint type: {t!r}")
+        names.append(name)
+        aggs.append(F.coalesce(expr, F.lit(0)).cast("bigint").alias(f"_c{len(names) - 1}"))
+    row = df.agg(*aggs)
+    pairs = ", ".join(
+        f"{name!r}, `_c{i}`" for i, name in enumerate(names)
+    )
+    return row.select(
+        F.expr(f"stack({len(names)}, {pairs}) AS (check_name, violations)")
+    ).withColumn("passed", F.col("violations") == 0)

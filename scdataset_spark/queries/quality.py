@@ -362,3 +362,60 @@ def dq_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned exactly once at any corpus size."""
     ev = load_table(spark, "events", sf_dir, with_row_id=False)
     return volume_anomalies(ev, "ts", bucket="day", k=3.5)
+
+
+# --------------------------------------------------- constraint checks
+_EV_TYPES = ("click", "purchase", "signup", "view")  # 'error' rows violate
+
+
+@query(
+    "dq_constraints",
+    survey_ref="§2.14 quality",
+    oracle=f"""
+SELECT 'not_null(user_id)' AS check_name,
+       CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS violations,
+       count(*) FILTER (user_id IS NULL) = 0 AS passed FROM events
+UNION ALL
+SELECT 'unique(event_id)',
+       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+       count(event_id) - count(DISTINCT event_id) = 0 FROM events
+UNION ALL
+SELECT 'accepted_values(event_type)',
+       CAST(count(*) FILTER (event_type IS NOT NULL
+            AND event_type NOT IN {_EV_TYPES!r}) AS BIGINT),
+       count(*) FILTER (event_type IS NOT NULL
+            AND event_type NOT IN {_EV_TYPES!r}) = 0 FROM events
+UNION ALL
+SELECT 'min(value)>=0.0',
+       CAST(count(*) FILTER (value < 0.0) AS BIGINT),
+       count(*) FILTER (value < 0.0) = 0 FROM events
+UNION ALL
+SELECT 'max(value)<=100.0',
+       CAST(count(*) FILTER (value > 100.0) AS BIGINT),
+       count(*) FILTER (value > 100.0) = 0 FROM events
+""",
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint verification on the events stream
+    (``quality.check_constraints``): five Deequ-style checks —
+    uniqueness, null-freedom, accepted values, numeric bounds —
+    compiled into ONE aggregation over one scan, emitting a narrow
+    (check_name, violations, passed) gate report.  The accepted-values
+    and max-bound checks FAIL on this corpus by design ('error' events
+    exist; values exceed 100), so both report branches are exercised.
+    Scale shape: map-side partial agg, one 1-row shuffle, stack() to
+    rows — one scan at any corpus size (the unique check's exact
+    count(DISTINCT) adds an Expand; swap for HLL at extreme widths)."""
+    from scdataset_spark.operators.quality import check_constraints
+
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    return check_constraints(
+        ev,
+        [
+            {"type": "not_null", "col": "user_id"},
+            {"type": "unique", "col": "event_id"},
+            {"type": "accepted_values", "col": "event_type", "values": list(_EV_TYPES)},
+            {"type": "min", "col": "value", "bound": 0.0},
+            {"type": "max", "col": "value", "bound": 100.0},
+        ],
+    )

@@ -373,3 +373,73 @@ class TestBruteForceTopkTwoPhase:
             for r in brute_force_topk(q, c, k=5, two_phase=False).collect()
         }
         assert fast == ref
+
+
+class TestCheckConstraints:
+    def test_violation_counts_and_flags(self, spark):
+        from scdataset_spark.operators.quality import check_constraints
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", -1.0), (2, "zz", 50.0), (None, "b", 200.0)],
+            "id bigint, cat string, v double",
+        )
+        out = {r.check_name: r for r in check_constraints(
+            df,
+            [
+                {"type": "not_null", "col": "id"},
+                {"type": "unique", "col": "id"},
+                {"type": "accepted_values", "col": "cat", "values": ["a", "b"]},
+                {"type": "min", "col": "v", "bound": 0.0},
+                {"type": "max", "col": "v", "bound": 100.0},
+            ],
+        ).collect()}
+        assert (out["not_null(id)"].violations, out["not_null(id)"].passed) == (1, False)
+        # ids 1,2,2 non-null -> 3 - 2 distinct = 1 duplicate
+        assert out["unique(id)"].violations == 1
+        assert out["accepted_values(cat)"].violations == 1  # 'zz'
+        assert out["min(v)>=0.0"].violations == 1  # -1.0
+        assert out["max(v)<=100.0"].violations == 1  # 200.0
+        assert not any(r.passed for r in out.values())
+
+    def test_clean_frame_passes_everything(self, spark):
+        from scdataset_spark.operators.quality import check_constraints
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, cat string")
+        out = check_constraints(
+            df,
+            [
+                {"type": "not_null", "col": "id"},
+                {"type": "unique", "col": "id"},
+                {"type": "accepted_values", "col": "cat", "values": ["a", "b"]},
+            ],
+        ).collect()
+        assert all(r.passed and r.violations == 0 for r in out)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from scdataset_spark.operators.quality import check_constraints
+
+        df = spark.createDataFrame([(1,)], "id bigint")
+        with _pytest.raises(ValueError):
+            check_constraints(df, [])
+        with _pytest.raises(ValueError):
+            check_constraints(df, [{"type": "nope", "col": "id"}])
+        with _pytest.raises(ValueError):
+            check_constraints(df, [{"type": "accepted_values", "col": "id", "values": []}])
+
+    def test_single_scan_single_agg(self, spark):
+        from scdataset_spark.operators.quality import check_constraints
+        from tests.conftest import SF_DIR
+        from scdataset_spark.catalog import load_table
+
+        ev = load_table(spark, "events", SF_DIR, with_row_id=False)
+        plan_df = check_constraints(ev, [{"type": "not_null", "col": "user_id"}])
+        import contextlib, io, re
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("formatted")
+        # formatted explain prints each node once in the tree and once
+        # in the details section — count DISTINCT scan node ids
+        scans = set(re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.M))
+        assert len(scans) == 1, scans

@@ -167,6 +167,21 @@ class TestVolumeAnomalies:
         # mad = 0 -> defined as no anomalies, robust_z NULL
         assert all(not r.is_anomaly and r.robust_z is None for r in out)
 
+    def test_bucket_units_map_and_validate(self, spark):
+        """date_trunc spellings that are not interval units (quarter,
+        dd, mon) must still gap-fill correctly; garbage units raise
+        up front instead of parse-erroring at the first action."""
+        rows = [
+            (dt.datetime(2024, m, 15, 12, 0, 0),)
+            for m in (1, 2, 3, 7, 8, 9)  # Q2 entirely missing
+            for _ in range(5)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = {r.bucket_ts.month: r.n_events for r in volume_anomalies(df, "ts", bucket="quarter").collect()}
+        assert out == {1: 15, 4: 0, 7: 15}  # Q2 gap-filled with zero
+        with pytest.raises(ValueError, match="unsupported bucket"):
+            volume_anomalies(df, "ts", bucket="fortnight")
+
     def test_drift_input_validation(self, spark):
         ev = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError, match="hi must be > lo"):
