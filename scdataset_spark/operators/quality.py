@@ -342,3 +342,37 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
     return row.select(
         F.expr(f"stack({len(names)}, {pairs}) AS (check_name, violations)")
     ).withColumn("passed", F.col("violations") == 0)
+
+
+def check_foreign_key(
+    df: DataFrame,
+    col: str,
+    ref: DataFrame,
+    ref_col: str,
+) -> DataFrame:
+    """Referential-integrity companion to :func:`check_constraints`:
+    violations = non-NULL ``df.{col}`` values with no match in
+    ``ref.{ref_col}`` (SQL FK semantics: NULLs vacuously pass).  Same
+    narrow ``(check_name, violations, passed)`` report so the two
+    compose into one gate frame via ``unionByName``.
+
+    Scale shape: one left-anti equi-join on the key (the ref side is
+    deduplicated first, so a dimension table broadcast-joins; a
+    fact-sized ref shuffles both sides on the key once) and a 1-row
+    count — no row ever carries more than the key through the join.
+    """
+    viol = (
+        df.select(F.col(col).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .join(
+            ref.select(F.col(ref_col).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+    )
+    return viol.select(
+        F.lit(f"foreign_key({col}->{ref_col})").alias("check_name"),
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )

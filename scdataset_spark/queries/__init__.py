@@ -26,16 +26,17 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-9 priority (VERDICT r8 task 3): (a) the seven queries
+# cosmetics.  Round-9 priority (VERDICT r8 task 3): (a) the eight queries
 # NEW this round (never externally checked) lead, then (b) the 42-query
 # cohort whose most recent external check is round 6 (two rounds stale —
 # the rotation bound), then the round-7 cohort, then the round-8 cohort
-# last.  A 50-slot sweep covers all seven new entries plus the full r6-stale
+# last.  A 50-slot sweep covers all eight new entries plus the full r6-stale
 # cohort, so after round 9 no registry entry is more than two rounds
 # externally stale.  Names and semantics are frozen; only iteration order
 # changes.
 _SWEEP_PRIORITY = [
     # --- new in round 9: never externally checked ---
+    "dq_foreign_key",
     "dq_constraints",
     "dd_remove_spans",
     "o24_mixture_plan",

@@ -419,3 +419,44 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"type": "max", "col": "value", "bound": 100.0},
         ],
     )
+
+
+@query(
+    "dq_foreign_key",
+    survey_ref="§2.14 quality,J3",
+    oracle="""
+SELECT 'foreign_key(o_custkey->c_custkey)' AS check_name,
+       CAST(count(*) FILTER (o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+         AS violations,
+       count(*) FILTER (o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+         AS passed
+FROM orders
+UNION ALL
+SELECT 'foreign_key(user_id->n_nationkey)' AS check_name,
+       CAST(count(*) FILTER (user_id IS NOT NULL
+            AND user_id NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT),
+       count(*) FILTER (user_id IS NOT NULL
+            AND user_id NOT IN (SELECT n_nationkey FROM nation)) = 0
+FROM events
+""",
+)
+def dq_foreign_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate (``quality.check_foreign_key``): the
+    TPC-H-true orders→customer FK (passes) plus a deliberately WRONG
+    mapping (events.user_id against the 25 nation keys) that fails with
+    thousands of dangling rows, exercising
+    both report branches.  Each check is one left-anti equi-join on a
+    deduplicated key side (broadcast when dimension-sized) and a 1-row
+    count — the union of narrow gate rows composes with
+    ``dq_constraints``'s frame."""
+    from scdataset_spark.operators.quality import check_foreign_key
+
+    orders = load_table(spark, "orders", sf_dir, with_row_id=False)
+    cust = load_table(spark, "customer", sf_dir, with_row_id=False)
+    ev = load_table(spark, "events", sf_dir, with_row_id=False)
+    nation = load_table(spark, "nation", sf_dir, with_row_id=False)
+    fk1 = check_foreign_key(orders, "o_custkey", cust, "c_custkey")
+    fk2 = check_foreign_key(ev, "user_id", nation, "n_nationkey")
+    return fk1.unionByName(fk2)

@@ -443,3 +443,19 @@ class TestCheckConstraints:
         # in the details section — count DISTINCT scan node ids
         scans = set(re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.M))
         assert len(scans) == 1, scans
+
+    def test_foreign_key_violations(self, spark):
+        from scdataset_spark.operators.quality import check_foreign_key
+
+        child = spark.createDataFrame(
+            [(1,), (2,), (9,), (None,)], "fk bigint"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+        row = check_foreign_key(child, "fk", parent, "pk").first()
+        # 9 dangles; NULL vacuously passes (SQL FK semantics)
+        assert row.check_name == "foreign_key(fk->pk)"
+        assert row.violations == 1 and not row.passed
+        clean = check_foreign_key(
+            child.where("fk IS NOT NULL AND fk <= 2"), "fk", parent, "pk"
+        ).first()
+        assert clean.passed and clean.violations == 0
