@@ -415,3 +415,28 @@ class TestBandSizingValidation:
 
         assert lsh_bands_for_recall(24, 0.98, 0.999) == 30
         assert lsh_bands_for_recall(3, 0.98, 0.95) == 2  # minhash-ish regime
+
+
+class TestProjectedMaxBucket:
+    def test_saturated_bucket_is_screened(self, spark):
+        """max_bucket drops over-full buckets before any verification
+        — identical duplicate vectors land in one bucket, so capping
+        below the group size must yield zero pairs while the uncapped
+        run returns all of them (both verify paths)."""
+        from scdataset_spark.operators.similarity import projected_bucket_pairs
+
+        base = [float(i % 9 + 1) for i in range(64)]
+        df = spark.createDataFrame(
+            [(i, base) for i in range(5)], "vec_id bigint, v array<double>"
+        )
+        for local in (False, True):
+            full = projected_bucket_pairs(
+                df, id_col="vec_id", vec_col="v", threshold=0.9,
+                verify_local=local,
+            ).count()
+            capped = projected_bucket_pairs(
+                df, id_col="vec_id", vec_col="v", threshold=0.9,
+                verify_local=local, max_bucket=4,
+            ).count()
+            assert full == 10, (local, full)  # C(5,2) identical vectors
+            assert capped == 0, (local, capped)
