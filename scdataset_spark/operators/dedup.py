@@ -966,6 +966,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    rebuild: str = "relational",
 ) -> DataFrame:
     """The TRANSFORM counterpart of :func:`duplicate_span_coverage`
     (Lee et al. 2021's actual intervention): rewrite every document
@@ -989,12 +990,22 @@ def remove_duplicate_spans(
        (``array_sort(collect_list(struct(pos, tok)))`` → join) — the
        same engine-exact rebuild discipline as the decimal sums.
 
-    At 100 TB the dominant cost is the token-level explode (the honest
-    floor for a token-level rewrite) and two hash-partitioned shuffles
-    on (gram-hash) and (id, pos).  Fully-duplicated documents survive
-    as empty strings (``clean_text = ''``), never dropped rows.
+    At 100 TB the dominant cost of the default path is the token-level
+    explode and two hash-partitioned shuffles on (gram-hash) and
+    (id, pos).  ``rebuild='local'`` is the scale twin (pinned
+    row-identical in tests): duplicated-gram STARTS group per doc
+    (rows = docs-with-dups, typically tiny vs tokens) and join back
+    onto the text — AQE broadcasts the metadata when duplication is
+    sparse, so the corpus text NEVER shuffles — and an Arrow
+    ``mapInPandas`` masks covered tokens per row (O(n + k·|starts|)
+    per doc).  Measured at 6.17 M docs: 383 s warm relational → the
+    local path removes the token-row anti-join and rebuild shuffles
+    entirely.  Fully-duplicated documents survive as empty strings
+    (``clean_text = ''``), never dropped rows.
     Output: ``n_tokens``, ``removed_tokens``, ``clean_text``.
     """
+    if rebuild not in ("relational", "local"):
+        raise ValueError(f"rebuild must be 'relational' or 'local', got {rebuild!r}")
     from scdataset_spark.operators._cache import widen_if_narrow
 
     gram = "concat_ws(' ', " + ", ".join(
@@ -1019,9 +1030,51 @@ def remove_duplicate_spans(
         .where(F.col("_n") > 1)
         .select("gh")
     )
+    dup_starts = grams.join(dup_hashes, "gh", "left_semi")
+    if rebuild == "local":
+        import numpy as np
+        import pandas as pd
+
+        id_sql_type = df.schema[id_col].dataType.simpleString()
+        starts_per_doc = dup_starts.groupBy(id_col).agg(
+            F.collect_list("pos").alias("_starts")
+        )
+        joined = df.select(id_col, text_col).join(starts_per_doc, id_col, "left")
+
+        def _mask(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                n_toks, removed, cleans = [], [], []
+                for text, starts in zip(pdf[text_col], pdf["_starts"]):
+                    toks = ("" if text is None else text).split(" ")
+                    n = len(toks)
+                    n_toks.append(n)
+                    if starts is None or not len(starts):
+                        removed.append(0)
+                        cleans.append(" ".join(toks))
+                        continue
+                    keep = np.ones(n, dtype=bool)
+                    for s in starts:
+                        keep[s - 1 : s - 1 + k] = False
+                    removed.append(int(n - keep.sum()))
+                    cleans.append(" ".join(t for t, m in zip(toks, keep) if m))
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_tokens": pd.array(n_toks, dtype="int32"),
+                        "removed_tokens": pd.array(removed, dtype="int64"),
+                        "clean_text": cleans,
+                    }
+                )
+
+        return joined.mapInPandas(
+            _mask,
+            f"{id_col} {id_sql_type}, n_tokens int, removed_tokens bigint, "
+            "clean_text string",
+        )
     covered = (
-        grams.join(dup_hashes, "gh", "left_semi")
-        .select(
+        dup_starts.select(
             id_col,
             F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("tpos"),
         )

@@ -121,6 +121,16 @@ def _projected_ann_scaled(spark, sf_dir):
     )
 
 
+def _remove_spans_local(spark, sf_dir):
+    """Audit-only dd_remove_spans with the broadcast-metadata rebuild
+    (rebuild='local'): dup-gram starts group per doc and broadcast onto
+    the text, which never shuffles; an Arrow mask rebuilds each row."""
+    from scdataset_spark.operators.dedup import remove_duplicate_spans
+    from scdataset_spark.queries.llm import corpus
+
+    return remove_duplicate_spans(corpus(spark, sf_dir), k=5, rebuild="local")
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
 EXTRA = {
@@ -128,6 +138,7 @@ EXTRA = {
     "interleave_scaled": _interleave_scaled,
     "drift_scaled": _drift_scaled,
     "projected_ann_scaled": _projected_ann_scaled,
+    "remove_spans_local": _remove_spans_local,
 }
 
 

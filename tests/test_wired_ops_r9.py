@@ -247,3 +247,18 @@ class TestRemoveDuplicateSpans:
         cov = {r.doc_id: r.covered_tokens for r in duplicate_span_coverage(docs, k=5).collect()}
         rem = {r.doc_id: r.removed_tokens for r in remove_duplicate_spans(docs, k=5).collect()}
         assert cov == rem
+
+    def test_local_rebuild_matches_relational(self, spark):
+        """rebuild='local' (broadcast dup-start metadata + Arrow mask —
+        the corpus text never shuffles) must be row-identical to the
+        relational path on every column."""
+        from scdataset_spark.operators.dedup import remove_duplicate_spans
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False).select(
+            "doc_id", "text"
+        )
+        rel = sorted(map(tuple, remove_duplicate_spans(docs, k=5).collect()))
+        loc = sorted(map(tuple, remove_duplicate_spans(docs, k=5, rebuild="local").collect()))
+        assert rel == loc
+        with __import__("pytest").raises(ValueError, match="rebuild"):
+            remove_duplicate_spans(docs, rebuild="nope")
