@@ -47,6 +47,7 @@ GROUPS = {
         "dd_decontamination", "dd_incremental_novel",
         "dd_incremental_verified", "dd_lsh_verified",
         "dd_embed_cosine_fast", "dd_keep_best",
+        "dd_winnowing_pairs", "dd_remove_spans",
     ],
     "sim": ["sim_topk_cosine", "sim_lsh_ann", "sim_ivf_ann"],
 }
