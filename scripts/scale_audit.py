@@ -132,9 +132,30 @@ def _remove_spans_local(spark, sf_dir):
     return remove_duplicate_spans(corpus(spark, sf_dir), k=5, rebuild="local")
 
 
+def _constraints_scaled(spark, sf_dir):
+    """Audit-only dq_constraints variant over LINEITEM (the
+    fact-scaled fixture): four no-Expand checks compiled into one
+    aggregation — the single-scan claim measured at 600 M rows."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.quality import check_constraints
+
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return check_constraints(
+        li,
+        [
+            {"type": "not_null", "col": "l_orderkey"},
+            {"type": "min", "col": "l_quantity", "bound": 0.0},
+            {"type": "max", "col": "l_quantity", "bound": 50.0},
+            {"type": "accepted_values", "col": "l_returnflag",
+             "values": ["A", "N", "R"]},
+        ],
+    )
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
 EXTRA = {
+    "constraints_scaled": _constraints_scaled,
     "semantic_dedup_scaled": _semantic_dedup_scaled,
     "interleave_scaled": _interleave_scaled,
     "drift_scaled": _drift_scaled,
