@@ -26,68 +26,18 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-9 priority (VERDICT r8 task 3): (a) the eight queries
-# NEW this round (never externally checked) lead, then (b) the 42-query
-# cohort whose most recent external check is round 6 (two rounds stale —
-# the rotation bound), then the round-7 cohort, then the round-8 cohort
-# last.  A 50-slot sweep covers all eight new entries plus the full r6-stale
-# cohort, so after round 9 no registry entry is more than two rounds
-# externally stale.  Names and semantics are frozen; only iteration order
-# changes.
+# cosmetics.  Round-10 priority (VERDICT r9 task 1, rotated as the FIRST
+# commit of the round): (a) queries NEW this round (never externally
+# checked) lead, then (b) the 50-query cohort whose most recent external
+# check is round 7 (two rounds stale — the rotation bound), then the
+# round-8 cohort, then the round-9-checked cohort last.  A 50-slot sweep
+# covers all new entries plus most of the r7-stale cohort, so after round
+# 10 no registry entry's latest check should be older than round 8.  Names
+# and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 9: never externally checked ---
-    "dq_foreign_key",
-    "dq_constraints",
-    "dd_remove_spans",
-    "o24_mixture_plan",
-    "tx_chunk_documents",
-    "sim_random_projection",
-    "sim_projected_ann",
-    "dq_volume_anomalies",
-    # --- last externally checked in round 6: two rounds stale, leads ---
-    "ml_tfidf",
-    "mm_binary_decode",
-    "mm_feature_extract",
-    "ev_sliding_window",
-    "ev_session_window",
-    "ev_stream_stream_join",
-    "ev_first_event_dedup",
-    "g5_sample_size_estimate",
-    "g6_batch_normalize",
-    "g7_cube",
-    "g7_grouping_sets",
-    "sq_scalar_subquery",
-    "sq_in_subquery",
-    "dt_date_functions",
-    "str_functions",
-    "arr_functions",
-    "dd_ngram_jaccard",
-    "dd_lsh_verified",
-    "dd_simhash",
-    "o2_buffer_shuffle",
-    "o4_weighted_noreplace",
-    "o5_subset_weighted",
-    "o6_class_balanced",
-    "o7_smoothed_weights",
-    "o10_batch_plan",
-    "o11_drop_last_batches",
-    "o13_ddp_partition",
-    "o15_block_shuffle_droplast",
-    "o16_mixture_sample",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_wealthy_customers",
-    "w5_running_revenue",
-    # --- last externally checked in round 7 ---
+    # --- new in round 10: never externally checked ---
+    # (new entries are inserted here as they land)
+    # --- last externally checked in round 7: two rounds stale, leads ---
     "dq_profile",
     "dq_outliers",
     "ts_gap_fill",
@@ -138,7 +88,7 @@ _SWEEP_PRIORITY = [
     "emb_quantize",
     "dd_embed_exact",
     "o17_temperature_mixture",
-    # --- last externally checked in round 8 (freshest; sweep tail) ---
+    # --- last externally checked in round 8 ---
     "dd_embed_cosine_fast",
     "dd_keep_best",
     "tx_vocabulary",
@@ -189,6 +139,57 @@ _SWEEP_PRIORITY = [
     "s4_sparse_densify",
     "s3_anndata_ingest",
     "ml_label_encode",
+    # --- last externally checked in round 9 (freshest; sweep tail) ---
+    "dq_foreign_key",
+    "dq_constraints",
+    "dd_remove_spans",
+    "o24_mixture_plan",
+    "tx_chunk_documents",
+    "sim_random_projection",
+    "sim_projected_ann",
+    "dq_volume_anomalies",
+    "ml_tfidf",
+    "mm_binary_decode",
+    "mm_feature_extract",
+    "ev_sliding_window",
+    "ev_session_window",
+    "ev_stream_stream_join",
+    "ev_first_event_dedup",
+    "g5_sample_size_estimate",
+    "g6_batch_normalize",
+    "g7_cube",
+    "g7_grouping_sets",
+    "sq_scalar_subquery",
+    "sq_in_subquery",
+    "dt_date_functions",
+    "str_functions",
+    "arr_functions",
+    "dd_ngram_jaccard",
+    "dd_lsh_verified",
+    "dd_simhash",
+    "o2_buffer_shuffle",
+    "o4_weighted_noreplace",
+    "o5_subset_weighted",
+    "o6_class_balanced",
+    "o7_smoothed_weights",
+    "o10_batch_plan",
+    "o11_drop_last_batches",
+    "o13_ddp_partition",
+    "o15_block_shuffle_droplast",
+    "o16_mixture_sample",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_wealthy_customers",
+    "w5_running_revenue",
 ]
 
 def _apply_sweep_priority() -> None:

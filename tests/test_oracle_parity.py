@@ -25,21 +25,23 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 # runs every oracle query; the marker is a fast subset, not the gate.)
 # Updated each round from CORRECTNESS_r{N}.json ages.
 STALE_COHORT = {
-    "arr_functions", "dd_lsh_verified", "dd_ngram_jaccard", "dd_simhash",
-    "dt_date_functions", "ev_first_event_dedup", "ev_session_window",
-    "ev_sliding_window", "ev_stream_stream_join", "g5_sample_size_estimate",
-    "g6_batch_normalize", "g7_cube", "g7_grouping_sets", "ml_tfidf",
-    "mm_binary_decode", "mm_feature_extract", "o10_batch_plan",
-    "o11_drop_last_batches", "o13_ddp_partition",
-    "o15_block_shuffle_droplast", "o16_mixture_sample", "o2_buffer_shuffle",
-    "o4_weighted_noreplace", "o5_subset_weighted", "o6_class_balanced",
-    "o7_smoothed_weights", "q10_returned_revenue", "q12_shipmode_priority",
-    "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
-    "q16_supplier_part_counts", "q18_large_orders",
-    "q19_disjunctive_predicates", "q22_idle_wealthy_customers",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "sq_in_subquery", "sq_scalar_subquery", "str_functions",
-    "w5_running_revenue",
+    "dq_profile", "dq_outliers", "ts_gap_fill", "w5_distribution",
+    "o20_per_source_cap", "tx_bm25", "dd_duplicate_spans",
+    "dd_semantic_dedup", "o19_stratified_sample", "dd_incremental_verified",
+    "o5_positional_weights", "w5_top3_orders_per_customer",
+    "w5_lag_lead_gaps", "w5_range_frame", "g3_batch_entropy",
+    "g7_rollup_lineitem", "g7_pivot_status_by_flag",
+    "g7_distinct_aggregates", "g7_percentiles", "g7_correlation",
+    "j_semi_active_customers", "j_anti_customers_without_orders",
+    "setops_union_distinct", "setops_repeat_customers",
+    "setops_lapsed_customers", "sq_correlated_group_max", "null_handling",
+    "scalar_functions_events", "ev_session_capped", "ev_session_funnel",
+    "tx_token_stats", "tx_langid", "tx_fingerprint", "tx_sequence_pack",
+    "tx_token_budget", "j4_asof_join", "dd_winnowing", "dd_winnowing_pairs",
+    "tx_bpe_count", "g4_shuffle_quality", "mm_frame_sample",
+    "skew_salted_count", "q17_small_quantity", "q2_min_cost_supplier",
+    "q11_important_stock", "q20_potential_promotion", "tx_repetition",
+    "emb_quantize", "dd_embed_exact", "o17_temperature_mixture",
 }
 
 ORACLE_PARAMS = [
