@@ -17,6 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _qcol(name: str):
+    """Column reference by EXACT name: backquote with doubled inner
+    backticks so names containing dots, quotes, or backticks resolve as
+    one attribute instead of being parsed as a multi-part path."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def profile_columns(
     df: DataFrame,
     numeric_cols: list[str],
@@ -41,28 +48,41 @@ def profile_columns(
     categorical_cols = categorical_cols or []
     cols = numeric_cols + categorical_cols
     dcount = (
-        (lambda c: F.approx_count_distinct(c, rsd)) if approx else F.countDistinct
+        (lambda c: F.approx_count_distinct(c, rsd)) if approx else F.countDistinct  # takes a Column
     )
-    aggs = [F.count(F.lit(1)).cast("double").alias("_table__rows")]
+    # aggregates carry SYNTHETIC aliases (_m0, _m1, ...) and the
+    # (col_name, metric) labels ride as struct literals — no user column
+    # name is ever interpolated into SQL text, so names containing
+    # quotes/backticks cannot break or inject into the expression
+    labels: list[tuple[str, str]] = [("_table", "rows")]
+    exprs = [F.count(F.lit(1)).cast("double")]
     for c in cols:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("double")
-            .alias(f"{c}__nulls")
+        labels.append((c, "nulls"))
+        exprs.append(
+            F.sum(F.when(_qcol(c).isNull(), 1).otherwise(0)).cast("double")
         )
-        aggs.append(dcount(c).cast("double").alias(f"{c}__distinct"))
+        labels.append((c, "distinct"))
+        exprs.append(dcount(_qcol(c)).cast("double"))
     for c in numeric_cols:
-        aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
-        aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
-        aggs.append(F.round(F.avg(c), 6).alias(f"{c}__mean"))
-    row = df.agg(*aggs)
-    pairs = []
-    for field in row.columns:
-        col_name, metric = field.rsplit("__", 1)
-        pairs.append(f"'{col_name}', '{metric}', `{field}`")
-    n = len(pairs)
-    return row.select(
-        F.expr(f"stack({n}, {', '.join(pairs)}) AS (col_name, metric, value)")
+        labels.append((c, "min"))
+        exprs.append(F.min(_qcol(c)).cast("double"))
+        labels.append((c, "max"))
+        exprs.append(F.max(_qcol(c)).cast("double"))
+        labels.append((c, "mean"))
+        exprs.append(F.round(F.avg(_qcol(c)), 6))
+    row = df.agg(*[e.alias(f"_m{i}") for i, e in enumerate(exprs)])
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(col_name).alias("col_name"),
+                F.lit(metric).alias("metric"),
+                F.col(f"_m{i}").alias("value"),
+            )
+            for i, (col_name, metric) in enumerate(labels)
+        ]
+    )
+    return row.select(F.explode(cells).alias("_s")).select(
+        "_s.col_name", "_s.metric", "_s.value"
     )
 
 
@@ -271,7 +291,12 @@ def numeric_outliers(
     )
 
 
-def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
+def check_constraints(
+    df: DataFrame,
+    constraints: list[dict],
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """Deequ-style declarative constraint verification in ONE
     distributed aggregation: every constraint compiles to a counting
     expression over the same scan (map-side partial agg, single
@@ -285,8 +310,16 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
 
     - ``{"type": "not_null", "col": c}`` — violations = NULL rows
     - ``{"type": "unique", "col": c}`` — violations = non-NULL rows
-      minus distinct values (exact ``count(DISTINCT)``; at many unique
-      constraints prefer one call per pass — each adds an Expand)
+      minus distinct values.  The exact ``count(DISTINCT)`` default is
+      the oracle shape, but EACH exact distinct makes Catalyst plan an
+      Expand of the full scan (input amplified x(N+1) before the
+      shuffle).  ``approx=True`` swaps in ``approx_count_distinct``
+      (HLL++, relative error ``rsd``) so a gate with several uniqueness
+      constraints stays ONE Expand-free scan — the 100-TB posture, same
+      switch as :func:`profile_columns`.  Approximate uniqueness can
+      report small nonzero "violations" on a truly-unique column (or
+      0 on a near-unique one) within the HLL error band; use it as a
+      drift screen, not an exact gate.
     - ``{"type": "accepted_values", "col": c, "values": [...]}`` —
       violations = non-NULL rows outside the set
     - ``{"type": "min", "col": c, "bound": x}`` / ``{"type": "max",
@@ -307,10 +340,16 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
         col = c["col"]
         if t == "not_null":
             name = f"not_null({col})"
-            expr = F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            expr = F.sum(F.when(_qcol(col).isNull(), 1).otherwise(0))
         elif t == "unique":
             name = f"unique({col})"
-            expr = F.count(F.col(col)) - F.countDistinct(F.col(col))
+            dcount = (
+                F.approx_count_distinct(_qcol(col), rsd)
+                if approx
+                else F.countDistinct(_qcol(col))
+            )
+            # HLL can overcount: clamp so approx never reports negative
+            expr = F.greatest(F.count(_qcol(col)) - dcount, F.lit(0))
         elif t == "accepted_values":
             vals = list(c["values"])
             if not vals:
@@ -318,30 +357,41 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
             name = f"accepted_values({col})"
             expr = F.sum(
                 F.when(
-                    F.col(col).isNotNull() & ~F.col(col).isin(vals), 1
+                    _qcol(col).isNotNull() & ~_qcol(col).isin(vals), 1
                 ).otherwise(0)
             )
         elif t == "min":
             name = f"min({col})>={c['bound']}"
             expr = F.sum(
-                F.when(F.col(col) < F.lit(c["bound"]), 1).otherwise(0)
+                F.when(_qcol(col) < F.lit(c["bound"]), 1).otherwise(0)
             )
         elif t == "max":
             name = f"max({col})<={c['bound']}"
             expr = F.sum(
-                F.when(F.col(col) > F.lit(c["bound"]), 1).otherwise(0)
+                F.when(_qcol(col) > F.lit(c["bound"]), 1).otherwise(0)
             )
         else:
             raise ValueError(f"unknown constraint type: {t!r}")
         names.append(name)
         aggs.append(F.coalesce(expr, F.lit(0)).cast("bigint").alias(f"_c{len(names) - 1}"))
     row = df.agg(*aggs)
-    pairs = ", ".join(
-        f"{name!r}, `_c{i}`" for i, name in enumerate(names)
+    # rows are built from struct literals, never string-interpolated SQL,
+    # so a check name derived from an arbitrary column name (quotes,
+    # backticks) cannot break or inject into the expression
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(f"_c{i}").alias("violations"),
+            )
+            for i, name in enumerate(names)
+        ]
     )
-    return row.select(
-        F.expr(f"stack({len(names)}, {pairs}) AS (check_name, violations)")
-    ).withColumn("passed", F.col("violations") == 0)
+    return (
+        row.select(F.explode(cells).alias("_s"))
+        .select("_s.check_name", "_s.violations")
+        .withColumn("passed", F.col("violations") == 0)
+    )
 
 
 def check_foreign_key(

@@ -403,9 +403,11 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (check_name, violations, passed) gate report.  The accepted-values
     and max-bound checks FAIL on this corpus by design ('error' events
     exist; values exceed 100), so both report branches are exercised.
-    Scale shape: map-side partial agg, one 1-row shuffle, stack() to
-    rows — one scan at any corpus size (the unique check's exact
-    count(DISTINCT) adds an Expand; swap for HLL at extreme widths)."""
+    Scale shape: map-side partial agg, one 1-row shuffle, struct
+    explode to rows — one scan at any corpus size.  The unique check's
+    exact count(DISTINCT) (the oracle shape) adds an Expand; at many
+    uniqueness constraints pass ``approx=True`` for the Expand-free
+    HLL++ gate (pinned by a plan-shape test)."""
     from scdataset_spark.operators.quality import check_constraints
 
     ev = load_table(spark, "events", sf_dir, with_row_id=False)

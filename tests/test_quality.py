@@ -444,6 +444,89 @@ class TestCheckConstraints:
         scans = set(re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.M))
         assert len(scans) == 1, scans
 
+    def test_approx_unique_within_tolerance(self, spark):
+        # exact and HLL++ unique checks agree within the rsd band on a
+        # column with a known duplicate count; non-unique checks are
+        # identical between the two modes
+        from scdataset_spark.operators.quality import check_constraints
+
+        n, dups = 5000, 137
+        df = spark.range(n).selectExpr(
+            f"IF(id < {dups}, 0, id) AS id", "CAST(id AS STRING) AS cat"
+        )
+        cons = [
+            {"type": "unique", "col": "id"},
+            {"type": "not_null", "col": "cat"},
+        ]
+        exact = {r.check_name: r for r in check_constraints(df, cons).collect()}
+        appr = {
+            r.check_name: r
+            for r in check_constraints(df, cons, approx=True, rsd=0.05).collect()
+        }
+        # exact: dups rows collapse onto id=0 -> dups-1 extra... plus id 0
+        # itself already exists once among [dups, n)? no: ids >= dups keep
+        # their value, so value 0 appears `dups` times -> dups - 1 dupes
+        assert exact["unique(id)"].violations == dups - 1
+        # HLL at rsd=0.05 over ~n distinct values: |err| <~ 3*rsd*n
+        assert abs(appr["unique(id)"].violations - (dups - 1)) <= 3 * 0.05 * n
+        assert appr["unique(id)"].violations >= 0
+        assert appr["not_null(cat)"].violations == 0
+        assert appr["not_null(cat)"].passed
+
+    def test_approx_multi_unique_is_expand_free_single_scan(self, spark):
+        # the scale posture: N unique constraints with approx=True plan
+        # ONE scan and NO Expand (each exact count(DISTINCT) would add
+        # an Expand amplifying the scan x(N+1))
+        import contextlib
+        import io
+        import re
+
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.quality import check_constraints
+        from tests.conftest import SF_DIR
+
+        ev = load_table(spark, "events", SF_DIR, with_row_id=False)
+        cons = [
+            {"type": "unique", "col": "event_id"},
+            {"type": "unique", "col": "user_id"},
+            {"type": "unique", "col": "event_type"},
+            {"type": "not_null", "col": "user_id"},
+        ]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            check_constraints(ev, cons, approx=True).explain("formatted")
+        plan = buf.getvalue()
+        scans = set(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+        assert len(scans) == 1, scans
+        assert "Expand" not in plan
+        # the exact default DOES expand at multiple uniques (documented)
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            check_constraints(ev, cons).explain("formatted")
+        assert "Expand" in buf2.getvalue()
+
+    def test_hostile_column_names_cannot_inject(self, spark):
+        # a column name containing quotes/backticks flows through as a
+        # struct literal, never into SQL text (ADVICE r9)
+        from scdataset_spark.operators.quality import (
+            check_constraints,
+            profile_columns,
+        )
+
+        df = spark.createDataFrame([(1,), (None,)], ["it's `bad`, (x)"])
+        out = check_constraints(
+            df, [{"type": "not_null", "col": "it's `bad`, (x)"}]
+        ).collect()
+        assert len(out) == 1
+        assert out[0].check_name == "not_null(it's `bad`, (x))"
+        assert (out[0].violations, out[0].passed) == (1, False)
+        prof = {
+            (r.col_name, r.metric): r.value
+            for r in profile_columns(df, ["it's `bad`, (x)"]).collect()
+        }
+        assert prof[("it's `bad`, (x)", "nulls")] == 1.0
+        assert prof[("_table", "rows")] == 2.0
+
     def test_foreign_key_violations(self, spark):
         from scdataset_spark.operators.quality import check_foreign_key
 
