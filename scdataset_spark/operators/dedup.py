@@ -890,27 +890,33 @@ def duplicate_span_coverage(
        PARTITIONED by doc — never a global sort): a duplicated gram at
        ``pos`` adds ``min(k, pos - prev_pos)`` covered tokens.
 
-    Documents shorter than ``k`` tokens emit one clamped gram (same
-    convention as ``with_shingles``); their coverage is capped at
-    ``n_tokens``.  Output per document: ``n_tokens``, ``n_grams``,
-    ``dup_grams``, ``covered_tokens``, ``dup_token_fraction``.
+    Documents shorter than ``k`` tokens emit NO grams (``n_grams`` = 0,
+    zero coverage): a sub-``k`` document cannot contain a ``k``-gram,
+    and the padded-gram convention ``with_shingles`` uses for MinHash
+    would let a short doc collide with a genuine ``k``-gram elsewhere
+    and count spurious coverage.  NULL text is treated as empty.
+    Output per document: ``n_tokens``, ``n_grams``, ``dup_grams``,
+    ``covered_tokens``, ``dup_token_fraction``.
     """
     from pyspark.sql import Window
 
     gram = "concat_ws(' ', " + ", ".join(
-        f"element_at(t, least(i + {j}, size(t)))" for j in range(k)
+        f"element_at(t, i + {j})" for j in range(k)
     ) + ")"
     # let-bound HOF chain (see winnowing_fingerprints: CollapseProject
-    # would otherwise re-evaluate split() per lambda iteration)
+    # would otherwise re-evaluate split() per lambda iteration); docs
+    # with fewer than k tokens emit a typed empty gram array
     ghash = (
-        f"transform(array(split({text_col}, ' ')), t -> "
-        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)), "
-        f"i -> CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS BIGINT)))[0]"
+        f"transform(array(split(coalesce({text_col}, ''), ' ')), t -> "
+        f"IF(size(t) >= {k}, "
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS BIGINT)), "
+        "CAST(array() AS ARRAY<BIGINT>)))[0]"
     )
     base = df.select(
         F.col(id_col),
-        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
-    ).withColumn("n_grams", F.greatest(F.col("n_tokens") - (k - 1), F.lit(1)))
+        F.expr(f"size(split(coalesce({text_col}, ''), ' '))").alias("n_tokens"),
+    ).withColumn("n_grams", F.greatest(F.col("n_tokens") - (k - 1), F.lit(0)))
     # two scans by design, NOT a persist: the stats branch above prunes
     # to (id, token count) — caching corpus-sized gram-hash arrays to
     # save one cheap re-scan would pin executor storage for nothing.
@@ -1002,6 +1008,13 @@ def remove_duplicate_spans(
     local path removes the token-row anti-join and rebuild shuffles
     entirely.  Fully-duplicated documents survive as empty strings
     (``clean_text = ''``), never dropped rows.
+
+    Documents shorter than ``k`` tokens emit NO grams and pass through
+    untouched (``removed_tokens = 0``, ``clean_text = text``): a
+    sub-``k`` doc cannot contain a ``k``-gram, and a padded gram could
+    collide with a genuine ``k``-gram elsewhere and strip the short doc
+    spuriously.  NULL text is treated as empty ('') identically in both
+    rebuild paths.
     Output: ``n_tokens``, ``removed_tokens``, ``clean_text``.
     """
     if rebuild not in ("relational", "local"):
@@ -1009,17 +1022,19 @@ def remove_duplicate_spans(
     from scdataset_spark.operators._cache import widen_if_narrow
 
     gram = "concat_ws(' ', " + ", ".join(
-        f"element_at(t, least(i + {j}, size(t)))" for j in range(k)
+        f"element_at(t, i + {j})" for j in range(k)
     ) + ")"
     ghash = (
-        f"transform(array(split({text_col}, ' ')), t -> "
-        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)), "
-        f"i -> CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS BIGINT)))[0]"
+        f"transform(array(split(coalesce({text_col}, ''), ' ')), t -> "
+        f"IF(size(t) >= {k}, "
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS BIGINT)), "
+        "CAST(array() AS ARRAY<BIGINT>)))[0]"
     )
     wide = widen_if_narrow(df)
     base = df.select(
         F.col(id_col),
-        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+        F.expr(f"size(split(coalesce({text_col}, ''), ' '))").alias("n_tokens"),
     )
     grams = wide.select(
         F.col(id_col), F.posexplode(F.expr(ghash)).alias("_p0", "gh")
@@ -1082,7 +1097,9 @@ def remove_duplicate_spans(
     )
     tokens = wide.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("_t0", "tok"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("_t0", "tok"),
     ).select(id_col, (F.col("_t0") + 1).alias("tpos"), "tok")
     kept = tokens.join(covered, [id_col, "tpos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(

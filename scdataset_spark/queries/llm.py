@@ -1658,15 +1658,15 @@ def tx_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- exact substring-span coverage
 def _dup_span_oracle(k: int = 5) -> str:
-    gram = " || ' ' || ".join(
-        f"sp[least(i + {j}, len(sp))]" for j in range(k)
-    )
+    # short docs (< k tokens) emit NO grams — n_grams floors at 0 and
+    # range(1, 0 + 1) is empty, mirroring the Spark-side guard
+    gram = " || ' ' || ".join(f"sp[i + {j}]" for j in range(k))
     return f"""
 WITH {CORPUS_SQL},
-sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+sp_t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS sp FROM corpus),
 base AS (
   SELECT doc_id, len(sp) AS n_tokens,
-         greatest(len(sp) - {k - 1}, 1) AS n_grams, sp
+         greatest(len(sp) - {k - 1}, 0) AS n_grams, sp
   FROM sp_t
 ),
 g AS (
@@ -1891,17 +1891,17 @@ def sim_projected_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _remove_spans_oracle(k: int = 5) -> str:
-    gram = " || ' ' || ".join(
-        f"sp[least(i + {j}, len(sp))]" for j in range(k)
-    )
+    # short docs (< k tokens) emit NO grams (range over greatest(.., 0)
+    # is empty) and pass through untouched — mirrors the Spark guard
+    gram = " || ' ' || ".join(f"sp[i + {j}]" for j in range(k))
     return f"""
 WITH {CORPUS_SQL},
-sp_t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+sp_t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS sp FROM corpus),
 base AS (SELECT doc_id, len(sp) AS n_tokens, sp FROM sp_t),
 g AS (
   SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
     SELECT doc_id,
-           unnest(list_transform(range(1, greatest(len(sp) - {k - 1}, 1) + 1),
+           unnest(list_transform(range(1, greatest(len(sp) - {k - 1}, 0) + 1),
              i -> {{'pos': i,
                     'gh': ('0x' || substr(md5({gram}), 1, 15))::BIGINT}})) AS u
     FROM base) t

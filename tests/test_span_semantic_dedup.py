@@ -65,13 +65,15 @@ class TestDuplicateSpanCoverage:
             assert got[d]["dup_token_fraction"] == 1.0
             assert got[d]["dup_grams"] == got[d]["n_grams"]
 
-    def test_short_doc_clamped_gram(self, spark):
-        # 2-token docs (< k) emit one clamped gram; identical short docs
-        # still pair up and coverage caps at n_tokens
+    def test_short_doc_emits_no_grams(self, spark):
+        # docs shorter than k emit NO grams (r9 VERDICT #6): a padded
+        # gram could collide with a real k-gram elsewhere; identical
+        # short docs therefore report zero coverage (whole-doc dedup is
+        # exact dedup's job, not the span metric's)
         got = self._run(spark, [(1, "hi there"), (2, "hi there"), (3, "bye now")])
-        assert got[1]["n_grams"] == 1
-        assert got[1]["dup_grams"] == 1
-        assert got[1]["covered_tokens"] == 2
+        assert got[1]["n_grams"] == 0
+        assert got[1]["dup_grams"] == 0
+        assert got[1]["covered_tokens"] == 0
         assert got[3]["dup_grams"] == 0
 
 
