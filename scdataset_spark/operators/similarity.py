@@ -913,19 +913,37 @@ def random_projection(
     )
 
 
+# corpus size at which the scale-safe posture becomes the default:
+# past this many rows the r8/r9 audits measured the exact decimal-HOF
+# projection (Catalyst fold wall) and the candidate-proportional join
+# verify going scratch-bound (BENCH_SCALE.md sf10e: 288 k clustered
+# vectors DNF in 10 min with the oracle-shape defaults)
+AUTO_SCALE_ROWS = 100_000
+
+
+def _jl_out_dim(n: int, lo: int = 8, hi: int = 62) -> int:
+    """Sign-bit bucket width from the documented sizing rule
+    ``out_dim >= log2(n) + 4`` (expected bucket occupancy ~ n / 2^out_dim
+    <= 1/16), clamped to [lo, hi] — hi 62 keeps the bucket key a BIGINT."""
+    import math
+
+    return min(hi, max(lo, math.ceil(math.log2(max(n, 2))) + 4))
+
+
 def projected_bucket_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    out_dim: int = 16,
+    out_dim: int | None = None,
     seed: int = 5,
     threshold: float = 0.98,
-    verify_local: bool = False,
-    max_bucket: int | None = None,
+    verify_local: bool | None = None,
+    max_bucket: int | None | str = "auto",
     digits: int = 4,
     block: int = 2048,
-    vectorized_projection: bool = False,
+    vectorized_projection: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """ANN near-dup pairs THROUGH the random projection: project
     ``dim → out_dim`` (:func:`random_projection`), bucket each vector by
@@ -970,8 +988,40 @@ def projected_bucket_pairs(
     ``X @ W.T`` per Arrow batch with the identical mix-derived ±1
     matrix produces the same sign bits except where a projection sits
     within ulps of exactly 0 (pinned bucket-for-bucket on the planted
-    corpus)."""
+    corpus).
+
+    **The scale posture is AUTOMATIC** (r9 VERDICT #2; the reference
+    auto-configures exactly these locality/size knobs,
+    ``src/scdataset/auto_config.py:278-525``): any knob left at its
+    ``None``/``"auto"`` default is resolved from the corpus size — one
+    cheap ``count()`` at call time, skipped when the caller passes
+    ``n_rows`` (or pins every knob explicitly, which keeps the plan
+    fully lazy; the registered oracle query does exactly that).  At
+    ``n >= AUTO_SCALE_ROWS``: ``out_dim`` from the ``log2(n) + 4``
+    rule, ``verify_local=True``, ``vectorized_projection=True``, and
+    ``max_bucket=20_000`` (degenerate boilerplate buckets carry no
+    discriminative signal and would otherwise accumulate one O(b²)
+    Gram in a single task).  Below the threshold: the oracle-exact
+    small shape (rule-derived ``out_dim``, join verify, decimal
+    projection, no cap)."""
     import numpy as np
+
+    if (
+        out_dim is None
+        or verify_local is None
+        or vectorized_projection is None
+        or max_bucket == "auto"
+    ):
+        n = int(n_rows) if n_rows is not None else df.count()
+        big = n >= AUTO_SCALE_ROWS
+        if out_dim is None:
+            out_dim = _jl_out_dim(n)
+        if verify_local is None:
+            verify_local = big
+        if vectorized_projection is None:
+            vectorized_projection = big
+        if max_bucket == "auto":
+            max_bucket = 20_000 if big else None
 
     if vectorized_projection:
         import pandas as pd

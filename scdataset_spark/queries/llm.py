@@ -1884,9 +1884,14 @@ def sim_projected_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: narrow projection pass, short-integer-key self-join,
     vector fetch onto candidates only — no cross product."""
     c = emb_corpus(spark, sf_dir)
+    # every posture knob pinned explicitly: the decimal-HOF projection +
+    # join verify IS the oracle shape, and explicit flags keep the plan
+    # fully lazy (no auto-resolution count) — production callers leave
+    # the defaults and get the size-resolved scale posture instead
     return sim.projected_bucket_pairs(
         c, id_col="vec_id", vec_col="v", dim=64,
         out_dim=_RP_OUT_DIM, seed=_RP_SEED, threshold=0.98,
+        verify_local=False, max_bucket=None, vectorized_projection=False,
     )
 
 
@@ -1945,5 +1950,9 @@ def dd_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is excised in place (``dedup.remove_duplicate_spans``).  The oracle
     re-derives every cleaned string byte-for-byte: gram hashing, the
     df >= 2 screen, position expansion, and the order-stable rebuild
-    are all engine-portable."""
-    return dd.remove_duplicate_spans(corpus(spark, sf_dir), k=5)
+    are all engine-portable.  rebuild is pinned 'relational' (the
+    all-JVM oracle shape, and no auto-resolution count); production
+    callers leave the 'auto' default and get the size-resolved path."""
+    return dd.remove_duplicate_spans(
+        corpus(spark, sf_dir), k=5, rebuild="relational"
+    )

@@ -1,18 +1,33 @@
-"""Round-10 semantics guards (VERDICT r9 asks #6 and ADVICE items):
+"""Round-10 semantics guards (VERDICT r9 asks #2/#6 and ADVICE items):
 
 - short-doc gram guard: a document shorter than ``k`` tokens emits NO
   grams, so a padded gram can never collide with a genuine ``k``-gram
   elsewhere and strip/flag the short doc spuriously;
 - NULL-text parity: both ``remove_duplicate_spans`` rebuild paths treat
-  NULL text as empty and stay row-identical.
+  NULL text as empty and stay row-identical;
+- automatic scale posture: past ``AUTO_SCALE_ROWS`` the unflagged
+  defaults of ``projected_bucket_pairs`` / ``remove_duplicate_spans``
+  pick the measured scale-safe path (vectorized projection,
+  bucket-local verify, broadcast-metadata rebuild) without the caller
+  knowing the wall exists; below it, the oracle-exact small shape.
 """
 
 from __future__ import annotations
+
+import contextlib
+import io
 
 from scdataset_spark.operators.dedup import (
     duplicate_span_coverage,
     remove_duplicate_spans,
 )
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 class TestShortDocGramGuard:
@@ -94,3 +109,82 @@ class TestNullTextParity:
             1, 0, 0,
         )
         assert cov[2].covered_tokens == 6
+
+
+class TestAutoScalePosture:
+    def test_jl_out_dim_rule(self):
+        from scdataset_spark.operators.similarity import _jl_out_dim
+
+        assert _jl_out_dim(2) == 8          # floor
+        assert _jl_out_dim(4096) == 16      # log2(4096)+4
+        assert _jl_out_dim(288_000) == 23   # the sf10e audit fixture
+        assert _jl_out_dim(2_400_000) == 26  # the sf100e audit fixture
+        assert _jl_out_dim(10**30) == 62    # bigint bucket-key ceiling
+
+    def test_big_corpus_defaults_take_fast_path(self, spark):
+        """A corpus past AUTO_SCALE_ROWS (forced via n_rows so the test
+        stays tiny) must pick vectorized projection + bucket-local
+        verify WITHOUT flags — and return the same verified pair set as
+        the pinned oracle shape (equality of the two paths is pinned
+        separately in test_similarity_extra)."""
+        from scdataset_spark.operators.similarity import projected_bucket_pairs
+        from scdataset_spark.queries.llm import emb_corpus
+        from tests.conftest import SF_DIR_SMALL
+
+        c = emb_corpus(spark, SF_DIR_SMALL)
+        # out_dim pinned equal on both sides so the bucket space matches
+        auto_big = projected_bucket_pairs(
+            c, id_col="vec_id", vec_col="v", threshold=0.98,
+            out_dim=16, n_rows=10_000_000,
+        )
+        plan = _plan_str(auto_big)
+        assert "MapInPandas" in plan  # vectorized projection + local Gram
+        oracle_shape = projected_bucket_pairs(
+            c, id_col="vec_id", vec_col="v", threshold=0.98,
+            out_dim=16, verify_local=False, max_bucket=None,
+            vectorized_projection=False,
+        )
+        assert "MapInPandas" not in _plan_str(oracle_shape)
+        got = {(r.id_a, r.id_b) for r in auto_big.collect()}
+        want = {(r.id_a, r.id_b) for r in oracle_shape.collect()}
+        assert got == want and want  # same pairs, and some exist
+
+    def test_small_corpus_defaults_keep_exact_shape(self, spark):
+        """Below the threshold the unflagged call must resolve to the
+        oracle-exact small shape (decimal projection, join verify, no
+        bucket cap) — identical results to the pinned flags."""
+        from scdataset_spark.operators.similarity import projected_bucket_pairs
+        from scdataset_spark.queries.llm import emb_corpus
+        from tests.conftest import SF_DIR_SMALL
+
+        c = emb_corpus(spark, SF_DIR_SMALL)
+        auto_small = projected_bucket_pairs(
+            c, id_col="vec_id", vec_col="v", threshold=0.98, out_dim=16,
+        )  # triggers the resolution count; small -> exact shape
+        assert "MapInPandas" not in _plan_str(auto_small)
+        pinned = projected_bucket_pairs(
+            c, id_col="vec_id", vec_col="v", threshold=0.98,
+            out_dim=16, verify_local=False, max_bucket=None,
+            vectorized_projection=False,
+        )
+        assert sorted(map(tuple, auto_small.collect())) == sorted(
+            map(tuple, pinned.collect())
+        )
+
+    def test_remove_spans_auto_picks_local_at_scale(self, spark):
+        docs = [
+            (1, "A B C D E F u1 u2 u3"),
+            (2, "A B C D E F v1 v2 v3"),
+            (3, "w1 w2 w3 w4 w5 w6"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        auto_big = remove_duplicate_spans(df, k=5, n_rows=10_000_000)
+        assert "MapInPandas" in _plan_str(auto_big)  # Arrow mask rebuild
+        rel = remove_duplicate_spans(df, k=5, rebuild="relational")
+        assert "MapInPandas" not in _plan_str(rel)
+        assert sorted(map(tuple, auto_big.collect())) == sorted(
+            map(tuple, rel.collect())
+        )
+        # below the threshold (the resolution count itself): relational
+        auto_small = remove_duplicate_spans(df, k=5)
+        assert "MapInPandas" not in _plan_str(auto_small)
