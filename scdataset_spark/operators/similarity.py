@@ -1146,6 +1146,7 @@ def semantic_dedup_fast(
     coarse_route_k: int = 512,
     probes: int = 3,  # retained for signature compat; unused since the
     # r8 bound-pruned search (exact, needs no probe-count knob)
+    max_cell: int | None = 100_000,
 ) -> DataFrame:
     """:func:`semantic_dedup` at production cell counts — same
     cluster-then-dominance semantics, with the two stages that go
@@ -1177,7 +1178,22 @@ def semantic_dedup_fast(
     the exact path, so only boundary-straddling pairs could differ).
 
     Scale shape: one scan + one shuffle (groupBy cell); Σ|cell|² work
-    bounded by ``n_clusters ~ n/c``; no n×k row explosion anywhere."""
+    bounded by ``n_clusters ~ n/c``; no n×k row explosion anywhere.
+
+    **Hot-cell guard** (``max_cell``, r9 VERDICT #8): the ``n/c``
+    sizing is a heuristic — a degenerate corpus (boilerplate
+    embeddings, all-identical vectors) routes arbitrarily many rows
+    into ONE cell, whose dominance pass then holds the whole cell in a
+    single task (OOM at tens of millions of rows).  Cells larger than
+    ``max_cell`` are hash-split into ``ceil(|cell| / max_cell)``
+    sub-cells (a seeded xxhash of the id — no window, no extra big
+    shuffle; the split rides the same groupBy) and each sub-cell
+    dedups independently with the same smaller-id-dominates rule.  The
+    documented approximation: cross-sub-cell dominance pairs are not
+    compared, so a saturated cell keeps at most one extra survivor per
+    sub-cell instead of exactly one — bounded, and exactly the rows a
+    saturated bucket screen would have skipped entirely.  ``None``
+    disables the guard (the exact-parity posture for small corpora)."""
     import numpy as np
     import pandas as pd
 
@@ -1325,6 +1341,28 @@ def semantic_dedup_fast(
         )
 
     assigned = src.mapInPandas(_assign, assign_schema)
-    return assigned.groupBy("cell").applyInPandas(_dominate, out_schema).select(
-        id_col, "cell", "kept"
+    if max_cell is None:
+        return (
+            assigned.groupBy("cell")
+            .applyInPandas(_dominate, out_schema)
+            .select(id_col, "cell", "kept")
+        )
+    # hot-cell guard: broadcast the (<= n_clusters)-row cell counts back
+    # and hash-split any over-max_cell cell into bounded sub-cells; the
+    # dominance pass groups on (cell, _sub) so no single task ever holds
+    # more than ~max_cell rows
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
+    sub = F.when(
+        F.col("_cn") > max_cell,
+        F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(int(seed))),
+            F.ceil(F.col("_cn") / max_cell).cast("bigint"),
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    split = assigned.join(F.broadcast(counts), "cell").withColumn("_sub", sub)
+    return (
+        split.select(id_col, "_v", "cell", "_sub")
+        .groupBy("cell", "_sub")
+        .applyInPandas(_dominate, out_schema)
+        .select(id_col, "cell", "kept")
     )

@@ -188,3 +188,67 @@ class TestAutoScalePosture:
         # below the threshold (the resolution count itself): relational
         auto_small = remove_duplicate_spans(df, k=5)
         assert "MapInPandas" not in _plan_str(auto_small)
+
+
+class TestHotCellGuard:
+    def test_degenerate_cell_is_split_and_bounded(self, spark):
+        """A degenerate corpus (hundreds of identical vectors) routes
+        one cell the whole corpus; with max_cell the cell hash-splits
+        into bounded sub-cells, each keeping exactly one survivor of
+        the identical pack — at most ceil(|cell|/max_cell) extra
+        survivors vs the exact single-cell dominance (r9 VERDICT #8)."""
+        import numpy as np
+
+        from scdataset_spark.operators.similarity import semantic_dedup_fast
+
+        rng = np.random.default_rng(3)
+        dup = [float(x) for x in rng.normal(size=16)]
+        rows = [(i, dup) for i in range(240)]
+        # plus a handful of well-separated singles that must all survive
+        for i, b in enumerate(rng.normal(size=(5, 16))):
+            rows.append((1000 + i, [float(x) for x in (b * 10.0)]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = semantic_dedup_fast(
+            df, n_clusters=4, threshold=0.98, seed=7, max_cell=50
+        ).collect()
+        assert len(out) == len(rows)
+        kept_dup = [r.vec_id for r in out if r.vec_id < 1000 and r.kept]
+        # 240 identical vectors / max_cell 50 -> ceil = 5 sub-cells;
+        # each keeps exactly one (its min id), never more
+        assert 1 <= len(kept_dup) <= 5
+        # unguarded exact dominance keeps exactly one
+        exact = semantic_dedup_fast(
+            df, n_clusters=4, threshold=0.98, seed=7, max_cell=None
+        ).collect()
+        assert len([r for r in exact if r.vec_id < 1000 and r.kept]) == 1
+        # guard only ADDS survivors, never drops one the exact pass kept
+        kept_exact = {r.vec_id for r in exact if r.kept}
+        kept_guard = {r.vec_id for r in out if r.kept}
+        assert kept_exact <= kept_guard
+
+    def test_guard_inert_below_max_cell(self, spark):
+        """Cells under max_cell must produce IDENTICAL results with and
+        without the guard (sub-cell is constant 0)."""
+        import numpy as np
+
+        from scdataset_spark.operators.similarity import semantic_dedup_fast
+
+        rng = np.random.default_rng(11)
+        rows = []
+        vid = 0
+        for b in rng.normal(size=(6, 16)):
+            for _ in range(3):
+                v = b + rng.normal(scale=0.005, size=16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        a = sorted(
+            map(tuple, semantic_dedup_fast(df, n_clusters=4, seed=7).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                semantic_dedup_fast(df, n_clusters=4, seed=7, max_cell=None).collect(),
+            )
+        )
+        assert a == b
