@@ -2,6 +2,11 @@
 
 Composes the §2.14 surface the way a production pipeline would:
 
+  0. ingest gates    — declarative constraint gate (null-freedom, id
+                       uniqueness, bounds, language whitelist) composed
+                       with a referential-integrity check into ONE
+                       narrow report frame; the pipeline refuses to
+                       proceed on a failing delivery
   1. quality gates   — token stats, Gopher-style repetition ratios
   2. exact dedup     — md5 fingerprint groups, keep min doc_id
   3. near dedup      — MinHash+LSH candidates -> connected components,
@@ -44,9 +49,34 @@ def main() -> None:
     spark = get_spark("curate_corpus", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = load_table(spark, "documents", SF_DIR, with_row_id=False).select(
-        "doc_id", "text"
+    raw = load_table(spark, "documents", SF_DIR, with_row_id=False)
+    emb = load_table(spark, "embeddings", SF_DIR, with_row_id=False)
+
+    # 0. ingest gates: refuse to curate a broken delivery -------------
+    from scdataset_spark.operators.quality import (
+        check_constraints,
+        check_foreign_key,
     )
+
+    gate = check_constraints(
+        raw,
+        [
+            {"type": "not_null", "col": "doc_id"},
+            {"type": "unique", "col": "doc_id"},
+            {"type": "not_null", "col": "text"},
+            {"type": "min", "col": "n_chars", "bound": 0},
+            {"type": "accepted_values", "col": "lang",
+             "values": ["de", "en", "es", "fr", "zh"]},
+        ],
+    ).unionByName(check_foreign_key(emb, "vec_id", raw, "doc_id"))
+    report = gate.collect()
+    for r in report:
+        print(f"  gate {r.check_name}: {'PASS' if r.passed else 'FAIL'} "
+              f"({r.violations} violations)")
+    if not all(r.passed for r in report):
+        raise SystemExit("ingest gate failed — not curating this delivery")
+
+    docs = raw.select("doc_id", "text")
     n0 = docs.count()
 
     # 1. quality gates ------------------------------------------------

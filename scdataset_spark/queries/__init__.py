@@ -36,7 +36,7 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new in round 10: never externally checked ---
-    # (new entries are inserted here as they land)
+    "pipe_curation_gated",
     # --- last externally checked in round 7: two rounds stale, leads ---
     "dq_profile",
     "dq_outliers",

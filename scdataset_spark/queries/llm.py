@@ -1297,6 +1297,131 @@ def pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipe_curation_gated",
+    survey_ref="§2.14 quality,§2.14 text,§2.14 dedup",
+    oracle=f"""
+WITH RECURSIVE cand AS ({_minhash_oracle()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+{CORPUS_SQL},
+sp_t AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM corpus),
+q AS (
+  SELECT doc_id, len(sp) AS n_tokens,
+         len(list_filter(sp, t -> list_contains([{STOPS}], t))) AS n_stop
+  FROM sp_t
+),
+gate AS (
+  SELECT CAST(count(*) AS BIGINT) AS gate_checks,
+         CAST(sum(v) AS BIGINT) AS gate_violations
+  FROM (
+    SELECT count(*) FILTER (doc_id IS NULL) AS v FROM documents
+    UNION ALL
+    SELECT count(doc_id) - count(DISTINCT doc_id) FROM documents
+    UNION ALL
+    SELECT count(*) FILTER (text IS NULL) FROM documents
+    UNION ALL
+    SELECT count(*) FILTER (n_chars < 0) FROM documents
+    UNION ALL
+    SELECT count(*) FILTER (lang IS NOT NULL
+         AND lang NOT IN ('de','en','es','fr','zh')) FROM documents
+    UNION ALL
+    SELECT count(*) FILTER (vec_id IS NOT NULL
+         AND vec_id NOT IN (SELECT doc_id FROM documents)) FROM embeddings
+  ) g
+)
+SELECT q.doc_id, q.n_tokens, gate.gate_checks, gate.gate_violations
+FROM q, gate
+WHERE q.n_tokens >= 30
+  AND (500000 * q.n_stop) // q.n_tokens >= 50000
+  AND q.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+  AND gate.gate_violations = 0
+""",
+)
+def pipe_curation_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pipe_curation` behind the round-9 ingest-gate family, the
+    way a real delivery lands: a Deequ-style constraint gate on the raw
+    ``documents`` table (null-freedom, id uniqueness, n_chars bound,
+    language whitelist — ``quality.check_constraints``) composed via
+    ``unionByName`` with a referential-integrity check
+    (``embeddings.vec_id -> documents.doc_id``,
+    ``quality.check_foreign_key``), aggregated to a 1-row summary that
+    rides a broadcast onto the curated output.  A failing gate is an
+    in-plan ``raise_error`` — curated rows only exist when the whole
+    delivery passed (the oracle expresses the same as
+    ``WHERE gate_violations = 0``; the raise-vs-empty difference is
+    unobservable on a passing corpus and documented here).  Scale
+    shape: the gates are two single-scan aggregates + one broadcast
+    anti-join, all corpus-size-independent in output; the curation body
+    is unchanged from ``pipe_curation``."""
+    from scdataset_spark.operators.quality import (
+        check_constraints,
+        check_foreign_key,
+    )
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    emb = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    gate = check_constraints(
+        docs,
+        [
+            {"type": "not_null", "col": "doc_id"},
+            {"type": "unique", "col": "doc_id"},
+            {"type": "not_null", "col": "text"},
+            {"type": "min", "col": "n_chars", "bound": 0},
+            {
+                "type": "accepted_values",
+                "col": "lang",
+                "values": ["de", "en", "es", "fr", "zh"],
+            },
+        ],
+    ).unionByName(check_foreign_key(emb, "vec_id", docs, "doc_id"))
+    summary = gate.agg(
+        F.count(F.lit(1)).cast("bigint").alias("gate_checks"),
+        F.sum("violations").cast("bigint").alias("_viol"),
+    ).select(
+        "gate_checks",
+        F.when(
+            F.col("_viol") > 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("ingest gate failed: "),
+                    F.col("_viol").cast("string"),
+                    F.lit(" violations"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("_viol"))
+        .alias("gate_violations"),
+    )
+    c = corpus(spark, sf_dir)
+    edges = dd.lsh_candidate_pairs(
+        dd.with_minhash(dd.with_shingles(c), num_hashes=12), num_hashes=12, bands=4
+    )
+    comp = dd.connected_components(edges)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    toks = tx.with_stop_counts(c).select("doc_id", "n_tokens", "n_stop")
+    curated = (
+        toks.where(
+            (F.col("n_tokens") >= 30) & (F.expr(tx.Q_INT_EXPR) >= 50000)
+        )
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+    )
+    return curated.crossJoin(F.broadcast(summary))
+
+
+@query(
     "tx_sequence_pack",
     survey_ref="§2.14 text,W2",
     oracle="""

@@ -252,3 +252,52 @@ class TestHotCellGuard:
             )
         )
         assert a == b
+
+
+class TestGatedCurationPipeline:
+    def test_passing_delivery_curates_with_gate_columns(self, spark):
+        from scdataset_spark.queries.llm import pipe_curation, pipe_curation_gated
+        from tests.conftest import SF_DIR_SMALL
+
+        out = pipe_curation_gated(spark, SF_DIR_SMALL).collect()
+        assert out, "planted corpus must curate some documents"
+        assert all(
+            (r.gate_checks, r.gate_violations) == (6, 0) for r in out
+        )
+        # the curated set itself is unchanged from the ungated pipeline
+        ungated = {
+            (r.doc_id, r.n_tokens)
+            for r in pipe_curation(spark, SF_DIR_SMALL).collect()
+        }
+        assert {(r.doc_id, r.n_tokens) for r in out} == ungated
+
+    def test_failing_delivery_raises_in_plan(self, spark, tmp_path):
+        """A delivery violating the language whitelist must abort the
+        curated output with the in-plan raise_error — rows never reach
+        the caller on a failing gate."""
+        import shutil
+
+        import pytest as _pytest
+
+        from scdataset_spark.queries.llm import pipe_curation_gated
+        from tests.conftest import SF_DIR_SMALL
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"""
+            COPY (
+              SELECT * FROM read_parquet('{SF_DIR_SMALL}/documents.parquet')
+              UNION ALL
+              SELECT 999999 AS doc_id, 'rogue doc text here ok' AS text,
+                     'xx' AS lang, 'src0' AS source, 22 AS n_chars
+            ) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        con.close()
+        shutil.copy(
+            f"{SF_DIR_SMALL}/embeddings.parquet", tmp_path / "embeddings.parquet"
+        )
+        with _pytest.raises(Exception, match="ingest gate failed"):
+            pipe_curation_gated(spark, str(tmp_path)).collect()
