@@ -152,6 +152,46 @@ def _constraints_scaled(spark, sf_dir):
     )
 
 
+def _fk_broadcast_scaled(spark, sf_dir):
+    """Audit-only dq_foreign_key at fact scale, BROADCAST-dim shape:
+    600 M lineitem.l_suppkey against the 1 M-row supplier key — the
+    deduplicated dimension side is a few MB, so AQE broadcasts the
+    left-anti join and the fact side rides one pruned scan, never a
+    shuffle."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.quality import check_foreign_key
+
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    sup = load_table(spark, "supplier", sf_dir, with_row_id=False)
+    return check_foreign_key(li, "l_suppkey", sup, "s_suppkey")
+
+
+def _fk_bigdim_scaled(spark, sf_dir):
+    """Audit-only dq_foreign_key at fact scale, BIG-dimension shape:
+    600 M lineitem.l_orderkey against the 150 M-row orders key — past
+    broadcast size, the honest cost is one key shuffle on each side
+    (both sides carry only the 8-byte key)."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.quality import check_foreign_key
+
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    orders = load_table(spark, "orders", sf_dir, with_row_id=False)
+    return check_foreign_key(li, "l_orderkey", orders, "o_orderkey")
+
+
+def _volume_scaled(spark, sf_dir):
+    """Audit-only dq_volume_anomalies over the SCALED orders table (the
+    q fixtures scale the TPC-H tables, not events): 150 M o_orderdate
+    values truncate to ~2.4 k day buckets, so the median/MAD screen's
+    frame stays days-sized at any corpus size — the raw table is
+    scanned once."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.quality import volume_anomalies
+
+    orders = load_table(spark, "orders", sf_dir, with_row_id=False)
+    return volume_anomalies(orders, "o_orderdate", bucket="day")
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
 EXTRA = {
@@ -161,6 +201,9 @@ EXTRA = {
     "drift_scaled": _drift_scaled,
     "projected_ann_scaled": _projected_ann_scaled,
     "remove_spans_local": _remove_spans_local,
+    "fk_broadcast_scaled": _fk_broadcast_scaled,
+    "fk_bigdim_scaled": _fk_bigdim_scaled,
+    "volume_scaled": _volume_scaled,
 }
 
 
