@@ -1366,3 +1366,182 @@ def semantic_dedup_fast(
         .applyInPandas(_dominate, out_schema)
         .select(id_col, "cell", "kept")
     )
+
+
+def pq_codebook(
+    candidates: DataFrame,
+    n_codes: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """ENGINE-PORTABLE product-quantization codebook: the ``n_codes``
+    candidates with the smallest ``mix(id, seed)`` keys are the code
+    vectors (same seed-with-data-points discipline as
+    :func:`seeded_centroids`, so a SQL oracle replays the index build);
+    subspace ``s``'s codeword for code ``j`` is the ``s``-th slice of
+    code vector ``j``.  Returns ``(code, codevec)``, ``n_codes`` rows —
+    broadcast everywhere, never shuffled."""
+    base = (
+        candidates.select(F.col(id_col).alias("_src"), F.col(vec).alias("codevec"))
+        .withColumn("_mk", F.expr(mix_sql("_src", seed, "spark")))
+        .orderBy("_mk", "_src")
+        .limit(n_codes)
+    )
+    return base.withColumn(
+        "code", F.row_number().over(Window.orderBy("_mk", "_src")) - 1
+    ).select("code", "codevec")
+
+
+def _pq_subdist(vec_expr: str, code_expr: str, s: str, sub_dim: int) -> str:
+    """Rounded squared distance between subspace ``s`` (0-based) of a
+    vector and the same slice of a code vector — the engine-portable
+    PQ assignment metric (round 6 + lowest-code tiebreak, the
+    assign_nearest_cell discipline)."""
+    return (
+        f"round(aggregate(zip_with("
+        f"slice({vec_expr}, {s} * {sub_dim} + 1, {sub_dim}), "
+        f"slice({code_expr}, {s} * {sub_dim} + 1, {sub_dim}), "
+        "(x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 13,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, the standard
+    memory trick behind every billion-scale ANN index): split each
+    vector into ``m`` subspaces of ``dim/m`` dims and store, per
+    subspace, the index of the nearest codeword — ``dim`` floats become
+    ``m`` small ints (64x compression at the defaults).
+
+    Engine-portable end to end: the codebook is mixer-seeded
+    (:func:`pq_codebook`), every subspace assignment is an argmin over
+    rounded squared distances with a lowest-code tiebreak, so the full
+    code table is value-checkable by a SQL oracle — same discipline as
+    :func:`seeded_centroids` + :func:`assign_nearest_cell`.
+
+    Scale shape: the codebook collapses to a ONE-ROW array broadcast
+    onto the scan; each row evaluates m·n_codes·(dim/m) = n_codes·dim
+    multiply-adds inside one whole-stage-codegen expression and emits
+    ``m`` narrow ``(id, subspace, code)`` rows — no shuffle anywhere.
+    The per-row HOF fold is the same Catalyst expression budget as
+    :func:`random_projection` (n_codes·dim terms); past ~10^6 rows the
+    BLAS ``mapInPandas`` twin pattern applies (see
+    ``projected_bucket_pairs(vectorized_projection=True)``)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    cb = codebook if codebook is not None else pq_codebook(
+        df, n_codes, seed, id_col, vec
+    )
+    cb_arr = cb.agg(F.collect_list(F.struct("code", "codevec")).alias("_cb"))
+    sdist = _pq_subdist(vec, "c.codevec", "s", sub_dim)
+    codes = (
+        "transform(sequence(0, {m} - 1), s -> "
+        "aggregate(transform(_cb, c -> named_struct('d', {sdist}, 'code', c.code)), "
+        "named_struct('d', CAST('Infinity' AS DOUBLE), 'code', -1), "
+        "(acc, t) -> IF(t.d < acc.d OR (t.d = acc.d AND t.code < acc.code), t, acc)"
+        ").code)"
+    ).format(m=m, sdist=sdist)
+    return (
+        df.crossJoin(F.broadcast(cb_arr))
+        .select(id_col, F.posexplode(F.expr(codes)).alias("subspace", "code"))
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    refine: int = 3,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 11,
+    pq_seed: int = 13,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (IVF-ADC) top-k: the coarse IVF routing of
+    :func:`ivf_seeded_topk` with the candidate payload QUANTIZED —
+    inside the probed cells, candidates are scored against the query by
+    the distance to their PQ RECONSTRUCTION (asymmetric distance
+    computation), the top ``refine``·``k`` per query by ADC survive,
+    and only those fetch their full vector for the exact-cosine
+    re-rank.  At production scale the inverted lists store ``m`` bytes
+    per vector instead of ``dim`` floats, ADC folds into per-subspace
+    lookup tables, and the exact re-rank touches ``refine``·``k`` rows
+    per query — the same plan shape measured here.
+
+    Every stage is engine-portable (mixer-seeded centroids + codebook,
+    rounded distances, id tiebreaks) so the whole IVF-PQ path is
+    value-checked by a SQL oracle.  Output per query: the top ``k`` by
+    exact cosine among the ADC-refined set, with both the ADC and the
+    exact cosine."""
+    cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
+    c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
+    c_assigned = assign_nearest_cell(c, cent, cand_id, "_cv")
+    cb = pq_codebook(candidates, n_codes, pq_seed, cand_id, vec)
+    codes = pq_encode(
+        candidates, cand_id, vec, dim, m, n_codes, pq_seed, codebook=cb
+    )
+    sub_dim = dim // m
+    # reconstruction: concat the m codewords back into a dim-vector —
+    # computed ONCE per candidate from the broadcast codebook (narrow
+    # map; production keeps only the codes and uses per-query LUTs, the
+    # identical plan shape with 8 bytes instead of 64 floats per row)
+    cb_arr = cb.agg(F.collect_list(F.struct("code", "codevec")).alias("_cb"))
+    codes_per_id = codes.groupBy(cand_id).agg(
+        F.expr("transform(array_sort(collect_list(struct(subspace, code))), s -> s.code)")
+        .alias("_codes")
+    )
+    recon = (
+        "flatten(transform(_codes, (cd, s) -> "
+        f"slice(filter(_cb, c -> c.code = cd)[0].codevec, s * {sub_dim} + 1, {sub_dim})))"
+    )
+    c_recon = (
+        c_assigned.join(codes_per_id, cand_id)
+        .crossJoin(F.broadcast(cb_arr))
+        .withColumn("_rv", F.expr(recon))
+        .select(cand_id, "_cv", "_rv", "_cell")
+    )
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_dist", F.expr(_DIST_SQL.format(a="_qv", b="centroid")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy(query_id).orderBy("_dist", "cell")),
+        )
+        .where(F.col("_rk") <= n_probe)
+        .select(query_id, "_qv", F.col("cell").alias("_cell"))
+    )
+    adc = (
+        c_recon.join(F.broadcast(q_cells), "_cell")
+        .where(F.col(query_id) != F.col(cand_id))
+        .withColumn("adc", F.expr(_DIST_SQL.format(a="_qv", b="_rv")))
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(F.col("adc"), F.col(cand_id))
+    refined = adc.withColumn("_ark", F.row_number().over(w_adc)).where(
+        F.col("_ark") <= refine * k
+    )
+    rescored = refined.withColumn("cosine", cosine_expr("_qv", "_cv"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, cand_id, "adc", "cosine", "rank")
+    )

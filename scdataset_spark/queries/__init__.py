@@ -37,6 +37,8 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 _SWEEP_PRIORITY = [
     # --- new in round 10: never externally checked ---
     "pipe_curation_gated",
+    "sim_pq_encode",
+    "sim_pq_ann",
     # --- last externally checked in round 7: two rounds stale, leads ---
     "dq_profile",
     "dq_outliers",

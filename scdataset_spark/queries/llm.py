@@ -1087,6 +1087,163 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_seeded_topk(q, c, k=3, n_clusters=8, n_probe=2, seed=11)
 
 
+# ------------------------------------------------ product quantization
+_PQ_SEED = 13
+_PQ_M = 8
+_PQ_SUB = 8  # dim 64 / m
+_PQ_CODES = 16
+
+
+def _pq_codebook_sql() -> str:
+    return f"""
+cb AS (
+  SELECT rk - 1 AS code, codevec FROM (
+    SELECT embedding AS codevec,
+           row_number() OVER (ORDER BY {mix_sql('vec_id', _PQ_SEED, 'duckdb')}, vec_id) AS rk
+    FROM embeddings
+  ) WHERE rk <= {_PQ_CODES}
+)"""
+
+
+def _pq_codes_sql(id_alias: str = "vec_id") -> str:
+    """codes CTE body: per (vector, subspace) the argmin codeword by
+    rounded squared distance, lowest-code tiebreak — replays
+    similarity.pq_encode exactly."""
+    sd = (
+        f"round(list_aggregate(list_transform(range(1, {_PQ_SUB} + 1), "
+        f"d -> (e.embedding[s.s * {_PQ_SUB} + d]::DOUBLE - cb.codevec[s.s * {_PQ_SUB} + d]::DOUBLE)"
+        f" * (e.embedding[s.s * {_PQ_SUB} + d]::DOUBLE - cb.codevec[s.s * {_PQ_SUB} + d]::DOUBLE)), 'sum'), 6)"
+    )
+    return f"""
+sub AS (
+  SELECT e.vec_id AS {id_alias}, s.s AS subspace, cb.code, {sd} AS d
+  FROM embeddings e
+  CROSS JOIN cb
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) s
+),
+codes AS (
+  SELECT {id_alias}, subspace, code FROM (
+    SELECT {id_alias}, subspace, code,
+           row_number() OVER (PARTITION BY {id_alias}, subspace ORDER BY d, code) AS crk
+    FROM sub
+  ) WHERE crk = 1
+)"""
+
+
+@query(
+    "sim_pq_encode",
+    survey_ref="§2.14 similarity",
+    oracle=f"""
+WITH {_pq_codebook_sql()},
+{_pq_codes_sql()}
+SELECT vec_id, subspace, code FROM codes
+""",
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (``similarity.pq_encode``): split
+    every 64-dim embedding into 8 subspaces and store the index of the
+    nearest mixer-seeded codeword per subspace — 64 floats become 8
+    small ints (the Jégou et al. 2011 memory trick behind
+    billion-scale ANN indexes).  Rounded distances + lowest-code
+    tiebreaks make the full code table engine-exact, so the oracle
+    re-derives every code.  Scale shape: one broadcast codebook array,
+    one narrow whole-stage-codegen pass, no shuffle."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    return sim.pq_encode(
+        e, id_col="vec_id", vec="embedding",
+        dim=64, m=_PQ_M, n_codes=_PQ_CODES, seed=_PQ_SEED,
+    )
+
+
+def _pq_ann_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3, refine: int = 3, seed: int = 11) -> str:
+    dist = (
+        "round(list_aggregate(list_transform(range(1, 65), "
+        "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), 'sum'), 6)"
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), 'sum'))), 4)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT rk - 1 AS cell, centroid FROM (
+    SELECT embedding AS centroid,
+           row_number() OVER (ORDER BY {mix_sql('vec_id', seed, 'duckdb')}, vec_id) AS rk
+    FROM embeddings
+  ) WHERE rk <= {n_clusters}
+),
+{_pq_codebook_sql().lstrip()},
+{_pq_codes_sql('c_id').lstrip()},
+recon AS (
+  SELECT c_id,
+         flatten(list(list_slice(cb.codevec, subspace * {_PQ_SUB} + 1,
+                                 subspace * {_PQ_SUB} + {_PQ_SUB})
+                      ORDER BY subspace)) AS rv
+  FROM codes JOIN cb USING (code)
+  GROUP BY c_id
+),
+assigned AS (
+  SELECT c_id, cv, cell FROM (
+    SELECT e.vec_id AS c_id, e.embedding AS cv, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.embedding', b='cent.centroid')}, cent.cell) AS ark
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE ark = 1
+),
+probed AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT e.vec_id AS q_id, e.embedding AS qv, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.embedding', b='cent.centroid')}, cent.cell) AS prk
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < 20
+  ) WHERE prk <= {n_probe}
+),
+scored AS (
+  SELECT q_id, qv, a.c_id AS c_id, cv,
+         {dist.format(a='qv', b='r.rv')} AS adc
+  FROM assigned a
+  JOIN probed p ON a.cell = p.cell AND p.q_id <> a.c_id
+  JOIN recon r ON r.c_id = a.c_id
+),
+refined AS (
+  SELECT q_id, qv, c_id, cv, adc FROM (
+    SELECT q_id, qv, c_id, cv, adc,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS ark
+    FROM scored
+  ) WHERE ark <= {refine * k}
+),
+ranked AS (
+  SELECT q_id, c_id, adc, {cos} AS cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY {cos} DESC, c_id) AS rank
+  FROM refined
+)
+SELECT q_id, c_id, adc, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("sim_pq_ann", survey_ref="§2.14 similarity", oracle=_pq_ann_oracle())
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVF-ADC) approximate nearest neighbours
+    (``similarity.pq_topk``): mixer-seeded coarse centroids route each
+    query to its 2 nearest cells, candidates inside the probed cells
+    are scored by the distance to their PQ RECONSTRUCTION (asymmetric
+    distance), the top refine·k per query by ADC fetch their full
+    vector, and exact cosine re-ranks to the final top-k.  Index
+    build, codebook, cell assignment, ADC, and both rankings are
+    engine-portable (rounded values, id tiebreaks), so the whole
+    IVF-PQ path — the standard billion-scale ANN layout — is
+    value-checked by the SQL oracle."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return sim.pq_topk(
+        q, c, k=3, refine=3, n_clusters=8, n_probe=2,
+        dim=64, m=_PQ_M, n_codes=_PQ_CODES, seed=11, pq_seed=_PQ_SEED,
+    )
+
+
 # --------------------------------------------------- multimodal (M1-M5)
 @query(
     "mm_multimodal_zip",

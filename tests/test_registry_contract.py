@@ -43,6 +43,8 @@ LIBRARY_ONLY = {
     "test in test_similarity_extra",
     "seeded_centroids": "portable index build shared by ivf_seeded_topk "
     "(sim_ivf_ann) and semantic_dedup (dd_semantic_dedup)",
+    "pq_codebook": "portable PQ index build consumed by pq_encode / "
+    "pq_topk (sim_pq_encode, sim_pq_ann)",
     "assign_nearest_cell": "argmin cell assignment shared by "
     "ivf_seeded_topk and semantic_dedup",
     "SamplingStrategy": "abstract base of the checked strategies",

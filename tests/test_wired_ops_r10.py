@@ -301,3 +301,112 @@ class TestGatedCurationPipeline:
         )
         with _pytest.raises(Exception, match="ingest gate failed"):
             pipe_curation_gated(spark, str(tmp_path)).collect()
+
+
+class TestProductQuantization:
+    def test_codes_shape_and_determinism(self, spark):
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.similarity import pq_encode
+        from tests.conftest import SF_DIR_SMALL
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        n = e.count()
+        out = pq_encode(e).collect()
+        assert len(out) == n * 8  # m narrow rows per vector
+        assert all(0 <= r.code < 16 for r in out)
+        assert all(0 <= r.subspace < 8 for r in out)
+        again = pq_encode(e).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_codes_match_numpy_recompute(self, spark):
+        """The argmin code per (vector, subspace) must equal a direct
+        numpy recomputation with the same seeded codebook, rounded
+        distances and lowest-code tiebreak."""
+        import numpy as np
+
+        from scdataset_spark.operators.similarity import pq_encode
+        from scdataset_spark.plans.seeds import mix_py
+
+        rng = np.random.default_rng(17)
+        V = rng.normal(size=(40, 64))
+        rows = [(i, [float(x) for x in V[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        got = {(r.vec_id, r.subspace): r.code for r in pq_encode(df, seed=13).collect()}
+        order = sorted(range(40), key=lambda i: (mix_py(i, 13), i))[:16]
+        CB = V[order]  # code j = j-th smallest mix key
+        for i in range(40):
+            for s in range(8):
+                d = np.round(
+                    ((V[i, s * 8:(s + 1) * 8] - CB[:, s * 8:(s + 1) * 8]) ** 2).sum(axis=1),
+                    6,
+                )
+                want = int(np.lexsort((np.arange(16), d))[0])
+                assert got[(i, s)] == want, (i, s)
+
+    def test_exhaustive_refine_equals_ivf(self, spark):
+        """With refine·k covering every probed candidate, the ADC screen
+        is inert and IVF-PQ must return EXACTLY ivf_seeded_topk's result
+        (same routing, same exact-cosine re-rank)."""
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.similarity import ivf_seeded_topk, pq_topk
+        from pyspark.sql import functions as F
+        from tests.conftest import SF_DIR_SMALL
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        ivf = {
+            (r.q_id, r.c_id, r.cosine, r.rank)
+            for r in ivf_seeded_topk(q, c, k=3, n_clusters=8, n_probe=2, seed=11).collect()
+        }
+        pq = {
+            (r.q_id, r.c_id, r.cosine, r.rank)
+            for r in pq_topk(
+                q, c, k=3, refine=100000, n_clusters=8, n_probe=2, seed=11
+            ).collect()
+        }
+        assert ivf and pq == ivf
+
+    def test_adc_refine_recall_band(self, spark):
+        """The ADC screen's recall vs exact IVF must climb with the
+        refine budget (measured on this fixture: 0.42 / 0.70 / 0.93 at
+        refine 3 / 10 / 20).  Isotropic random 64-dim vectors are PQ's
+        WORST case — a 16-codeword book has no cluster structure to
+        exploit — so the floors are deliberately loose; exactness when
+        the screen is inert is pinned by test_exhaustive_refine above."""
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.similarity import ivf_seeded_topk, pq_topk
+        from pyspark.sql import functions as F
+        from tests.conftest import SF_DIR_SMALL
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        ivf = {
+            (r.q_id, r.c_id)
+            for r in ivf_seeded_topk(q, c, k=3, n_clusters=8, n_probe=2, seed=11).collect()
+        }
+        assert ivf
+
+        def recall(refine):
+            pq = {
+                (r.q_id, r.c_id)
+                for r in pq_topk(
+                    q, c, k=3, refine=refine, n_clusters=8, n_probe=2, seed=11
+                ).collect()
+            }
+            return len(pq & ivf) / len(ivf)
+
+        r3, r20 = recall(3), recall(20)
+        assert r3 >= 0.3, f"refine=3 recall {r3}"
+        assert r20 >= 0.85, f"refine=20 recall {r20}"
+        assert r20 >= r3
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from scdataset_spark.operators.similarity import pq_encode
+
+        df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id bigint, embedding array<double>")
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_encode(df, dim=64, m=7)
