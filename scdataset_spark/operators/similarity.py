@@ -1417,6 +1417,8 @@ def pq_encode(
     n_codes: int = 16,
     seed: int = 13,
     codebook: DataFrame | None = None,
+    vectorized: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011, the standard
     memory trick behind every billion-scale ANN index): split each
@@ -1435,15 +1437,67 @@ def pq_encode(
     multiply-adds inside one whole-stage-codegen expression and emits
     ``m`` narrow ``(id, subspace, code)`` rows — no shuffle anywhere.
     The per-row HOF fold is the same Catalyst expression budget as
-    :func:`random_projection` (n_codes·dim terms); past ~10^6 rows the
-    BLAS ``mapInPandas`` twin pattern applies (see
-    ``projected_bucket_pairs(vectorized_projection=True)``)."""
+    :func:`random_projection` (n_codes·dim terms) — the recurring
+    Catalyst-fold wall — so ``vectorized`` resolves automatically from
+    the corpus size (the auto-posture contract of
+    ``projected_bucket_pairs``): past ``AUTO_SCALE_ROWS`` the codes
+    come from one batched BLAS distance matrix per Arrow batch with
+    the identical rounded-distance + lowest-code argmin (a code can
+    only differ where two subspace distances tie at the 1e-6 rounding
+    boundary; pinned equal on the test corpus), and the codebook is
+    collected once (n_codes×dim doubles — the eager index-build
+    posture of ``semantic_dedup_fast``).  The exact HOF path stays the
+    lazy oracle shape; pass ``n_rows`` to skip the resolution count."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     cb = codebook if codebook is not None else pq_codebook(
         df, n_codes, seed, id_col, vec
     )
+    if vectorized is None:
+        n = int(n_rows) if n_rows is not None else df.count()
+        vectorized = n >= AUTO_SCALE_ROWS
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        cb_rows = sorted(cb.collect(), key=lambda r: r["code"])
+        CB = np.asarray([r["codevec"] for r in cb_rows], dtype=np.float64)
+        codes_np = np.asarray([int(r["code"]) for r in cb_rows], dtype=np.int64)
+        idt = df.schema[id_col].dataType.simpleString()
+        n_sub = m
+
+        def _encode(batches):
+            subs = np.arange(n_sub, dtype=np.int32)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                out = np.empty((len(X), n_sub), dtype=np.int64)
+                for s in range(n_sub):
+                    Xs = X[:, s * sub_dim:(s + 1) * sub_dim]
+                    Cs = CB[:, s * sub_dim:(s + 1) * sub_dim]
+                    # difference form (not x²+c²−2xc): with only n_codes
+                    # codewords the (b, n_codes, sub_dim) scratch is tiny
+                    # and it avoids the cancellation corner near rounding
+                    # boundaries
+                    d = np.round(
+                        ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2), 6
+                    )
+                    # first-occurrence argmin == lowest code on ties
+                    # (codes_np is ascending by construction)
+                    out[:, s] = codes_np[d.argmin(axis=1)]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), n_sub),
+                        "subspace": np.tile(subs, len(X)),
+                        "code": out.reshape(-1),
+                    }
+                )
+
+        return df.select(F.col(id_col), F.col(vec).alias("_v")).mapInPandas(
+            _encode, f"{id_col} {idt}, subspace int, code int"
+        )
     cb_arr = cb.agg(F.collect_list(F.struct("code", "codevec")).alias("_cb"))
     sdist = _pq_subdist(vec, "c.codevec", "s", sub_dim)
     codes = (
@@ -1474,6 +1528,8 @@ def pq_topk(
     query_id: str = "q_id",
     cand_id: str = "c_id",
     vec: str = "embedding",
+    vectorized_encode: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVF-ADC) top-k: the coarse IVF routing of
     :func:`ivf_seeded_topk` with the candidate payload QUANTIZED —
@@ -1496,7 +1552,8 @@ def pq_topk(
     c_assigned = assign_nearest_cell(c, cent, cand_id, "_cv")
     cb = pq_codebook(candidates, n_codes, pq_seed, cand_id, vec)
     codes = pq_encode(
-        candidates, cand_id, vec, dim, m, n_codes, pq_seed, codebook=cb
+        candidates, cand_id, vec, dim, m, n_codes, pq_seed, codebook=cb,
+        vectorized=vectorized_encode, n_rows=n_rows,
     )
     sub_dim = dim // m
     # reconstruction: concat the m codewords back into a dim-vector —

@@ -1149,9 +1149,13 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives every code.  Scale shape: one broadcast codebook array,
     one narrow whole-stage-codegen pass, no shuffle."""
     e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    # vectorized pinned off: the decimal HOF argmin is the oracle shape
+    # and the pin keeps the plan fully lazy (no auto-resolution count);
+    # production callers leave the default and get the size-resolved
+    # BLAS twin past AUTO_SCALE_ROWS
     return sim.pq_encode(
         e, id_col="vec_id", vec="embedding",
-        dim=64, m=_PQ_M, n_codes=_PQ_CODES, seed=_PQ_SEED,
+        dim=64, m=_PQ_M, n_codes=_PQ_CODES, seed=_PQ_SEED, vectorized=False,
     )
 
 
@@ -1241,6 +1245,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(
         q, c, k=3, refine=3, n_clusters=8, n_probe=2,
         dim=64, m=_PQ_M, n_codes=_PQ_CODES, seed=11, pq_seed=_PQ_SEED,
+        vectorized_encode=False,
     )
 
 

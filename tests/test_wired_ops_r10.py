@@ -410,3 +410,21 @@ class TestProductQuantization:
         df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id bigint, embedding array<double>")
         with _pytest.raises(ValueError, match="divisible"):
             pq_encode(df, dim=64, m=7)
+
+    def test_vectorized_encode_matches_hof(self, spark):
+        """The BLAS twin (auto past AUTO_SCALE_ROWS) must produce the
+        identical code table as the decimal HOF fold — same rounded
+        distances, same lowest-code argmin (a code can only differ on a
+        1e-6 rounding-boundary tie, absent from this corpus)."""
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.similarity import pq_encode
+        from tests.conftest import SF_DIR_SMALL
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        hof = sorted(map(tuple, pq_encode(e, vectorized=False).collect()))
+        blas = sorted(map(tuple, pq_encode(e, vectorized=True).collect()))
+        assert hof == blas
+        # auto resolution: n_rows forced large -> the BLAS mapInPandas plan
+        auto_big = pq_encode(e, n_rows=10_000_000)
+        assert "MapInPandas" in _plan_str(auto_big)
+        assert "MapInPandas" not in _plan_str(pq_encode(e, vectorized=False))
