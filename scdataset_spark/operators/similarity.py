@@ -1529,6 +1529,7 @@ def pq_topk(
     cand_id: str = "c_id",
     vec: str = "embedding",
     vectorized_encode: bool | None = None,
+    vectorized_assign: bool | None = None,
     n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVF-ADC) top-k: the coarse IVF routing of
@@ -1546,10 +1547,69 @@ def pq_topk(
     rounded distances, id tiebreaks) so the whole IVF-PQ path is
     value-checked by a SQL oracle.  Output per query: the top ``k`` by
     exact cosine among the ADC-refined set, with both the ADC and the
-    exact cosine."""
+    exact cosine.
+
+    Two auto-resolved scale knobs (the ``AUTO_SCALE_ROWS`` contract;
+    pass explicit flags to pin either path, as the oracle query does):
+    ``vectorized_encode`` is :func:`pq_encode`'s BLAS twin, and
+    ``vectorized_assign`` replaces the HOF argmin of
+    :func:`assign_nearest_cell` — n_clusters·dim multiply-adds PER ROW,
+    the measured fold wall past a few hundred centroids — with one
+    ``X @ C.T`` per Arrow batch over the once-collected centroid matrix
+    (rounded distances + lowest-cell argmin preserved, so cells can
+    differ only on a 1e-6 rounding-boundary tie).  Keeping per-query
+    latency flat across corpus decades requires BOTH: scale
+    ``n_clusters`` with n (probed-list size ~ n·n_probe/n_clusters) and
+    the BLAS assignment that makes a large ``n_clusters`` affordable."""
     cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
     c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
-    c_assigned = assign_nearest_cell(c, cent, cand_id, "_cv")
+    if vectorized_assign is None or vectorized_encode is None:
+        n = int(n_rows) if n_rows is not None else candidates.count()
+        n_rows = n  # reuse for pq_encode's resolution below
+        if vectorized_assign is None:
+            vectorized_assign = n >= AUTO_SCALE_ROWS
+        if vectorized_encode is None:
+            vectorized_encode = n >= AUTO_SCALE_ROWS
+    if vectorized_assign:
+        import numpy as np
+        import pandas as pd
+
+        cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
+        C = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+        cells_np = np.asarray([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+        idt = candidates.schema[cand_id].dataType.simpleString()
+
+        c2 = (C * C).sum(axis=1)
+
+        def _assign_blas(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+                # x²+c²−2xc matmul form: (b, k) scratch, BLAS flops —
+                # the (b, k, dim) difference form would allocate ~260 MB
+                # per batch at k=512
+                d = np.round(
+                    np.maximum(
+                        (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T),
+                        0.0,
+                    ),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {
+                        cand_id: pdf[cand_id].to_numpy(),
+                        "_cv": pdf["_cv"],
+                        "_cell": cells_np[d.argmin(axis=1)].astype("int32"),
+                    }
+                )
+
+        cv_type = candidates.schema[vec].dataType.simpleString()
+        c_assigned = c.mapInPandas(
+            _assign_blas, f"{cand_id} {idt}, _cv {cv_type}, _cell int"
+        )
+    else:
+        c_assigned = assign_nearest_cell(c, cent, cand_id, "_cv")
     cb = pq_codebook(candidates, n_codes, pq_seed, cand_id, vec)
     codes = pq_encode(
         candidates, cand_id, vec, dim, m, n_codes, pq_seed, codebook=cb,

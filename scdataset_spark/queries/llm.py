@@ -1245,7 +1245,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(
         q, c, k=3, refine=3, n_clusters=8, n_probe=2,
         dim=64, m=_PQ_M, n_codes=_PQ_CODES, seed=11, pq_seed=_PQ_SEED,
-        vectorized_encode=False,
+        vectorized_encode=False, vectorized_assign=False,
     )
 
 

@@ -192,6 +192,61 @@ def _volume_scaled(spark, sf_dir):
     return volume_anomalies(orders, "o_orderdate", bucket="day")
 
 
+def _pq_encode_scaled(spark, sf_dir):
+    """Audit-only sim_pq_encode over the planted near-dup corpus with
+    the auto-resolved posture (vectorized BLAS codes past
+    AUTO_SCALE_ROWS): measures the 64-floats -> 8-codes compression
+    pass at corpus scale (one narrow Arrow map, no shuffle)."""
+    from scdataset_spark.operators.similarity import pq_encode
+    from scdataset_spark.queries.llm import emb_corpus
+
+    return pq_encode(emb_corpus(spark, sf_dir), id_col="vec_id", vec="v")
+
+
+def _pq_ann_scaled(spark, sf_dir):
+    """Audit-only sim_pq_ann with SCALE-SIZED parameters: 64 coarse
+    cells / 4 probes (cells ~ thousands of vectors each), refine=5,
+    vectorized encoding — the IVF-ADC layout a production index uses.
+    Fixed 64 cells means probed-list volume grows LINEARLY with n —
+    see _pq_ann_cells_scaled for the flat-latency sizing."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import pq_topk
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, sf_dir)
+    q = c.where("vec_id < 20").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("embedding")
+    )
+    cand = c.select(F.col("vec_id").alias("c_id"), F.col("v").alias("embedding"))
+    return pq_topk(
+        q, cand, k=10, refine=5, n_clusters=64, n_probe=4,
+        vectorized_encode=True,
+    )
+
+
+def _pq_ann_cells_scaled(spark, sf_dir):
+    """IVF-PQ with n_clusters SCALED to the corpus (n/4500 — probed
+    volume ~ n_probe·4500 per query, constant across decades) and the
+    BLAS assignment that makes a large cell count affordable (the HOF
+    argmin is the measured fold wall past a few hundred centroids)."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import pq_topk
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, sf_dir)
+    n = c.count()
+    q = c.where("vec_id < 20").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("embedding")
+    )
+    cand = c.select(F.col("vec_id").alias("c_id"), F.col("v").alias("embedding"))
+    return pq_topk(
+        q, cand, k=10, refine=5, n_clusters=max(64, n // 4500), n_probe=4,
+        vectorized_encode=True, vectorized_assign=True, n_rows=n,
+    )
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
 EXTRA = {
@@ -204,6 +259,9 @@ EXTRA = {
     "fk_broadcast_scaled": _fk_broadcast_scaled,
     "fk_bigdim_scaled": _fk_bigdim_scaled,
     "volume_scaled": _volume_scaled,
+    "pq_encode_scaled": _pq_encode_scaled,
+    "pq_ann_scaled": _pq_ann_scaled,
+    "pq_ann_cells_scaled": _pq_ann_cells_scaled,
 }
 
 

@@ -428,3 +428,25 @@ class TestProductQuantization:
         auto_big = pq_encode(e, n_rows=10_000_000)
         assert "MapInPandas" in _plan_str(auto_big)
         assert "MapInPandas" not in _plan_str(pq_encode(e, vectorized=False))
+
+    def test_vectorized_assign_matches_hof(self, spark):
+        """The BLAS cell assignment must return the identical IVF-PQ
+        result as the HOF argmin path (rounded distances + lowest-cell
+        ties preserved)."""
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.similarity import pq_topk
+        from pyspark.sql import functions as F
+        from tests.conftest import SF_DIR_SMALL
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        hof = sorted(map(tuple, pq_topk(
+            q, c, k=3, refine=3, n_clusters=8, n_probe=2, seed=11,
+            vectorized_encode=False, vectorized_assign=False,
+        ).collect()))
+        blas = sorted(map(tuple, pq_topk(
+            q, c, k=3, refine=3, n_clusters=8, n_probe=2, seed=11,
+            vectorized_encode=True, vectorized_assign=True,
+        ).collect()))
+        assert hof == blas and hof
