@@ -1134,3 +1134,92 @@ def remove_duplicate_spans(
         .alias("removed_tokens"),
         F.coalesce("_clean", F.lit("")).alias("clean_text"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 40,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Edit-distance-VERIFIED near-dup pairs: MinHash+LSH banding
+    generates candidates (the usual slim short-key equi-self-join),
+    then each candidate pair is verified with the exact Levenshtein
+    distance on the raw strings and only pairs ``<= max_dist`` survive
+    — the character-level complement to Jaccard/cosine verification
+    (catches small in-place edits that token-set measures over-score,
+    and rejects token-permutations that they under-score).
+
+    Levenshtein is a JVM builtin on both engines (integer-exact, so
+    the oracle checks every distance), but it is O(len_a·len_b) PER
+    PAIR — the banding screen (df-capped, see
+    :func:`lsh_candidate_pairs`) must bound the candidate count, and
+    the two text copies ride only onto surviving candidates, exactly
+    like the cosine verify chain.  At 100 TB budget this with
+    ``max_len``-truncated inputs (standard MinHashing practice) if
+    documents are long."""
+    cand = lsh_candidate_pairs(
+        with_minhash(with_shingles(df, text_col), num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("edit_distance", F.levenshtein("_ta", "_tb"))
+        .where(F.col("edit_distance") <= max_dist)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
+def component_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 77,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: near-duplicate documents
+    must land in the SAME split (Lee et al. 2021 measure test-set
+    contamination from exactly this — a near-copy of a test doc in
+    train), so the split hash is keyed on the doc's dedup COMPONENT
+    representative instead of its own id.  Documents with no near-dup
+    stay their own singleton component, so the assignment reduces to
+    the plain keyed stamp (`o21`) on a dup-free corpus.
+
+    Shape: the banded-LSH pair graph -> :func:`connected_components`
+    (both existing, short-key shuffles), a left join of the
+    (tiny, dup-docs-only) component map onto the corpus, then the same
+    engine-portable ``mix(key) % 1000`` 90/5/5 stamp as o21 — the
+    oracle checks the EXACT assignment.  At 100 TB the component map is
+    dup-rows-sized and broadcasts; the corpus itself never shuffles."""
+    from scdataset_spark.plans.seeds import mix_sql
+
+    edges = lsh_candidate_pairs(
+        with_minhash(with_shingles(df, text_col), num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    comp = connected_components(edges).select(
+        F.col("id").alias(id_col), "component"
+    )
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = F.expr(mix_sql("_skey", seed, "spark")) % 1000
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .withColumn("_skey", key)
+        .select(
+            id_col,
+            F.col("_skey").alias("split_key"),
+            F.when(bucket < 900, F.lit("train"))
+            .when(bucket < 950, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

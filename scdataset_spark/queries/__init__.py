@@ -39,6 +39,8 @@ _SWEEP_PRIORITY = [
     "pipe_curation_gated",
     "sim_pq_encode",
     "sim_pq_ann",
+    "dd_edit_verified",
+    "o22_component_split",
     # --- last externally checked in round 7: two rounds stale, leads ---
     "dq_profile",
     "dq_outliers",

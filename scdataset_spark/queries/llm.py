@@ -2243,3 +2243,76 @@ def dd_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.remove_duplicate_spans(
         corpus(spark, sf_dir), k=5, rebuild="relational"
     )
+
+
+# ---------------------------------- edit-distance verified near-dups
+@query(
+    "dd_edit_verified",
+    survey_ref="§2.14 dedup",
+    oracle=f"""
+WITH cand AS ({_minhash_oracle()}),
+{CORPUS_SQL.strip().lstrip()}
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+FROM cand c
+JOIN corpus a ON c.doc_a = a.doc_id
+JOIN corpus b ON c.doc_b = b.doc_id
+WHERE levenshtein(a.text, b.text) <= 40
+""",
+)
+def dd_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-VERIFIED near-dup pairs on the planted corpus
+    (``dedup.edit_distance_pairs``): MinHash+LSH candidates, then the
+    exact integer Levenshtein distance on the raw strings keeps pairs
+    <= 40 — exact copies verify at 0, the head-dropped near-dups at
+    their excised-prefix length, and any candidate collision between
+    unrelated documents is rejected.  Integer-exact on both engines, so
+    the oracle checks every distance.  Scale shape: the df-capped
+    banding bounds the candidate count; both text copies join only
+    onto surviving candidates (the cosine-verify chain's posture)."""
+    return dd.edit_distance_pairs(
+        corpus(spark, sf_dir), max_dist=40, num_hashes=12, bands=4
+    )
+
+
+# ------------------------------------------ leakage-safe split stamp
+@query(
+    "o22_component_split",
+    survey_ref="O21,S2,§2.14 dedup",
+    oracle=f"""
+WITH RECURSIVE cand AS ({_minhash_oracle()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+nodes AS (SELECT DISTINCT a AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+{CORPUS_SQL.strip().lstrip()},
+keyed AS (
+  SELECT c.doc_id,
+         coalesce(comp.component, c.doc_id) AS split_key
+  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.id
+)
+SELECT doc_id, split_key,
+       CASE WHEN ({mix_sql('split_key', 77, 'duckdb')}) % 1000 < 900 THEN 'train'
+            WHEN ({mix_sql('split_key', 77, 'duckdb')}) % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+""",
+)
+def o22_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test stamping on the planted corpus
+    (``dedup.component_split``): near-duplicate documents share their
+    dedup component's representative as the split key, so an exact or
+    near copy of a test document can never land in train (the
+    test-set-contamination failure mode Lee et al. 2021 measure).
+    Singleton documents key on their own id — on a dup-free corpus
+    this IS o21's plain keyed stamp.  The mix() bucket arithmetic makes
+    the EXACT assignment oracle-checkable."""
+    return dd.component_split(corpus(spark, sf_dir), seed=77)
