@@ -516,3 +516,32 @@ class TestEditDistanceAndComponentSplit:
             b = mix_py(d, 77) % 1000
             want = "train" if b < 900 else ("val" if b < 950 else "test")
             assert out[d] == want
+
+
+class TestRound10PlanShapes:
+    def test_pq_ann_no_cartesian(self, spark):
+        """Every crossJoin in the IVF-PQ plan is a BROADCAST of a tiny
+        index frame (centroids / codebook / 1-row arrays) — a raw
+        CartesianProduct would mean an index rode a shuffle."""
+        from scdataset_spark.queries import REGISTRY
+        from tests.conftest import SF_DIR
+
+        plan = _plan_str(REGISTRY["sim_pq_ann"].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_gated_curation_no_cartesian_and_broadcast_summary(self, spark):
+        from scdataset_spark.queries import REGISTRY
+        from tests.conftest import SF_DIR
+
+        plan = _plan_str(REGISTRY["pipe_curation_gated"].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        # the 1-row gate summary rides a broadcast onto the curated rows
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_component_split_corpus_never_cartesians(self, spark):
+        from scdataset_spark.queries import REGISTRY
+        from tests.conftest import SF_DIR
+
+        plan = _plan_str(REGISTRY["o22_component_split"].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
