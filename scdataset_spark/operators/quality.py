@@ -86,6 +86,54 @@ def profile_columns(
     )
 
 
+def profile_drift(
+    df_base: DataFrame,
+    df_curr: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Metric-level drift between two deliveries: run
+    :func:`profile_columns` on the baseline and the current snapshot
+    and join the two narrow frames on ``(col_name, metric)`` — the
+    "did the null rate / cardinality / value range of this column move"
+    diff an ingest runs alongside the value-distribution PSI
+    (:func:`distribution_drift`).  Output per (column, metric):
+    ``base_value``, ``curr_value``, ``abs_delta``, and ``rel_delta``
+    (delta over ``|base|``, NULL when the base is 0 — engines disagree
+    on x/0.0).  Deltas are rounded to 6 so summation order cannot
+    drift a comparison.
+
+    Scale shape: each side is ONE full-outer-joinable aggregate scan
+    (map-side partial agg) producing a metrics-sized frame —
+    #columns·#metrics rows, independent of corpus size; everything
+    after the two aggregations happens on that tiny frame.  At 100 TB
+    this costs exactly two scans, like the PSI gate."""
+    pb = profile_columns(df_base, numeric_cols, categorical_cols, approx, rsd)
+    pc = profile_columns(df_curr, numeric_cols, categorical_cols, approx, rsd)
+    joined = (
+        pb.select("col_name", "metric", F.col("value").alias("base_value"))
+        .join(
+            pc.select("col_name", "metric", F.col("value").alias("curr_value")),
+            ["col_name", "metric"],
+            "full_outer",
+        )
+    )
+    delta = F.col("curr_value") - F.col("base_value")
+    return joined.select(
+        "col_name",
+        "metric",
+        "base_value",
+        "curr_value",
+        F.round(delta, 6).alias("abs_delta"),
+        F.when(
+            F.abs(F.col("base_value")) > 0,
+            F.round(delta / F.abs(F.col("base_value")), 6),
+        ).alias("rel_delta"),
+    )
+
+
 def distribution_drift(
     df_base: DataFrame,
     df_curr: DataFrame,

@@ -30,11 +30,12 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # commit of the round): (a) queries NEW this round (never externally
 # checked) lead, then (b) the 50-query cohort whose most recent external
 # check is round 7 (two rounds stale — the rotation bound), then the
-# round-8 cohort, then the round-9-checked cohort last.  With 5 new
-# entries the head holds 55 candidates for a 50-slot sweep, so the LAST
-# five r7-cohort entries (q20_potential_promotion, tx_repetition,
-# emb_quantize, dd_embed_exact, o17_temperature_mixture) may go one round
-# staler — they must LEAD round 11's rotation after the new entries.
+# round-8 cohort, then the round-9-checked cohort last.  With 6 new
+# entries the head holds 56 candidates for a 50-slot sweep, so the LAST
+# six r7-cohort entries (q11_important_stock, q20_potential_promotion,
+# tx_repetition, emb_quantize, dd_embed_exact, o17_temperature_mixture)
+# may go one round staler — they must LEAD round 11's rotation after
+# any new entries.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new in round 10: never externally checked ---
@@ -43,6 +44,7 @@ _SWEEP_PRIORITY = [
     "sim_pq_ann",
     "dd_edit_verified",
     "o22_component_split",
+    "dq_profile_drift",
     # --- last externally checked in round 7: two rounds stale, leads ---
     "dq_profile",
     "dq_outliers",

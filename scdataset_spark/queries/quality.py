@@ -462,3 +462,55 @@ def dq_foreign_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     fk1 = check_foreign_key(orders, "o_custkey", cust, "c_custkey")
     fk2 = check_foreign_key(ev, "user_id", nation, "n_nationkey")
     return fk1.unionByName(fk2)
+
+
+# ------------------------------------------------- profile-level drift
+@query(
+    "dq_profile_drift",
+    survey_ref="§2.14 quality",
+    oracle="""
+WITH pb AS (
+  SELECT '_table' AS col_name, 'rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'n_chars', 'nulls', CAST(count(*) FILTER (n_chars IS NULL) AS DOUBLE) FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'n_chars', 'distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'lang', 'nulls', CAST(count(*) FILTER (lang IS NULL) AS DOUBLE) FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'lang', 'distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT 'n_chars', 'mean', round(avg(n_chars), 6) FROM documents WHERE doc_id % 2 = 0
+),
+pc AS (
+  SELECT '_table' AS col_name, 'rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT 'n_chars', 'nulls', CAST(count(*) FILTER (n_chars IS NULL) AS DOUBLE) FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT 'n_chars', 'distinct', CAST(count(DISTINCT n_chars) AS DOUBLE) FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT 'lang', 'nulls', CAST(count(*) FILTER (lang IS NULL) AS DOUBLE) FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT 'lang', 'distinct', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS DOUBLE) FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS DOUBLE) FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT 'n_chars', 'mean', round(avg(n_chars), 6) FROM documents WHERE doc_id % 2 = 1
+)
+SELECT pb.col_name, pb.metric,
+       pb.value AS base_value, pc.value AS curr_value,
+       round(pc.value - pb.value, 6) AS abs_delta,
+       CASE WHEN abs(pb.value) > 0
+            THEN round((pc.value - pb.value) / abs(pb.value), 6) END AS rel_delta
+FROM pb JOIN pc ON pb.col_name = pc.col_name AND pb.metric = pc.metric
+""",
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-level drift between two deliveries
+    (``quality.profile_drift``): profile the baseline and current
+    snapshots (here: even/odd doc_id halves of documents) in one agg
+    each, join the narrow frames on (column, metric), and report
+    absolute + relative deltas of null counts, cardinalities, ranges,
+    and means — the schema-health diff that complements the
+    value-distribution PSI gate.  Two scans at any corpus size; all
+    join/delta arithmetic on the metrics-sized frame."""
+    from scdataset_spark.operators.quality import profile_drift
+
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    curr = docs.where(F.col("doc_id") % 2 == 1)
+    return profile_drift(
+        base, curr, numeric_cols=["n_chars"], categorical_cols=["lang"]
+    )

@@ -545,3 +545,46 @@ class TestRound10PlanShapes:
 
         plan = _plan_str(REGISTRY["o22_component_split"].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan
+
+
+class TestProfileDrift:
+    def test_hand_computed_deltas(self, spark):
+        from scdataset_spark.operators.quality import profile_drift
+
+        base = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "a"), (3, None, "b")],
+            "id bigint, v double, cat string",
+        )
+        curr = spark.createDataFrame(
+            [(4, 40.0, "a"), (5, None, "c"), (6, None, None)],
+            "id bigint, v double, cat string",
+        )
+        out = {
+            (r.col_name, r.metric): r
+            for r in profile_drift(base, curr, ["v"], ["cat"]).collect()
+        }
+        assert out[("_table", "rows")].abs_delta == 0.0
+        # nulls in v: 1 -> 2
+        r = out[("v", "nulls")]
+        assert (r.base_value, r.curr_value, r.abs_delta, r.rel_delta) == (
+            1.0, 2.0, 1.0, 1.0,
+        )
+        # distinct v: 2 -> 1
+        assert out[("v", "distinct")].abs_delta == -1.0
+        assert out[("v", "distinct")].rel_delta == -0.5
+        # mean v: 15 -> 40
+        assert out[("v", "mean")].abs_delta == 25.0
+        # rel_delta NULL when base is 0 (cat nulls 0 -> 1)
+        r = out[("cat", "nulls")]
+        assert (r.base_value, r.curr_value, r.rel_delta) == (0.0, 1.0, None)
+
+    def test_two_scans_no_cartesian(self, spark):
+        from scdataset_spark.queries import REGISTRY
+        from tests.conftest import SF_DIR
+
+        plan = _plan_str(REGISTRY["dq_profile_drift"].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        import re
+
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, __import__("re").M)
+        assert len(set(scans)) <= 2, scans
