@@ -1235,3 +1235,63 @@ def component_split(
             .alias("split"),
         )
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 77,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-split contamination REPORT: how many near-dup pairs (and
+    distinct documents) straddle a train/val/test boundary under the
+    plain per-document keyed split — the leakage
+    :func:`component_split` exists to prevent, quantified so a
+    pipeline can decide whether re-splitting is worth a re-shuffle of
+    downstream artifacts.  Pairs come from the same banded-LSH
+    candidate graph as the dedup pass; each side is stamped with the
+    o21 ``mix(id) % 1000`` 90/5/5 split and pairs whose sides DISAGREE
+    aggregate into one tiny (split_lo, split_hi, n_pairs, n_docs_lo,
+    n_docs_hi) frame (splits ordered alphabetically per pair so the
+    report is orientation-free).
+
+    Scale shape: the split stamp is a projection folded into the pair
+    frame (no extra scan — the mix hash derives from the ids the pairs
+    already carry); the aggregate output is at most 3 rows.  All
+    counts are integers, so the oracle checks them exactly."""
+    from scdataset_spark.plans.seeds import mix_sql
+
+    pairs = lsh_candidate_pairs(
+        with_minhash(with_shingles(df, text_col), num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+
+    def stamp(col: str) -> F.Column:
+        bucket = F.expr(mix_sql(col, seed, "spark")) % 1000
+        return (
+            F.when(bucket < 900, F.lit("train"))
+            .when(bucket < 950, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    stamped = pairs.select(
+        "doc_a",
+        "doc_b",
+        stamp("doc_a").alias("_sa"),
+        stamp("doc_b").alias("_sb"),
+    ).where(F.col("_sa") != F.col("_sb"))
+    lo_first = F.col("_sa") < F.col("_sb")
+    norm = stamped.select(
+        F.when(lo_first, F.col("_sa")).otherwise(F.col("_sb")).alias("split_lo"),
+        F.when(lo_first, F.col("_sb")).otherwise(F.col("_sa")).alias("split_hi"),
+        F.when(lo_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("_dlo"),
+        F.when(lo_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("_dhi"),
+    )
+    return norm.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("_dlo").cast("bigint").alias("n_docs_lo"),
+        F.countDistinct("_dhi").cast("bigint").alias("n_docs_hi"),
+    )

@@ -30,9 +30,10 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # commit of the round): (a) queries NEW this round (never externally
 # checked) lead, then (b) the 50-query cohort whose most recent external
 # check is round 7 (two rounds stale — the rotation bound), then the
-# round-8 cohort, then the round-9-checked cohort last.  With 6 new
-# entries the head holds 56 candidates for a 50-slot sweep, so the LAST
-# six r7-cohort entries (q11_important_stock, q20_potential_promotion,
+# round-8 cohort, then the round-9-checked cohort last.  With 7 new
+# entries the head holds 57 candidates for a 50-slot sweep, so the LAST
+# seven r7-cohort entries (q2_min_cost_supplier, q11_important_stock,
+# q20_potential_promotion,
 # tx_repetition, emb_quantize, dd_embed_exact, o17_temperature_mixture)
 # may go one round staler — they must LEAD round 11's rotation after
 # any new entries.
@@ -45,6 +46,7 @@ _SWEEP_PRIORITY = [
     "dd_edit_verified",
     "o22_component_split",
     "dq_profile_drift",
+    "dd_contamination_report",
     # --- last externally checked in round 7: two rounds stale, leads ---
     "dq_profile",
     "dq_outliers",

@@ -2316,3 +2316,47 @@ def o22_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     this IS o21's plain keyed stamp.  The mix() bucket arithmetic makes
     the EXACT assignment oracle-checkable."""
     return dd.component_split(corpus(spark, sf_dir), seed=77)
+
+
+# ------------------------------------ cross-split contamination report
+@query(
+    "dd_contamination_report",
+    survey_ref="§2.14 dedup,O21",
+    oracle=f"""
+WITH cand AS ({_minhash_oracle()}),
+st AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN ({mix_sql('doc_a', 77, 'duckdb')}) % 1000 < 900 THEN 'train'
+              WHEN ({mix_sql('doc_a', 77, 'duckdb')}) % 1000 < 950 THEN 'val'
+              ELSE 'test' END AS sa,
+         CASE WHEN ({mix_sql('doc_b', 77, 'duckdb')}) % 1000 < 900 THEN 'train'
+              WHEN ({mix_sql('doc_b', 77, 'duckdb')}) % 1000 < 950 THEN 'val'
+              ELSE 'test' END AS sb
+  FROM cand
+),
+norm AS (
+  SELECT CASE WHEN sa < sb THEN sa ELSE sb END AS split_lo,
+         CASE WHEN sa < sb THEN sb ELSE sa END AS split_hi,
+         CASE WHEN sa < sb THEN doc_a ELSE doc_b END AS dlo,
+         CASE WHEN sa < sb THEN doc_b ELSE doc_a END AS dhi
+  FROM st WHERE sa <> sb
+)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT dlo) AS BIGINT) AS n_docs_lo,
+       CAST(count(DISTINCT dhi) AS BIGINT) AS n_docs_hi
+FROM norm
+GROUP BY split_lo, split_hi
+""",
+)
+def dd_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination report on the planted corpus
+    (``dedup.cross_split_contamination``): count the near-dup pairs
+    (and distinct documents per side) that straddle a train/val/test
+    boundary under the PLAIN per-document keyed split — the leakage
+    figure that motivates ``o22_component_split``'s component-keyed
+    stamping.  The LSH candidate graph, the mix() split stamp, and the
+    orientation-free (split_lo, split_hi) normalization are all
+    engine-portable, so the oracle checks every integer exactly.  The
+    output is at most 3 rows at any corpus size."""
+    return dd.cross_split_contamination(corpus(spark, sf_dir), seed=77)

@@ -588,3 +588,44 @@ class TestProfileDrift:
 
         scans = re.findall(r"^\(\d+\) Scan parquet", plan, __import__("re").M)
         assert len(set(scans)) <= 2, scans
+
+
+class TestContaminationReport:
+    def test_hand_computed_counts(self, spark):
+        from scdataset_spark.operators.dedup import cross_split_contamination
+        from scdataset_spark.plans.seeds import mix_py
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        # find ids whose o21-style stamps differ so the dup pair is
+        # guaranteed to straddle a split boundary
+        def stamp(d):
+            b = mix_py(d, 77) % 1000
+            return "train" if b < 900 else ("val" if b < 950 else "test")
+
+        ids = list(range(200))
+        train = [d for d in ids if stamp(d) == "train"]
+        nontrain = [d for d in ids if stamp(d) != "train"]
+        assert train and nontrain
+        a, b = train[0], nontrain[0]
+        docs = [
+            (a, base),
+            (b, base),  # near-dup pair straddling the boundary
+            (500, "totally unrelated words that never collide with anything"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        out = cross_split_contamination(df, seed=77).collect()
+        assert len(out) == 1
+        r = out[0]
+        lo, hi = sorted([stamp(a), stamp(b)])
+        assert (r.split_lo, r.split_hi) == (lo, hi)
+        assert (r.n_pairs, r.n_docs_lo, r.n_docs_hi) == (1, 1, 1)
+
+    def test_report_nonempty_on_planted_corpus(self, spark):
+        """The planted corpus has enough dup pairs that SOME straddle a
+        90/5/5 boundary — the report must quantify them (and the
+        component split is what makes this number 0 by construction)."""
+        from scdataset_spark.queries import REGISTRY
+        from tests.conftest import SF_DIR_SMALL
+
+        rows = REGISTRY["dd_contamination_report"].fn(spark, SF_DIR_SMALL).collect()
+        assert rows and sum(r.n_pairs for r in rows) > 0
