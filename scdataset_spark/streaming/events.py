@@ -228,3 +228,44 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+def constraint_gate_batches(constraints, sink, approx: bool = False,
+                            fail_fast: bool = False):
+    """STREAMING ingest gate: a ``foreachBatch`` callback that verifies
+    every micro-batch against the declarative constraint gate
+    (``operators/quality.check_constraints`` — the batch twin carries
+    the DuckDB oracle as ``dq_constraints``) and hands the narrow
+    ``(batch_id, check_name, violations, passed)`` report to ``sink``.
+    With ``fail_fast`` a failing delivery RAISES inside the batch,
+    which fails the streaming query — the "refuse to ingest a broken
+    increment" posture of ``pipe_curation_gated``, continuously.
+
+    Per-batch semantics caveat: counting checks (not-null, bounds,
+    accepted-values) are ADDITIVE — per-batch violations sum to the
+    whole-corpus gate — but a ``unique`` check only sees WITHIN-batch
+    duplicates (cross-batch uniqueness is stateful; that's
+    ``first_event_dedup``'s dropDuplicates-with-watermark job, not a
+    per-batch aggregate).
+
+    Scale shape: each micro-batch pays one map-side-combined
+    aggregation — the same single-scan gate as batch mode, sized to
+    the increment, state-free."""
+    from scdataset_spark.operators.quality import check_constraints
+
+    def _gate(batch_df, batch_id):
+        report = check_constraints(batch_df, constraints, approx=approx)
+        rows = report.collect()
+        out = batch_df.sparkSession.createDataFrame(
+            [(int(batch_id), r.check_name, r.violations, r.passed) for r in rows],
+            "batch_id bigint, check_name string, violations bigint, passed boolean",
+        )
+        sink(out)
+        if fail_fast:
+            failed = [r.check_name for r in rows if not r.passed]
+            if failed:
+                raise ValueError(
+                    f"ingest gate failed for batch {batch_id}: {failed}"
+                )
+
+    return _gate

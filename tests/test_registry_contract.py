@@ -63,6 +63,9 @@ LIBRARY_ONLY = {
     # true streaming entry points: exercised by tests/test_streaming.py
     # against their batch twins (the driver compares the batch forms)
     "read_events_stream": "readStream entry; batch twin is ev_*",
+    "constraint_gate_batches": "foreachBatch ingest-gate sink; batch "
+    "twin is the oracle-checked dq_constraints; stream==batch additivity "
+    "+ fail-fast pinned in tests/test_streaming.py",
     "running_user_stats": "applyInPandasWithState op; rows-only check "
     "by design (stateful streaming is not SQL-expressible)",
     "capped_sessions_stateful": "stateful twin of ev_session_capped",

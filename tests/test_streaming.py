@@ -356,3 +356,85 @@ def test_incremental_verified_foreachbatch_matches_batch(spark, tmp_path):
     # collisions are all genuine near-dups with J in [0.96, 0.99])
     rescued = [d for d, (nov, bj) in got.items() if nov == 1 and bj is not None]
     assert rescued, "no false-positive collision rescued — fixture too easy?"
+
+
+def test_streaming_constraint_gate_matches_batch(spark, tmp_path):
+    """The foreachBatch ingest gate: every micro-batch is verified
+    against the declarative constraint gate; additive checks (not-null,
+    bounds, accepted-values) must SUM across batches to the whole-corpus
+    batch gate, and a deliberately failing bound reports per batch."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.quality import check_constraints
+    from scdataset_spark.streaming.events import constraint_gate_batches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "deliveries")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    cons = [
+        {"type": "not_null", "col": "text"},
+        {"type": "min", "col": "n_chars", "bound": 0},
+        {"type": "max", "col": "n_chars", "bound": 100},  # FAILS by design
+        {"type": "accepted_values", "col": "lang",
+         "values": ["de", "en", "es", "fr", "zh"]},
+    ]
+    reports = []
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            constraint_gate_batches(cons, lambda df: reports.append(df.collect()))
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(reports) == 2  # one report per delivery file
+    flat = [r for rep in reports for r in rep]
+    # additive checks sum to the whole-corpus batch gate
+    batch_gate = {r.check_name: r for r in check_constraints(docs, cons).collect()}
+    for name in batch_gate:
+        stream_total = sum(r.violations for r in flat if r.check_name == name)
+        assert stream_total == batch_gate[name].violations, name
+    # the failing bound failed in at least one batch, passing checks passed in all
+    assert any(not r.passed for r in flat if r.check_name == "max(n_chars)<=100")
+    assert all(r.passed for r in flat if r.check_name == "not_null(text)")
+
+
+def test_streaming_constraint_gate_fail_fast_kills_query(spark, tmp_path):
+    """fail_fast: a failing micro-batch raises inside foreachBatch,
+    which surfaces as a StreamingQueryException — the broken delivery
+    never ingests silently."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.streaming.events import constraint_gate_batches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    src = str(tmp_path / "bad_delivery")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            constraint_gate_batches(
+                [{"type": "max", "col": "n_chars", "bound": 1}],  # must fail
+                lambda df: None,
+                fail_fast=True,
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="ingest gate failed"):
+        q.awaitTermination(120)
