@@ -152,6 +152,38 @@ def _constraints_scaled(spark, sf_dir):
     )
 
 
+_UNIQUE_GATE = [
+    {"type": "unique", "col": "l_orderkey"},
+    {"type": "unique", "col": "l_partkey"},
+    {"type": "unique", "col": "l_suppkey"},
+    {"type": "not_null", "col": "l_orderkey"},
+]
+
+
+def _constraints_unique_exact(spark, sf_dir):
+    """Audit-only: THREE exact count(DISTINCT) uniqueness checks in one
+    gate — each adds an Expand of the full scan (input amplified x4
+    before the shuffle); the measured cost of the exact default at
+    fact scale."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.quality import check_constraints
+
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return check_constraints(li, _UNIQUE_GATE)
+
+
+def _constraints_unique_approx(spark, sf_dir):
+    """Audit-only twin of _constraints_unique_exact with approx=True:
+    HLL++ uniqueness keeps the multi-unique gate ONE Expand-free scan
+    (the plan shape pinned in tests/test_quality.py), measured at the
+    same fixture."""
+    from scdataset_spark.catalog import load_table
+    from scdataset_spark.operators.quality import check_constraints
+
+    li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
+    return check_constraints(li, _UNIQUE_GATE, approx=True)
+
+
 def _fk_broadcast_scaled(spark, sf_dir):
     """Audit-only dq_foreign_key at fact scale, BROADCAST-dim shape:
     600 M lineitem.l_suppkey against the 1 M-row supplier key — the
@@ -259,6 +291,8 @@ EXTRA = {
     "fk_broadcast_scaled": _fk_broadcast_scaled,
     "fk_bigdim_scaled": _fk_bigdim_scaled,
     "volume_scaled": _volume_scaled,
+    "constraints_unique_exact": _constraints_unique_exact,
+    "constraints_unique_approx": _constraints_unique_approx,
     "pq_encode_scaled": _pq_encode_scaled,
     "pq_ann_scaled": _pq_ann_scaled,
     "pq_ann_cells_scaled": _pq_ann_cells_scaled,
