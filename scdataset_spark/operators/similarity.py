@@ -1139,7 +1139,7 @@ def semantic_dedup_fast(
     df: DataFrame,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     threshold: float = 0.98,
     seed: int = 11,
     block: int = 1024,
@@ -1147,6 +1147,7 @@ def semantic_dedup_fast(
     probes: int = 3,  # retained for signature compat; unused since the
     # r8 bound-pruned search (exact, needs no probe-count knob)
     max_cell: int | None = 100_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` at production cell counts — same
     cluster-then-dominance semantics, with the two stages that go
@@ -1193,10 +1194,21 @@ def semantic_dedup_fast(
     compared, so a saturated cell keeps at most one extra survivor per
     sub-cell instead of exactly one — bounded, and exactly the rows a
     saturated bucket screen would have skipped entirely.  ``None``
-    disables the guard (the exact-parity posture for small corpora)."""
+    disables the guard (the exact-parity posture for small corpora).
+
+    ``n_clusters=None`` (the default) resolves from the corpus size by
+    the documented cell-budget rule ``max(8, n // 500)`` — the sizing
+    the scale audit uses, which keeps the exact within-cell pair
+    volume Σ|cell|² ≈ 500·n linear in n (a fixed cell count goes
+    quadratic; the registered oracle query pins its 8 cells
+    explicitly through the exact :func:`semantic_dedup` instead).
+    One cheap ``count()`` at call time, skipped via ``n_rows``."""
     import numpy as np
     import pandas as pd
 
+    if n_clusters is None:
+        n = int(n_rows) if n_rows is not None else df.count()
+        n_clusters = max(8, n // 500)
     cent_rows = seeded_centroids(df, n_clusters, seed, id_col, vec).collect()
     C = np.array(
         [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],

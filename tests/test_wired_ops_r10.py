@@ -629,3 +629,43 @@ class TestContaminationReport:
 
         rows = REGISTRY["dd_contamination_report"].fn(spark, SF_DIR_SMALL).collect()
         assert rows and sum(r.n_pairs for r in rows) > 0
+
+
+class TestSemanticDedupAutoCells:
+    def test_cell_budget_resolves_from_corpus_size(self, spark):
+        """n_clusters=None resolves max(8, n // 500): tiny corpus -> 8
+        cells (identical to the pinned small shape); n_rows forced big
+        -> the cell budget scales, results stay a valid dominance
+        labeling (every kept=False vector has a same-cell smaller-id
+        dominator)."""
+        import numpy as np
+
+        from scdataset_spark.operators.similarity import semantic_dedup_fast
+
+        rng = np.random.default_rng(23)
+        rows = []
+        vid = 0
+        for b in rng.normal(size=(6, 16)):
+            for _ in range(3):
+                v = b + rng.normal(scale=0.005, size=16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        auto = sorted(map(tuple, semantic_dedup_fast(df, seed=7).collect()))
+        pinned = sorted(
+            map(tuple, semantic_dedup_fast(df, n_clusters=8, seed=7).collect())
+        )
+        assert auto == pinned  # 18 rows -> max(8, 0) = 8 cells
+        # forced-large budget: n // 500 cells, capped by corpus size
+        big = semantic_dedup_fast(df, seed=7, n_rows=10_000).collect()
+        assert len(big) == len(rows)
+        cells = {r.vec_id: r.cell for r in big}
+        kept = {r.vec_id: r.kept for r in big}
+        V = np.array([r[1] for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = np.round(Vn @ Vn.T, 4)
+        for i in range(len(rows)):
+            dominated = any(
+                cells[j] == cells[i] and C[j, i] >= 0.98 for j in range(i)
+            )
+            assert kept[i] == (not dominated), i
