@@ -25,23 +25,25 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 # runs every oracle query; the marker is a fast subset, not the gate.)
 # Updated each round from CORRECTNESS_r{N}.json ages.
 STALE_COHORT = {
-    "dq_profile", "dq_outliers", "ts_gap_fill", "w5_distribution",
-    "o20_per_source_cap", "tx_bm25", "dd_duplicate_spans",
-    "dd_semantic_dedup", "o19_stratified_sample", "dd_incremental_verified",
-    "o5_positional_weights", "w5_top3_orders_per_customer",
-    "w5_lag_lead_gaps", "w5_range_frame", "g3_batch_entropy",
-    "g7_rollup_lineitem", "g7_pivot_status_by_flag",
-    "g7_distinct_aggregates", "g7_percentiles", "g7_correlation",
-    "j_semi_active_customers", "j_anti_customers_without_orders",
-    "setops_union_distinct", "setops_repeat_customers",
-    "setops_lapsed_customers", "sq_correlated_group_max", "null_handling",
-    "scalar_functions_events", "ev_session_capped", "ev_session_funnel",
-    "tx_token_stats", "tx_langid", "tx_fingerprint", "tx_sequence_pack",
-    "tx_token_budget", "j4_asof_join", "dd_winnowing", "dd_winnowing_pairs",
-    "tx_bpe_count", "g4_shuffle_quality", "mm_frame_sample",
-    "skew_salted_count", "q17_small_quantity", "q2_min_cost_supplier",
-    "q11_important_stock", "q20_potential_promotion", "tx_repetition",
-    "emb_quantize", "dd_embed_exact", "o17_temperature_mixture",
+    "dd_components", "dd_components_star", "dd_decontamination",
+    "dd_dedup_corpus", "dd_embed_components", "dd_embed_cosine",
+    "dd_embed_cosine_fast", "dd_embed_exact", "dd_exact_groups",
+    "dd_incremental_novel", "dd_keep_best", "dd_minhash_lsh",
+    "dd_ngram_decontam", "dd_simhash_pairs", "dq_drift", "emb_quantize",
+    "ev_tumbling_window", "ev_user_stats", "g7_approx_sketches",
+    "g7_unpivot_flag_metrics", "j_full_outer_nation_activity",
+    "ml_label_encode", "mm_multimodal_zip", "o12_exact_len",
+    "o17_temperature_mixture", "o18_fetch_shuffle", "o1_block_shuffle",
+    "o21_split_assign", "o23_interleave", "o3_weighted_replace",
+    "o9_epoch_reshuffle", "pipe_curation", "q11_important_stock",
+    "q1_pricing_summary", "q20_potential_promotion",
+    "q21_waiting_supplier", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_forecast", "q9_product_profit",
+    "s1_streaming_scan", "s2_subset_split", "s3_anndata_ingest",
+    "s4_sparse_densify", "sim_ivf_ann", "sim_lsh_ann", "sim_topk_cosine",
+    "src_custom_datasource", "t_hook_pipeline", "tx_length_buckets",
+    "tx_normalize", "tx_pii_scrub", "tx_quality_score", "tx_repetition",
+    "tx_unigram_logprob", "tx_vocabulary",
 }
 
 ORACLE_PARAMS = [
