@@ -582,12 +582,13 @@ def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 5,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_probe: int = 2,
     seed: int = 7,
     query_id: str = "q_id",
     cand_id: str = "c_id",
     vec: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: KMeans-partition the candidates into coarse cells,
     probe the ``n_probe`` nearest cells per query, exact cosine re-rank
@@ -599,10 +600,15 @@ def ivf_topk(
     are tiny and broadcast.  (KMeans is seeded but engine-specific, so
     this operator is verified by recall-vs-brute-force tests rather
     than a SQL oracle — the oracle-checked ANN path is the LSH one.)
-    """
+
+    ``n_clusters=None`` (the default) auto-resolves to
+    ``max(8, n // IVF_CELL_BUDGET)`` under the ``AUTO_SCALE_ROWS``
+    contract — pass ``n_rows`` to skip the one count, or an explicit
+    ``n_clusters`` to pin the index shape."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    n_clusters, n_rows = _resolve_ivf_cells(n_clusters, candidates, n_rows)
     c_vec = candidates.withColumn("_v", array_to_vector(F.col(vec)))
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell")
     model = km.fit(c_vec)
@@ -709,27 +715,96 @@ def assign_nearest_cell(
     )
 
 
+def assign_nearest_cell_blas(
+    df: DataFrame, cent: DataFrame, id_col: str, vec_alias: str
+) -> DataFrame:
+    """BLAS twin of :func:`assign_nearest_cell` (auto past
+    ``AUTO_SCALE_ROWS``): the HOF argmin evaluates n_clusters·dim
+    multiply-adds PER ROW inside Catalyst — the measured fold wall past
+    a few hundred centroids (k=4800 stuck-in-GC precedent) — so past
+    the auto threshold the assignment runs as one ``X @ C.T`` per Arrow
+    batch over the once-collected centroid matrix.  Rounded distances
+    (6 digits) + lowest-cell argmin are preserved, so a cell can differ
+    from the HOF path only on a 1e-6 rounding-boundary tie.  Same
+    contract as the HOF form: ``df`` carries ``(id_col, vec_alias)``,
+    returns the same plus ``_cell``."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
+    C = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cells_np = np.asarray([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    idt = df.schema[id_col].dataType.simpleString()
+    cv_type = df.schema[vec_alias].dataType.simpleString()
+
+    c2 = (C * C).sum(axis=1)
+
+    def _assign_blas(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_alias].to_numpy()).astype(np.float64)
+            # x²+c²−2xc matmul form: (b, k) scratch, BLAS flops — the
+            # (b, k, dim) difference form would allocate ~260 MB per
+            # batch at k=512
+            d = np.round(
+                np.maximum(
+                    (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T),
+                    0.0,
+                ),
+                6,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_alias: pdf[vec_alias],
+                    "_cell": cells_np[d.argmin(axis=1)].astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        _assign_blas, f"{id_col} {idt}, {vec_alias} {cv_type}, _cell int"
+    )
+
+
 def ivf_seeded_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 3,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     n_probe: int = 2,
     seed: int = 11,
     query_id: str = "q_id",
     cand_id: str = "c_id",
     vec: str = "embedding",
+    vectorized_assign: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF ANN with engine-portable coarse centroids
     (:func:`seeded_centroids`).  Same storage shape as :func:`ivf_topk`:
     every candidate is assigned its nearest cell
     (:func:`assign_nearest_cell`), queries probe the ``n_probe``
     nearest cells, exact cosine re-ranks inside the probed cells —
-    one shuffle-free pass to assign, one broadcast join to probe."""
+    one shuffle-free pass to assign, one broadcast join to probe.
+
+    Two auto-resolved scale knobs (the ``AUTO_SCALE_ROWS`` contract;
+    the registered oracle query pins both, staying lazy + value-exact):
+    ``n_clusters=None`` resolves ``max(8, n // IVF_CELL_BUDGET)`` —
+    probed-list size per query stays ~n_probe·4500 across corpus
+    decades instead of growing linearly with n — and
+    ``vectorized_assign=None`` flips the cell assignment to the BLAS
+    ``mapInPandas`` twin past ``AUTO_SCALE_ROWS`` (the HOF argmin is
+    the fold wall that makes a large cell count unaffordable).  One
+    count serves both; pass ``n_rows`` to skip it."""
     dist = _DIST_SQL
+    n_clusters, n_rows = _resolve_ivf_cells(n_clusters, candidates, n_rows)
+    if vectorized_assign is None:
+        n = int(n_rows) if n_rows is not None else candidates.count()
+        vectorized_assign = n >= AUTO_SCALE_ROWS
     cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
     c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
-    c_assigned = assign_nearest_cell(c, cent, cand_id, "_cv")
+    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
+    c_assigned = assign(c, cent, cand_id, "_cv")
     q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
     q_cells = (
         q.crossJoin(F.broadcast(cent))
@@ -919,6 +994,30 @@ def random_projection(
 # verify going scratch-bound (BENCH_SCALE.md sf10e: 288 k clustered
 # vectors DNF in 10 min with the oracle-shape defaults)
 AUTO_SCALE_ROWS = 100_000
+
+# IVF coarse-cell budget: target per-cell occupancy ~IVF_CELL_BUDGET
+# rows, so the probed-list size per query stays ~n_probe·IVF_CELL_BUDGET
+# regardless of corpus size.  A FIXED cell count is the measured ANN
+# anti-pattern (BENCH_SCALE.md: 8 cells cost 9.3× warm per corpus
+# decade; cells scaled ~n/4500 with the BLAS assignment held
+# ~3.7×/decade) — per-query latency only stays flat across decades if
+# the cell count grows with n.
+IVF_CELL_BUDGET = 4_500
+
+
+def _resolve_ivf_cells(
+    n_clusters: int | None, candidates: DataFrame, n_rows: int | None
+) -> tuple[int, int | None]:
+    """``AUTO_SCALE_ROWS``-contract resolution of the IVF cell count:
+    an explicit ``n_clusters`` is honored untouched (the registered
+    oracle queries pin 8 so their plans stay lazy and value-exact);
+    ``None`` — the default — resolves ``max(8, n // IVF_CELL_BUDGET)``
+    from ``n_rows`` or one count.  Returns ``(n_clusters, n_rows)`` so
+    callers reuse the count for their other auto knobs."""
+    if n_clusters is not None:
+        return int(n_clusters), n_rows
+    n = int(n_rows) if n_rows is not None else candidates.count()
+    return max(8, n // IVF_CELL_BUDGET), n
 
 
 def _jl_out_dim(n: int, lo: int = 8, hi: int = 62) -> int:
@@ -1530,7 +1629,7 @@ def pq_topk(
     candidates: DataFrame,
     k: int = 3,
     refine: int = 3,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     n_probe: int = 2,
     dim: int = 64,
     m: int = 8,
@@ -1561,18 +1660,21 @@ def pq_topk(
     exact cosine among the ADC-refined set, with both the ADC and the
     exact cosine.
 
-    Two auto-resolved scale knobs (the ``AUTO_SCALE_ROWS`` contract;
-    pass explicit flags to pin either path, as the oracle query does):
-    ``vectorized_encode`` is :func:`pq_encode`'s BLAS twin, and
-    ``vectorized_assign`` replaces the HOF argmin of
-    :func:`assign_nearest_cell` — n_clusters·dim multiply-adds PER ROW,
-    the measured fold wall past a few hundred centroids — with one
-    ``X @ C.T`` per Arrow batch over the once-collected centroid matrix
-    (rounded distances + lowest-cell argmin preserved, so cells can
-    differ only on a 1e-6 rounding-boundary tie).  Keeping per-query
-    latency flat across corpus decades requires BOTH: scale
+    Three auto-resolved scale knobs (the ``AUTO_SCALE_ROWS`` contract;
+    pass explicit values to pin any of them, as the oracle query does):
+    ``n_clusters=None`` resolves ``max(8, n // IVF_CELL_BUDGET)`` so the
+    probed-list size per query stays ~n_probe·4500 across corpus
+    decades, ``vectorized_encode`` is :func:`pq_encode`'s BLAS twin,
+    and ``vectorized_assign`` replaces the HOF argmin of
+    :func:`assign_nearest_cell` with :func:`assign_nearest_cell_blas`
+    — one ``X @ C.T`` per Arrow batch over the once-collected centroid
+    matrix (rounded distances + lowest-cell argmin preserved, so cells
+    can differ only on a 1e-6 rounding-boundary tie).  Keeping
+    per-query latency flat across corpus decades requires BOTH: scale
     ``n_clusters`` with n (probed-list size ~ n·n_probe/n_clusters) and
-    the BLAS assignment that makes a large ``n_clusters`` affordable."""
+    the BLAS assignment that makes a large ``n_clusters`` affordable.
+    One count serves all three; pass ``n_rows`` to skip it."""
+    n_clusters, n_rows = _resolve_ivf_cells(n_clusters, candidates, n_rows)
     cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
     c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
     if vectorized_assign is None or vectorized_encode is None:
@@ -1582,46 +1684,8 @@ def pq_topk(
             vectorized_assign = n >= AUTO_SCALE_ROWS
         if vectorized_encode is None:
             vectorized_encode = n >= AUTO_SCALE_ROWS
-    if vectorized_assign:
-        import numpy as np
-        import pandas as pd
-
-        cent_rows = sorted(cent.collect(), key=lambda r: r["cell"])
-        C = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
-        cells_np = np.asarray([int(r["cell"]) for r in cent_rows], dtype=np.int64)
-        idt = candidates.schema[cand_id].dataType.simpleString()
-
-        c2 = (C * C).sum(axis=1)
-
-        def _assign_blas(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
-                # x²+c²−2xc matmul form: (b, k) scratch, BLAS flops —
-                # the (b, k, dim) difference form would allocate ~260 MB
-                # per batch at k=512
-                d = np.round(
-                    np.maximum(
-                        (X * X).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (X @ C.T),
-                        0.0,
-                    ),
-                    6,
-                )
-                yield pd.DataFrame(
-                    {
-                        cand_id: pdf[cand_id].to_numpy(),
-                        "_cv": pdf["_cv"],
-                        "_cell": cells_np[d.argmin(axis=1)].astype("int32"),
-                    }
-                )
-
-        cv_type = candidates.schema[vec].dataType.simpleString()
-        c_assigned = c.mapInPandas(
-            _assign_blas, f"{cand_id} {idt}, _cv {cv_type}, _cell int"
-        )
-    else:
-        c_assigned = assign_nearest_cell(c, cent, cand_id, "_cv")
+    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
+    c_assigned = assign(c, cent, cand_id, "_cv")
     cb = pq_codebook(candidates, n_codes, pq_seed, cand_id, vec)
     codes = pq_encode(
         candidates, cand_id, vec, dim, m, n_codes, pq_seed, codebook=cb,

@@ -12,7 +12,7 @@ parquet scan and parallelize embarrassingly at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword marker lists for the language-ID heuristic (tiny on purpose —
@@ -334,4 +334,80 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("round(1.0 - size(array_distinct(_g2)) / size(_g2), 6)"),
         )
         .drop("_rt", "_g2")
+    )
+
+
+def token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str = "q_int",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    buckets: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Token-budget curation: fill a ``budget``-token training budget
+    with the highest-quality documents first — the running token sum in
+    (``quality_col`` DESC, ``id_col`` ASC) order, cut off at the
+    budget.  The everyday "give me the best N tokens" selection a
+    training-data pipeline runs last (reference analogue: the
+    size-bounded selection of experimental/auto_config.py, which sizes
+    a fetch plan to a byte budget).
+
+    Output: ``(id_col, token_col, cum_tokens)`` for the selected docs.
+
+    Scale shape (the ``AUTO_SCALE_ROWS`` contract): ``buckets=0`` pins
+    the exact single global window — one total-order sort, fine below
+    ~10^5 rows and the oracle-checked shape; ``buckets=k`` runs the
+    bucket-offset running sum (``plans.plan.with_running_sum``'s
+    pattern): the NEGATED integer quality is the leading order col and
+    the bucket key, so per-bucket partial sums (one k-row shuffle) give
+    each bucket its offset and the running sum is a window PARTITIONED
+    by bucket — no single-partition sort at any point.  Both shapes
+    produce identical rows (the sum is exact either way); ``None``
+    resolves from ``n_rows`` or one count.  At 100 TB the budget cutoff
+    also means whole low-quality buckets are dropped by the
+    ``cum_tokens <= budget`` filter right after their offset exceeds
+    the budget — only the boundary bucket's rows matter.
+    """
+    from scdataset_spark.operators.similarity import AUTO_SCALE_ROWS
+
+    if buckets is None:
+        n = int(n_rows) if n_rows is not None else df.count()
+        buckets = 64 if n >= AUTO_SCALE_ROWS else 0
+    out = [id_col, token_col, "cum_tokens"]
+    if buckets == 0:
+        w = Window.orderBy(F.col(quality_col).desc(), F.col(id_col)).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        ranked = df.withColumn("cum_tokens", F.sum(token_col).over(w))
+        return ranked.where(F.col("cum_tokens") <= budget).select(*out)
+    neg = df.withColumn("_negq", -F.col(quality_col))
+    stats = neg.agg(F.min("_negq").alias("_lo"), F.max("_negq").alias("_hi"))
+    b = (
+        neg.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_bucket",
+            F.least(
+                F.lit(buckets - 1),
+                ((F.col("_negq") - F.col("_lo")) * buckets / (F.col("_hi") - F.col("_lo") + 1)).cast("bigint"),
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    sums = b.groupBy("_bucket").agg(F.sum(token_col).alias("_bsum"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn(
+        "_offset", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
+    ).drop("_bsum")
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn("cum_tokens", F.sum(token_col).over(w_in) + F.col("_offset"))
+        .where(F.col("cum_tokens") <= budget)
+        .select(*out)
     )

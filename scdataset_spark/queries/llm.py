@@ -1084,7 +1084,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
     q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
-    return sim.ivf_seeded_topk(q, c, k=3, n_clusters=8, n_probe=2, seed=11)
+    return sim.ivf_seeded_topk(
+        q, c, k=3, n_clusters=8, n_probe=2, seed=11, vectorized_assign=False
+    )
 
 
 # ------------------------------------------------ product quantization
@@ -1382,25 +1384,18 @@ SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 5000
 """,
 )
 def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget curation: fill a 5k-token training budget with the
-    highest-quality documents first (integer quality rank, doc_id
-    tiebreak) — a running token sum in quality order with a budget
-    cutoff.  The everyday 'give me the best N tokens' selection."""
-    from pyspark.sql import Window
-
+    """Token-budget curation (``textanalysis.token_budget``): fill a
+    5k-token training budget with the highest-quality documents first
+    (integer quality rank, doc_id tiebreak) — a running token sum in
+    quality order with a budget cutoff.  The everyday 'give me the
+    best N tokens' selection.  ``buckets=0`` pins the exact global
+    window so the oracle is 1:1 and the plan stays lazy; the bucketed
+    quality-keyed running sum (``buckets=k``, pinned row-equal in
+    tests) is the 100TB path."""
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
     toks = tx.with_stop_counts(docs).select("doc_id", "n_tokens", "n_stop")
     scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
-    w = Window.orderBy(F.col("q_int").desc(), F.col("doc_id")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    # corpus-level curation list is small; the bucketed running-sum
-    # (plans.with_running_sum) is the 100TB path — at sf the plain
-    # window keeps the oracle 1:1
-    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return ranked.where(F.col("cum_tokens") <= 5000).select(
-        "doc_id", "n_tokens", "cum_tokens"
-    )
+    return tx.token_budget(scored, 5000, buckets=0)
 
 
 @query(

@@ -269,3 +269,80 @@ def constraint_gate_batches(constraints, sink, approx: bool = False,
                 )
 
     return _gate
+
+
+def unique_gate_batches(unique_cols, sink, index_dir: str,
+                        fail_fast: bool = False):
+    """STREAMING cross-batch uniqueness gate — the stateful twin of the
+    per-batch ``unique`` caveat on :func:`constraint_gate_batches`: a
+    key colliding with a row ingested in ANY earlier delivery fails the
+    gate, not just a within-batch duplicate.
+
+    State is a persisted narrow key index per column (one parquet of
+    ``(key, batch_id)`` rows under ``index_dir``, appended per batch —
+    the same materialized-index posture as ``novel_documents``' band
+    index).  Per batch and column the gate computes
+
+    ``violations = non-NULL rows − |distinct batch keys NOT in index|``
+
+    which is exactly the additive decomposition of the batch gate's
+    ``count − countDistinct``: summed over all deliveries it equals
+    ``check_constraints``' whole-corpus unique violations, while any
+    single cross-delivery collision already flips that batch's
+    ``passed`` to false.  Each batch costs one anti-join of its
+    distinct keys against the index (key-only rows — at 100 TB the
+    index is bucketable by key so the probe is a co-located join) plus
+    one append of the genuinely-new keys.
+
+    Replay safety: index rows carry the writing ``batch_id``; a
+    restarted query re-running batch k filters its own earlier partial
+    append out of the probe, so a retry cannot collide with itself
+    (duplicate index rows from a replay are harmless — the probe is an
+    anti-join, not a count over the index).
+
+    Report rows: ``(batch_id, check_name, violations, passed)`` handed
+    to ``sink``; ``fail_fast`` raises inside the batch so the broken
+    delivery never commits."""
+    from pyspark.errors import AnalysisException
+
+    def _gate(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        rows = []
+        for col in unique_cols:
+            path = f"{index_dir}/{col}"
+            keys = (
+                batch_df.select(F.col(col).alias("_k"))
+                .where(F.col("_k").isNotNull())
+            )
+            nonnull = keys.count()
+            dist = keys.distinct()
+            try:
+                idx = spark.read.parquet(path).where(
+                    F.col("batch_id") != int(batch_id)
+                )
+                new = dist.join(idx, dist["_k"] == idx["_k"], "left_anti")
+            except AnalysisException:  # first delivery: no index yet
+                new = dist
+            new = new.select("_k").persist()
+            n_new = new.count()
+            new.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(path)
+            new.unpersist()
+            violations = nonnull - n_new
+            rows.append(
+                (int(batch_id), f"unique({col})", violations, violations == 0)
+            )
+        out = spark.createDataFrame(
+            rows,
+            "batch_id bigint, check_name string, violations bigint, passed boolean",
+        )
+        sink(out)
+        if fail_fast:
+            failed = [r[1] for r in rows if not r[3]]
+            if failed:
+                raise ValueError(
+                    f"unique gate failed for batch {batch_id}: {failed}"
+                )
+
+    return _gate

@@ -47,6 +47,11 @@ LIBRARY_ONLY = {
     "pq_topk (sim_pq_encode, sim_pq_ann)",
     "assign_nearest_cell": "argmin cell assignment shared by "
     "ivf_seeded_topk and semantic_dedup",
+    "assign_nearest_cell_blas": "BLAS mapInPandas twin of "
+    "assign_nearest_cell, auto-selected past AUTO_SCALE_ROWS inside "
+    "ivf_seeded_topk/pq_topk; pinned row-equal to the HOF argmin in "
+    "test_wired_ops_r10 (vectorized-assign parity) and "
+    "test_ivf_auto_cells",
     "SamplingStrategy": "abstract base of the checked strategies",
     "attach_weights": "internal step of o3/o5 weighted sampling",
     "SimpleCSR": "CSR container used by s3_anndata_ingest internals",
@@ -66,6 +71,11 @@ LIBRARY_ONLY = {
     "constraint_gate_batches": "foreachBatch ingest-gate sink; batch "
     "twin is the oracle-checked dq_constraints; stream==batch additivity "
     "+ fail-fast pinned in tests/test_streaming.py",
+    "unique_gate_batches": "stateful cross-batch uniqueness twin of "
+    "constraint_gate_batches (persisted key index per column); "
+    "cross-delivery collision flip, count-minus-countDistinct "
+    "additivity vs dq_constraints, and fail-fast pinned in "
+    "tests/test_streaming.py",
     "running_user_stats": "applyInPandasWithState op; rows-only check "
     "by design (stateful streaming is not SQL-expressible)",
     "capped_sessions_stateful": "stateful twin of ev_session_capped",

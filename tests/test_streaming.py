@@ -438,3 +438,89 @@ def test_streaming_constraint_gate_fail_fast_kills_query(spark, tmp_path):
 
     with _pytest.raises(StreamingQueryException, match="ingest gate failed"):
         q.awaitTermination(120)
+
+
+def test_streaming_unique_gate_cross_batch_collision(spark, tmp_path):
+    """The stateful uniqueness twin: a doc_id that already ingested in
+    delivery 0 arrives again in delivery 1 — batch 0 passes, batch 1
+    FAILS (cross-batch collision, invisible to the per-batch gate),
+    and per-batch violations sum to the batch-mode unique gate over
+    the concatenated corpus (count - countDistinct additivity)."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.quality import check_constraints
+    from scdataset_spark.streaming.events import unique_gate_batches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    # second delivery replays 5 ids from the first (the contamination)
+    replay = first.orderBy("doc_id").limit(5)
+    second = docs.where(F.col("doc_id") % 2 == 1).unionByName(replay)
+
+    src = str(tmp_path / "deliveries")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    reports = []
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            unique_gate_batches(
+                ["doc_id"],
+                lambda df: reports.append(df.collect()),
+                str(tmp_path / "key_index"),
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(reports) == 2
+    flat = {r.batch_id: r for rep in reports for r in rep}
+    assert flat[0].passed and flat[0].violations == 0
+    assert not flat[1].passed and flat[1].violations == 5
+    # additivity: sum over deliveries == whole-corpus batch gate
+    whole = first.unionByName(second)
+    batch_gate = check_constraints(whole, [{"type": "unique", "col": "doc_id"}])
+    assert sum(r.violations for r in flat.values()) == (
+        batch_gate.collect()[0].violations
+    )
+
+
+def test_streaming_unique_gate_fail_fast(spark, tmp_path):
+    """fail_fast: the colliding second delivery raises inside
+    foreachBatch and surfaces as a StreamingQueryException."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.streaming.events import unique_gate_batches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    src = str(tmp_path / "deliveries")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    first.limit(1).coalesce(1).write.mode("append").parquet(src)  # pure replay
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            unique_gate_batches(
+                ["doc_id"], lambda df: None, str(tmp_path / "key_index"),
+                fail_fast=True,
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="unique gate failed"):
+        q.awaitTermination(120)

@@ -1,0 +1,210 @@
+"""Round-11 wiring tests.
+
+Defaults-at-scale for the IVF family (VERDICT r10 task 2): the one
+measured scale-killer default left after round 10 was the FIXED IVF
+cell count (8/16 cells regardless of corpus size — 9.3×/decade warm in
+BENCH_SCALE.md vs 3.7×/decade with cells ~ n/4500).  ``n_clusters``
+now defaults to ``None`` on ``ivf_topk`` / ``ivf_seeded_topk`` /
+``pq_topk`` and resolves ``max(8, n // IVF_CELL_BUDGET)`` under the
+``AUTO_SCALE_ROWS`` contract, with the BLAS cell assignment flipping
+on at the same threshold.  Reference parity: the reference's
+experimental/auto_config.py derives locality knobs from measured data
+sizes; this is the analogous size-resolved posture for the ANN index.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from scdataset_spark.catalog import load_table
+from tests.conftest import SF_DIR_SMALL
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _qc(spark):
+    e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+    q = e.where("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return q, c
+
+
+class TestIvfAutoCells:
+    def test_resolver_math(self):
+        from scdataset_spark.operators.similarity import (
+            IVF_CELL_BUDGET,
+            _resolve_ivf_cells,
+        )
+
+        # explicit pin passes through untouched, no count triggered
+        assert _resolve_ivf_cells(8, None, None) == (8, None)
+        # auto: small corpus floors at 8 cells
+        assert _resolve_ivf_cells(None, None, 4_000) == (8, 4_000)
+        # auto: production corpus scales ~n/4500
+        n = 10_000_000
+        cells, n_out = _resolve_ivf_cells(None, None, n)
+        assert cells == n // IVF_CELL_BUDGET == 2222 and n_out == n
+
+    def test_ivf_auto_cells(self, spark):
+        """Forced n_rows=10M on a tiny fixture must flip BOTH auto
+        knobs — the cell count (2222 seeded centroids requested; the
+        4 k-vector fixture caps what limit() returns, but the resolved
+        k exceeds every fixed default) and the BLAS assignment
+        (MapInPandas in the plan) — while the pinned oracle shape
+        keeps the lazy HOF plan."""
+        from scdataset_spark.operators.similarity import ivf_seeded_topk
+
+        q, c = _qc(spark)
+        auto_big = ivf_seeded_topk(q, c, k=3, seed=11, n_rows=10_000_000)
+        assert "MapInPandas" in _plan_str(auto_big)
+        pinned = ivf_seeded_topk(
+            q, c, k=3, n_clusters=8, seed=11, vectorized_assign=False
+        )
+        assert "MapInPandas" not in _plan_str(pinned)
+
+    def test_auto_small_equals_pinned_oracle_shape(self, spark):
+        """At fixture scale the auto default resolves to the floor (8
+        cells, HOF assign) — byte-identical rows to the explicit
+        oracle pin, so the registered query's values ARE the default
+        path's values at small n."""
+        from scdataset_spark.operators.similarity import ivf_seeded_topk
+
+        q, c = _qc(spark)
+        auto = sorted(map(tuple, ivf_seeded_topk(q, c, k=3, seed=11).collect()))
+        pinned = sorted(
+            map(
+                tuple,
+                ivf_seeded_topk(
+                    q, c, k=3, n_clusters=8, seed=11, vectorized_assign=False
+                ).collect(),
+            )
+        )
+        assert auto == pinned and auto
+
+    def test_blas_assign_equals_hof_at_forced_scale(self, spark):
+        """The defaults-at-scale run (big n_rows -> scaled cells + BLAS
+        assign) must return the same rows as the HOF argmin pinned to
+        the SAME resolved cell count — the posture flip changes the
+        physical plan, never the result."""
+        from scdataset_spark.operators.similarity import (
+            _resolve_ivf_cells,
+            ivf_seeded_topk,
+        )
+
+        q, c = _qc(spark)
+        cells, _ = _resolve_ivf_cells(None, None, 10_000_000)
+        auto = sorted(
+            map(tuple, ivf_seeded_topk(q, c, k=3, seed=11, n_rows=10_000_000).collect())
+        )
+        hof = sorted(
+            map(
+                tuple,
+                ivf_seeded_topk(
+                    q, c, k=3, n_clusters=cells, seed=11, vectorized_assign=False
+                ).collect(),
+            )
+        )
+        assert auto == hof and auto
+
+    def test_pq_topk_auto_cells(self, spark):
+        """pq_topk's n_clusters=None resolves under the same contract:
+        forced-big n_rows flips cells + both BLAS twins (MapInPandas
+        appears); result equals the run with every knob pinned to the
+        resolved values."""
+        from scdataset_spark.operators.similarity import (
+            _resolve_ivf_cells,
+            pq_topk,
+        )
+
+        q, c = _qc(spark)
+        cells, _ = _resolve_ivf_cells(None, None, 10_000_000)
+        auto_df = pq_topk(q, c, k=3, refine=3, seed=11, n_rows=10_000_000)
+        assert "MapInPandas" in _plan_str(auto_df)
+        auto = sorted(map(tuple, auto_df.collect()))
+        pinned = sorted(
+            map(
+                tuple,
+                pq_topk(
+                    q, c, k=3, refine=3, n_clusters=cells, seed=11,
+                    vectorized_encode=True, vectorized_assign=True,
+                ).collect(),
+            )
+        )
+        assert auto == pinned and auto
+
+    def test_ivf_topk_auto_cells_floor(self, spark):
+        """The MLlib-KMeans variant shares the resolver: auto at
+        fixture scale = the 8-cell floor, equal to an explicit 8-cell
+        run (KMeans is seeded, so same cells -> same result)."""
+        from scdataset_spark.operators.similarity import ivf_topk
+
+        q, c = _qc(spark)
+        auto = sorted(map(tuple, ivf_topk(q, c, k=3, seed=11).collect()))
+        pinned = sorted(
+            map(tuple, ivf_topk(q, c, k=3, n_clusters=8, seed=11).collect())
+        )
+        assert auto == pinned and auto
+
+
+class TestTokenBudget:
+    def _scored(self, spark):
+        from scdataset_spark.operators import textanalysis as tx
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        toks = tx.with_stop_counts(docs).select("doc_id", "n_tokens", "n_stop")
+        return toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
+
+    def test_bucketed_equals_global_window(self, spark):
+        """The bucketed quality-keyed running sum must produce the exact
+        rows of the single global window (same order key, same exact
+        integer sums) — the posture changes the plan, not the result."""
+        from scdataset_spark.operators.textanalysis import token_budget
+
+        scored = self._scored(spark)
+        glob = sorted(map(tuple, token_budget(scored, 5000, buckets=0).collect()))
+        for k in (4, 16, 64):
+            bucketed = sorted(
+                map(tuple, token_budget(scored, 5000, buckets=k).collect())
+            )
+            assert bucketed == glob, f"buckets={k}"
+        assert glob  # non-trivial selection
+
+    def test_auto_resolution_flips_plan(self, spark):
+        """n_rows forced past AUTO_SCALE_ROWS -> the bucketed plan (the
+        running-sum window is PARTITIONED by the quality bucket); small
+        n -> the pinned global-window plan; rows equal either way."""
+        from scdataset_spark.operators.textanalysis import token_budget
+
+        scored = self._scored(spark)
+        big = token_budget(scored, 5000, n_rows=10_000_000)
+        small = token_budget(scored, 5000, n_rows=10)
+        assert "_bucket" in _plan_str(big)
+        assert "_bucket" not in _plan_str(small)
+        assert sorted(map(tuple, big.collect())) == sorted(
+            map(tuple, small.collect())
+        )
+
+    def test_budget_boundary(self, spark):
+        """Every selected doc fits the budget; the next doc in quality
+        order would overflow it (the cutoff is tight)."""
+        from scdataset_spark.operators.textanalysis import token_budget
+
+        scored = self._scored(spark)
+        picked = token_budget(scored, 5000, buckets=16).collect()
+        assert max(r["cum_tokens"] for r in picked) <= 5000
+        taken = {r["doc_id"] for r in picked}
+        total = sum(r["n_tokens"] for r in picked)
+        rest = scored.where(~F.col("doc_id").isin(taken)).collect()
+        if rest:  # the best unpicked doc must not fit
+            best_left = min(
+                rest, key=lambda r: (-r["q_int"], r["doc_id"])
+            )
+            assert total + best_left["n_tokens"] > 5000
