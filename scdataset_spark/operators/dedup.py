@@ -1023,7 +1023,7 @@ def remove_duplicate_spans(
     the caller passes ``n_rows`` or an explicit rebuild: ``'local'`` at
     ``>= AUTO_SCALE_ROWS`` documents (the measured 2-3x winner — the
     reference auto-configures its locality knobs the same way,
-    ``src/scdataset/auto_config.py:278-525``), ``'relational'`` below
+    ``src/scdataset/experimental/auto_config.py:278-525``), ``'relational'`` below
     (the oracle-exact, all-JVM shape; the registered oracle query pins
     it explicitly).  Both paths are row-identical by test.
     """
@@ -1169,6 +1169,7 @@ def edit_distance_pairs(
     candidates, exactly like the cosine verify chain."""
     cand = lsh_candidate_pairs(
         with_minhash(with_shingles(df, text_col), num_hashes=num_hashes),
+        id_col=id_col,
         num_hashes=num_hashes,
         bands=bands,
     )
@@ -1214,6 +1215,7 @@ def component_split(
 
     edges = lsh_candidate_pairs(
         with_minhash(with_shingles(df, text_col), num_hashes=num_hashes),
+        id_col=id_col,
         num_hashes=num_hashes,
         bands=bands,
     )
@@ -1265,6 +1267,7 @@ def cross_split_contamination(
 
     pairs = lsh_candidate_pairs(
         with_minhash(with_shingles(df, text_col), num_hashes=num_hashes),
+        id_col=id_col,
         num_hashes=num_hashes,
         bands=bands,
     )

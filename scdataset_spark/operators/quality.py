@@ -367,14 +367,19 @@ def check_constraints(
       switch as :func:`profile_columns`.  Approximate uniqueness can
       report small nonzero "violations" on a truly-unique column (or
       0 on a near-unique one) within the HLL error band; use it as a
-      drift screen, not an exact gate.
+      drift screen, not an exact gate.  Such rows carry
+      ``approx = true`` in the report so downstream fail-fast
+      consumers (``constraint_gate_batches``, curation gates) can —
+      and by default do — exclude them from hard pass/fail.
     - ``{"type": "accepted_values", "col": c, "values": [...]}`` —
       violations = non-NULL rows outside the set
     - ``{"type": "min", "col": c, "bound": x}`` / ``{"type": "max",
       "col": c, "bound": x}`` — violations = non-NULL rows below/above
       the bound
 
-    Rows with ``passed = violations == 0``.  Constraint names are
+    Rows are ``(check_name, violations, passed, approx)`` with
+    ``passed = violations == 0`` and ``approx`` true only for
+    HLL++-estimated unique checks.  Constraint names are
     deterministic (``type(col)``...) so the output is oracle-stable;
     the name column is ``check_name`` (``constraint`` is a reserved
     word in both engines).
@@ -420,7 +425,7 @@ def check_constraints(
             )
         else:
             raise ValueError(f"unknown constraint type: {t!r}")
-        names.append(name)
+        names.append((name, t == "unique" and approx))
         aggs.append(F.coalesce(expr, F.lit(0)).cast("bigint").alias(f"_c{len(names) - 1}"))
     row = df.agg(*aggs)
     # rows are built from struct literals, never string-interpolated SQL,
@@ -431,14 +436,16 @@ def check_constraints(
             F.struct(
                 F.lit(name).alias("check_name"),
                 F.col(f"_c{i}").alias("violations"),
+                F.lit(is_approx).alias("approx"),
             )
-            for i, name in enumerate(names)
+            for i, (name, is_approx) in enumerate(names)
         ]
     )
     return (
         row.select(F.explode(cells).alias("_s"))
-        .select("_s.check_name", "_s.violations")
+        .select("_s.check_name", "_s.violations", "_s.approx")
         .withColumn("passed", F.col("violations") == 0)
+        .select("check_name", "violations", "passed", "approx")
     )
 
 
@@ -473,4 +480,5 @@ def check_foreign_key(
         F.lit(f"foreign_key({col}->{ref_col})").alias("check_name"),
         "violations",
         (F.col("violations") == 0).alias("passed"),
+        F.lit(False).alias("approx"),
     )

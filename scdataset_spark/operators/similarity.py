@@ -1091,7 +1091,7 @@ def projected_bucket_pairs(
 
     **The scale posture is AUTOMATIC** (r9 VERDICT #2; the reference
     auto-configures exactly these locality/size knobs,
-    ``src/scdataset/auto_config.py:278-525``): any knob left at its
+    ``src/scdataset/experimental/auto_config.py:278-525``): any knob left at its
     ``None``/``"auto"`` default is resolved from the corpus size — one
     cheap ``count()`` at call time, skipped when the caller passes
     ``n_rows`` (or pins every knob explicitly, which keeps the plan
@@ -1461,7 +1461,12 @@ def semantic_dedup_fast(
     # hot-cell guard: broadcast the (<= n_clusters)-row cell counts back
     # and hash-split any over-max_cell cell into bounded sub-cells; the
     # dominance pass groups on (cell, _sub) so no single task ever holds
-    # more than ~max_cell rows
+    # more than ~max_cell rows.  The counts aggregation would otherwise
+    # re-execute the whole mapInPandas assignment pass (including the
+    # bound-pruned BLAS routing over the full corpus) a second time for
+    # the join below — persist the narrow (id, _v, cell) frame so the
+    # assignment runs once
+    assigned = persist_bounded(assigned)
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
     sub = F.when(
         F.col("_cn") > max_cell,

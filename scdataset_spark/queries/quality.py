@@ -374,25 +374,26 @@ _EV_TYPES = ("click", "purchase", "signup", "view")  # 'error' rows violate
     oracle=f"""
 SELECT 'not_null(user_id)' AS check_name,
        CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS violations,
-       count(*) FILTER (user_id IS NULL) = 0 AS passed FROM events
+       count(*) FILTER (user_id IS NULL) = 0 AS passed,
+       FALSE AS approx FROM events
 UNION ALL
 SELECT 'unique(event_id)',
        CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
-       count(event_id) - count(DISTINCT event_id) = 0 FROM events
+       count(event_id) - count(DISTINCT event_id) = 0, FALSE FROM events
 UNION ALL
 SELECT 'accepted_values(event_type)',
        CAST(count(*) FILTER (event_type IS NOT NULL
             AND event_type NOT IN {_EV_TYPES!r}) AS BIGINT),
        count(*) FILTER (event_type IS NOT NULL
-            AND event_type NOT IN {_EV_TYPES!r}) = 0 FROM events
+            AND event_type NOT IN {_EV_TYPES!r}) = 0, FALSE FROM events
 UNION ALL
 SELECT 'min(value)>=0.0',
        CAST(count(*) FILTER (value < 0.0) AS BIGINT),
-       count(*) FILTER (value < 0.0) = 0 FROM events
+       count(*) FILTER (value < 0.0) = 0, FALSE FROM events
 UNION ALL
 SELECT 'max(value)<=100.0',
        CAST(count(*) FILTER (value > 100.0) AS BIGINT),
-       count(*) FILTER (value > 100.0) = 0 FROM events
+       count(*) FILTER (value > 100.0) = 0, FALSE FROM events
 """,
 )
 def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,14 +434,16 @@ SELECT 'foreign_key(o_custkey->c_custkey)' AS check_name,
          AS violations,
        count(*) FILTER (o_custkey IS NOT NULL
             AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
-         AS passed
+         AS passed,
+       FALSE AS approx
 FROM orders
 UNION ALL
 SELECT 'foreign_key(user_id->n_nationkey)' AS check_name,
        CAST(count(*) FILTER (user_id IS NOT NULL
             AND user_id NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT),
        count(*) FILTER (user_id IS NOT NULL
-            AND user_id NOT IN (SELECT n_nationkey FROM nation)) = 0
+            AND user_id NOT IN (SELECT n_nationkey FROM nation)) = 0,
+       FALSE
 FROM events
 """,
 )

@@ -244,9 +244,16 @@ def constraint_gate_batches(constraints, sink, approx: bool = False,
     Per-batch semantics caveat: counting checks (not-null, bounds,
     accepted-values) are ADDITIVE — per-batch violations sum to the
     whole-corpus gate — but a ``unique`` check only sees WITHIN-batch
-    duplicates (cross-batch uniqueness is stateful; that's
-    ``first_event_dedup``'s dropDuplicates-with-watermark job, not a
+    duplicates (cross-batch uniqueness is stateful — that's
+    :func:`unique_gate_batches`' persisted-key-index job, not a
     per-batch aggregate).
+
+    With ``approx=True`` the report rows carry ``approx = true`` for
+    the HLL++-estimated unique checks, and ``fail_fast`` EXCLUDES
+    those rows from the hard kill: an HLL estimate can report nonzero
+    "violations" on a truly-unique column within its error band, and
+    a drift screen must not fail a healthy delivery.  Exact checks
+    keep the refuse-to-ingest posture.
 
     Scale shape: each micro-batch pays one map-side-combined
     aggregation — the same single-scan gate as batch mode, sized to
@@ -257,12 +264,16 @@ def constraint_gate_batches(constraints, sink, approx: bool = False,
         report = check_constraints(batch_df, constraints, approx=approx)
         rows = report.collect()
         out = batch_df.sparkSession.createDataFrame(
-            [(int(batch_id), r.check_name, r.violations, r.passed) for r in rows],
-            "batch_id bigint, check_name string, violations bigint, passed boolean",
+            [
+                (int(batch_id), r.check_name, r.violations, r.passed, r.approx)
+                for r in rows
+            ],
+            "batch_id bigint, check_name string, violations bigint, "
+            "passed boolean, approx boolean",
         )
         sink(out)
         if fail_fast:
-            failed = [r.check_name for r in rows if not r.passed]
+            failed = [r.check_name for r in rows if not r.passed and not r.approx]
             if failed:
                 raise ValueError(
                     f"ingest gate failed for batch {batch_id}: {failed}"

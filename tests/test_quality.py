@@ -472,6 +472,45 @@ class TestCheckConstraints:
         assert appr["unique(id)"].violations >= 0
         assert appr["not_null(cat)"].violations == 0
         assert appr["not_null(cat)"].passed
+        # the report distinguishes estimated from exact checks: only the
+        # HLL++-estimated unique rows carry approx=true
+        assert appr["unique(id)"].approx and not appr["not_null(cat)"].approx
+        assert not exact["unique(id)"].approx
+
+    def test_approx_unique_excluded_from_fail_fast(self, spark):
+        # an approx unique "violation" is an HLL drift signal, not a
+        # delivery-killer: fail_fast must ignore approx rows but still
+        # kill on an exact failing check in the same gate
+        import pytest as _pytest
+
+        from scdataset_spark.streaming.events import constraint_gate_batches
+
+        n, dups = 5000, 137
+        df = spark.range(n).selectExpr(
+            f"IF(id < {dups}, 0, id) AS id", "CAST(id AS STRING) AS cat"
+        )
+        reports = []
+        gate = constraint_gate_batches(
+            [{"type": "unique", "col": "id"}],
+            lambda out: reports.append(out.collect()),
+            approx=True,
+            fail_fast=True,
+        )
+        gate(df, 0)  # genuinely non-unique, but approx -> no raise
+        (row,) = reports[0]
+        assert row.approx and not row.passed and row.violations > 0
+        # the same delivery with an exact failing bound still dies
+        gate_exact = constraint_gate_batches(
+            [
+                {"type": "unique", "col": "id"},
+                {"type": "max", "col": "id", "bound": 10},
+            ],
+            lambda out: None,
+            approx=True,
+            fail_fast=True,
+        )
+        with _pytest.raises(ValueError, match="max\\(id\\)<=10"):
+            gate_exact(df, 1)
 
     def test_approx_multi_unique_is_expand_free_single_scan(self, spark):
         # the scale posture: N unique constraints with approx=True plan

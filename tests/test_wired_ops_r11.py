@@ -208,3 +208,46 @@ class TestTokenBudget:
                 rest, key=lambda r: (-r["q_int"], r["doc_id"])
             )
             assert total + best_left["n_tokens"] > 5000
+
+
+class TestNonDefaultIdCol:
+    def test_lsh_chain_respects_id_col(self, spark):
+        """edit_distance_pairs / component_split /
+        cross_split_contamination forward id_col through the LSH
+        candidate chain (r10 ADVICE medium: the chain hardcoded
+        'doc_id', so a renamed id either crashed or silently paired on
+        the wrong column).  Renaming the id must give the same results
+        modulo the id values themselves."""
+        from scdataset_spark.operators.dedup import (
+            component_split,
+            cross_split_contamination,
+            edit_distance_pairs,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        renamed = docs.select(F.col("doc_id").alias("my_id"), "text")
+
+        base_pairs = sorted(
+            map(tuple, edit_distance_pairs(docs, max_dist=20).collect())
+        )
+        ren_pairs = sorted(
+            map(
+                tuple,
+                edit_distance_pairs(renamed, id_col="my_id", max_dist=20).collect(),
+            )
+        )
+        assert ren_pairs == base_pairs
+
+        base_split = sorted(map(tuple, component_split(docs).collect()))
+        ren_split = sorted(
+            map(tuple, component_split(renamed, id_col="my_id").collect())
+        )
+        assert ren_split == base_split
+
+        base_rep = sorted(
+            map(tuple, cross_split_contamination(docs).collect())
+        )
+        ren_rep = sorted(
+            map(tuple, cross_split_contamination(renamed, id_col="my_id").collect())
+        )
+        assert ren_rep == base_rep and base_rep
