@@ -1743,3 +1743,94 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select(query_id, cand_id, "adc", "cosine", "rank")
     )
+
+
+def build_ann_index(
+    candidates: DataFrame,
+    path: str,
+    n_clusters: int | None = None,
+    seed: int = 11,
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    vectorized_assign: bool | None = None,
+    n_rows: int | None = None,
+) -> None:
+    """Persist an IVF index: every candidate assigned its seeded coarse
+    cell (same portable build as :func:`ivf_seeded_topk` —
+    :func:`seeded_centroids` + nearest-cell argmin) and written
+    PARTITIONED BY cell, centroids alongside.  This makes the
+    "inverted lists stored bucketed by cell" posture the IVF
+    docstrings describe REAL: a probe reads only the probed cells'
+    partition directories (parquet partition pruning), so the
+    n_probe/n_clusters data-touch fraction is actual I/O skipped, not
+    just rows filtered after a full scan.  Build once, probe many —
+    the index lifecycle a 100 TB serving deployment runs (reference
+    analogue: the one-time AnnData→disk fetch-ordered ingest,
+    ``src/scdataset/scdataset.py``; here the layout key is the
+    routing cell instead of the row order).
+
+    Layout under ``path``: ``cells/`` (``cand_id``, ``v``,
+    partition col ``cell``) and ``centroids/`` (``cell, centroid``).
+    All knobs resolve under the ``AUTO_SCALE_ROWS`` contract exactly
+    as in :func:`ivf_seeded_topk`."""
+    n_clusters, n_rows = _resolve_ivf_cells(n_clusters, candidates, n_rows)
+    if vectorized_assign is None:
+        n = int(n_rows) if n_rows is not None else candidates.count()
+        vectorized_assign = n >= AUTO_SCALE_ROWS
+    cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
+    c = candidates.select(F.col(cand_id), F.col(vec).alias("_v"))
+    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
+    assigned = assign(c, cent, cand_id, "_v").withColumnRenamed("_cell", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    query_id: str = "q_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted :func:`build_ann_index` index: route each
+    query to its ``n_probe`` nearest centroids (broadcast, same
+    rounded-distance/low-cell tiebreak as :func:`ivf_seeded_topk`),
+    read ONLY those cells' partitions, exact cosine re-rank inside.
+    Results are row-identical to :func:`ivf_seeded_topk` at the same
+    build parameters (pinned by test + the shared SQL oracle).
+
+    The probed-cell set is collected before the scan — it is at most
+    ``n_clusters`` ints no matter how many queries probe (distinct of
+    a queries×n_probe routing frame) — and lands in the scan as a
+    PartitionFilters entry: the 100 TB win is unread partition
+    directories, not a post-scan filter.  Output:
+    ``(query_id, cell, cand_id, cosine, rank)``."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_dist", F.expr(_DIST_SQL.format(a="_qv", b="centroid")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy(query_id).orderBy("_dist", "cell")),
+        )
+        .where(F.col("_rk") <= n_probe)
+        .select(query_id, "_qv", F.col("cell").alias("_cell"))
+    )
+    q_cells = persist_bounded(q_cells)
+    probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
+    cells = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probed))
+    cand_id = [c for c in cells.columns if c not in ("_v", "cell")][0]
+    scored = (
+        cells.join(F.broadcast(q_cells), cells["cell"] == q_cells["_cell"])
+        .where(F.col(query_id) != F.col(cand_id))
+        .withColumn("cosine", cosine_expr("_qv", "_v"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "cell", cand_id, "cosine", "rank")
+    )

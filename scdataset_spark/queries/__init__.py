@@ -46,6 +46,7 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new in round 11: never externally checked ---
+    "sim_ivf_index",
     # --- last externally checked in round 7 (r10 spillover; leads) ---
     "q2_min_cost_supplier",
     "q11_important_stock",

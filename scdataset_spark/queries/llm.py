@@ -1089,6 +1089,32 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_index", survey_ref="§2.14 similarity", oracle=_ivf_oracle())
+def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index IVF lifecycle (``similarity.build_ann_index``
+    + ``ann_index_topk``): candidates are assigned their seeded cell
+    once and written partitioned BY cell; the probe routes queries to
+    their n_probe nearest centroids and reads ONLY those cells'
+    partition directories (PartitionFilters pruning — the
+    n_probe/n_clusters touch fraction is skipped I/O, not a post-scan
+    filter).  Same engine-portable build as ``sim_ivf_ann``, so the
+    probe result is value-checked by the SAME SQL oracle — build once,
+    probe many, identical answers."""
+    import hashlib
+    import os
+
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    ver = hashlib.md5(b"ivf_index:n_clusters=8:seed=11:v1").hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/scdataset_spark_annidx_{ver}/{base}"
+    sim.build_ann_index(
+        c, path, n_clusters=8, seed=11, vectorized_assign=False
+    )
+    return sim.ann_index_topk(spark, path, q, k=3, n_probe=2)
+
+
 # ------------------------------------------------ product quantization
 _PQ_SEED = 13
 _PQ_M = 8

@@ -251,3 +251,60 @@ class TestNonDefaultIdCol:
             map(tuple, cross_split_contamination(renamed, id_col="my_id").collect())
         )
         assert ren_rep == base_rep and base_rep
+
+
+class TestPersistedAnnIndex:
+    def test_probe_equals_inline_ivf(self, spark, tmp_path):
+        """The persisted-index probe must return row-identical results
+        to the inline ivf_seeded_topk at the same build parameters —
+        the layout changes WHERE the cells live, never the answer."""
+        from scdataset_spark.operators.similarity import (
+            ann_index_topk,
+            build_ann_index,
+            ivf_seeded_topk,
+        )
+
+        q, c = _qc(spark)
+        path = str(tmp_path / "idx")
+        build_ann_index(c, path, n_clusters=8, seed=11, vectorized_assign=False)
+        probe = sorted(
+            map(tuple, ann_index_topk(spark, path, q, k=3, n_probe=2).collect())
+        )
+        inline = sorted(
+            map(
+                tuple,
+                ivf_seeded_topk(
+                    q, c, k=3, n_clusters=8, n_probe=2, seed=11,
+                    vectorized_assign=False,
+                ).collect(),
+            )
+        )
+        assert probe == inline and probe
+
+    def test_probe_prunes_partitions(self, spark, tmp_path):
+        """The probe's cell scan must carry a PartitionFilters entry on
+        the probed set (skipped directories, not a post-scan filter),
+        and reading a single query's cells must touch fewer input files
+        than the full index holds."""
+        from scdataset_spark.operators.similarity import (
+            ann_index_topk,
+            build_ann_index,
+        )
+
+        q, c = _qc(spark)
+        path = str(tmp_path / "idx")
+        build_ann_index(c, path, n_clusters=8, seed=11, vectorized_assign=False)
+        one_q = q.where("q_id = 1")
+        plan = _plan_str(ann_index_topk(spark, path, one_q, k=3, n_probe=2))
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1), plan[:2000]
+        # physical proof: the probed scan reads <= n_probe of 8 cells
+        pruned = spark.read.parquet(f"{path}/cells").where(
+            F.col("cell").isin([0, 1])
+        )
+        full = spark.read.parquet(f"{path}/cells")
+        n_pruned = pruned.select(F.input_file_name()).distinct().count()
+        n_full = full.select(F.input_file_name()).distinct().count()
+        assert n_pruned < n_full
