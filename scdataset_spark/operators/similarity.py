@@ -1834,3 +1834,167 @@ def ann_index_topk(
         .where(F.col("rank") <= k)
         .select(query_id, "cell", cand_id, "cosine", "rank")
     )
+
+
+def append_to_ann_index(
+    increment: DataFrame,
+    path: str,
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    vectorized_assign: bool | None = None,
+    n_rows: int | None = None,
+) -> None:
+    """Append an increment to a persisted :func:`build_ann_index`
+    index: new vectors are assigned with the EXISTING centroids (read
+    back from the index — the routing geometry is frozen at build
+    time, the standard IVF maintenance posture: appends grow the
+    inverted lists, they never move the space partition) and appended
+    to the cell-partitioned layout.  Cost is one assignment pass over
+    the increment plus a partitioned append — O(increment), never
+    O(corpus) — the same append-only economics as
+    ``novel_documents``' static band index.  Rebuild when routing
+    drift accumulates (monitor with cell-occupancy counts — one
+    partition-pruned aggregate).
+
+    The increment must carry the same id/vector column names the index
+    was built with.  ``vectorized_assign`` auto-resolves from the
+    INCREMENT size under the ``AUTO_SCALE_ROWS`` contract."""
+    spark = increment.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    if vectorized_assign is None:
+        n = int(n_rows) if n_rows is not None else increment.count()
+        vectorized_assign = n >= AUTO_SCALE_ROWS
+    c = increment.select(F.col(cand_id), F.col(vec).alias("_v"))
+    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
+    assigned = assign(c, cent, cand_id, "_v").withColumnRenamed("_cell", "cell")
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def build_pq_index(
+    candidates: DataFrame,
+    path: str,
+    n_clusters: int | None = None,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 11,
+    pq_seed: int = 13,
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    vectorized_encode: bool | None = None,
+    vectorized_assign: bool | None = None,
+    n_rows: int | None = None,
+) -> None:
+    """Persist the full IVF-PQ serving layout — the standard
+    billion-scale ANN storage shape: the inverted lists under
+    ``cells/`` hold ``(id, m codes)`` PARTITIONED BY routing cell (m
+    small ints per vector instead of ``dim`` floats — the 64× payload
+    reduction IVF-ADC exists for), ``centroids/`` and ``codebook/``
+    are the tiny broadcastable index sides, and the raw vectors stay
+    in ``archive/`` (in production, the source table itself) to be
+    fetched ONLY for the refine·k exact re-rank.  Same engine-portable
+    build as :func:`pq_topk` (mixer-seeded centroids + codebook), so a
+    probe of this layout is value-checked by the same SQL oracle.  All
+    knobs resolve under the ``AUTO_SCALE_ROWS`` contract."""
+    n_clusters, n_rows = _resolve_ivf_cells(n_clusters, candidates, n_rows)
+    if vectorized_assign is None or vectorized_encode is None:
+        n = int(n_rows) if n_rows is not None else candidates.count()
+        n_rows = n
+        if vectorized_assign is None:
+            vectorized_assign = n >= AUTO_SCALE_ROWS
+        if vectorized_encode is None:
+            vectorized_encode = n >= AUTO_SCALE_ROWS
+    cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
+    c = candidates.select(F.col(cand_id), F.col(vec).alias("_v"))
+    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
+    assigned = assign(c, cent, cand_id, "_v").withColumnRenamed("_cell", "cell")
+    cb = pq_codebook(candidates, n_codes, pq_seed, cand_id, vec)
+    codes = pq_encode(
+        candidates, cand_id, vec, dim, m, n_codes, pq_seed, codebook=cb,
+        vectorized=vectorized_encode, n_rows=n_rows,
+    )
+    codes_per_id = codes.groupBy(cand_id).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(subspace, code))), s -> s.code)"
+        ).alias("_codes")
+    )
+    lists = assigned.select(cand_id, "cell").join(codes_per_id, cand_id)
+    lists.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    c.write.mode("overwrite").parquet(f"{path}/archive")
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    refine: int = 3,
+    n_probe: int = 2,
+    dim: int = 64,
+    m: int = 8,
+    query_id: str = "q_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted :func:`build_pq_index` layout: route queries
+    to their ``n_probe`` nearest stored centroids, read ONLY the probed
+    cells' code lists (PartitionFilters pruning), score by asymmetric
+    distance against the PQ reconstruction (broadcast codebook — the
+    lists never carry vectors), keep the top ``refine``·``k`` per query
+    by ADC, fetch ONLY those rows' raw vectors from ``archive/`` by id
+    (one |refine·k·queries|-row equi-join against the archive — at
+    100 TB this is the point: the full-precision payload is touched
+    for a few dozen rows per query, everything else moves as m-byte
+    codes), exact cosine re-rank to the final top-k.
+
+    Row-identical to the inline :func:`pq_topk` at the same build
+    parameters (pinned by test + the shared SQL oracle).  Output:
+    ``(query_id, cand_id, adc, cosine, rank)``."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_dist", F.expr(_DIST_SQL.format(a="_qv", b="centroid")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy(query_id).orderBy("_dist", "cell")),
+        )
+        .where(F.col("_rk") <= n_probe)
+        .select(query_id, "_qv", F.col("cell").alias("_cell"))
+    )
+    q_cells = persist_bounded(q_cells)
+    probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probed))
+    cand_id = [c for c in lists.columns if c not in ("_codes", "cell")][0]
+    sub_dim = dim // m
+    cb_arr = cb.agg(F.collect_list(F.struct("code", "codevec")).alias("_cb"))
+    recon = (
+        "flatten(transform(_codes, (cd, s) -> "
+        f"slice(filter(_cb, c -> c.code = cd)[0].codevec, s * {sub_dim} + 1, {sub_dim})))"
+    )
+    c_recon = (
+        lists.crossJoin(F.broadcast(cb_arr))
+        .withColumn("_rv", F.expr(recon))
+        .select(cand_id, "_rv", "cell")
+    )
+    adc = (
+        c_recon.join(F.broadcast(q_cells), c_recon["cell"] == q_cells["_cell"])
+        .where(F.col(query_id) != F.col(cand_id))
+        .withColumn("adc", F.expr(_DIST_SQL.format(a="_qv", b="_rv")))
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(F.col("adc"), F.col(cand_id))
+    refined = adc.withColumn("_ark", F.row_number().over(w_adc)).where(
+        F.col("_ark") <= refine * k
+    )
+    archive = spark.read.parquet(f"{path}/archive")
+    rescored = refined.join(archive, cand_id).withColumn(
+        "cosine", cosine_expr("_qv", "_v")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, cand_id, "adc", "cosine", "rank")
+    )

@@ -411,3 +411,41 @@ def token_budget(
         .where(F.col("cum_tokens") <= budget)
         .select(*out)
     )
+
+
+def token_budget_by_source(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "lang",
+    quality_col: str = "q_int",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token budgets — the mixture-curation form of
+    :func:`token_budget`: every source (language / domain / dataset)
+    fills its OWN ``budget`` with its best documents, so a strong
+    source cannot starve the mixture the way a single global budget
+    does ("N tokens from each" is how a training mix is actually
+    specified; cf. the temperature-mixture weights of
+    ``o17_temperature_mixture``).
+
+    Output: ``(id_col, source_col, token_col, cum_tokens)`` for the
+    selected docs, ``cum_tokens`` running within the source.
+
+    Scale shape: ONE window partitioned by source — sources fill in
+    parallel, no global sort anywhere, and the shuffle key is the
+    source id (coarse, but the post-filter output is budget-bounded
+    per source).  A single pathologically large source is the
+    :func:`token_budget` bucketed shape applied within that source;
+    at the mixture level the partitioned window IS the scale posture.
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(token_col).over(w))
+        .where(F.col("cum_tokens") <= budget)
+        .select(id_col, source_col, token_col, "cum_tokens")
+    )

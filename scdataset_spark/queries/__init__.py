@@ -47,6 +47,8 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 _SWEEP_PRIORITY = [
     # --- new in round 11: never externally checked ---
     "sim_ivf_index",
+    "sim_pq_index",
+    "tx_token_budget_per_source",
     # --- last externally checked in round 7 (r10 spillover; leads) ---
     "q2_min_cost_supplier",
     "q11_important_stock",

@@ -1277,6 +1277,36 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_pq_index", survey_ref="§2.14 similarity", oracle=_pq_ann_oracle())
+def sim_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF-PQ serving layout (``similarity.build_pq_index``
+    + ``pq_index_topk``): inverted lists of (id, 8 codes) partitioned
+    by routing cell, centroids + codebook alongside, raw vectors in a
+    separate archive touched only for the refine·k exact re-rank.  The
+    probe reads only the probed cells' code partitions, scores by ADC
+    against broadcast-codebook reconstructions, and fetches vectors
+    for a few rows per query — the billion-scale storage shape, built
+    once and probed many times.  Same engine-portable build as
+    ``sim_pq_ann``, value-checked by the SAME SQL oracle."""
+    import hashlib
+    import os
+
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    ver = hashlib.md5(b"pq_index:n_clusters=8:seed=11:pq13:v1").hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/scdataset_spark_pqidx_{ver}/{base}"
+    sim.build_pq_index(
+        c, path, n_clusters=8, dim=64, m=_PQ_M, n_codes=_PQ_CODES,
+        seed=11, pq_seed=_PQ_SEED,
+        vectorized_encode=False, vectorized_assign=False,
+    )
+    return sim.pq_index_topk(
+        spark, path, q, k=3, refine=3, n_probe=2, dim=64, m=_PQ_M
+    )
+
+
 # --------------------------------------------------- multimodal (M1-M5)
 @query(
     "mm_multimodal_zip",
@@ -1422,6 +1452,44 @@ def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tx.with_stop_counts(docs).select("doc_id", "n_tokens", "n_stop")
     scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
     return tx.token_budget(scored, 5000, buckets=0)
+
+
+@query(
+    "tx_token_budget_per_source",
+    survey_ref="§2.14 text,W2,O16",
+    oracle=f"""
+WITH sp_t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS sp FROM documents),
+q AS (
+  SELECT doc_id, lang, len(sp) AS n_tokens,
+         len(list_filter(sp, t -> list_contains([{STOPS}], t))) AS n_stop
+  FROM sp_t
+),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+         {QDUCK} AS q_int
+  FROM q
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY q_int DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 2000
+""",
+)
+def tx_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets (``textanalysis.token_budget_by_source``):
+    each language independently fills a 2k-token budget with its
+    highest-quality documents — the "N tokens from each source"
+    mixture-curation selection.  One window PARTITIONED by the source
+    (languages fill in parallel; no global sort), value-checked
+    exactly by the partitioned-window oracle."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    toks = tx.with_stop_counts(docs).select("doc_id", "lang", "n_tokens", "n_stop")
+    scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
+    return tx.token_budget_by_source(scored, 2000, source_col="lang")
 
 
 @query(

@@ -47,6 +47,12 @@ LIBRARY_ONLY = {
     "pq_topk (sim_pq_encode, sim_pq_ann)",
     "assign_nearest_cell": "argmin cell assignment shared by "
     "ivf_seeded_topk and semantic_dedup",
+    "append_to_ann_index": "incremental maintenance of the persisted "
+    "IVF index (assign increment with the FROZEN stored centroids, "
+    "partitioned append) — non-idempotent by design (every call grows "
+    "the index), so it cannot be a rerunnable registered query; "
+    "assignment contract + probe-visibility pinned in "
+    "tests/test_wired_ops_r11.py::TestPersistedAnnIndex",
     "assign_nearest_cell_blas": "BLAS mapInPandas twin of "
     "assign_nearest_cell, auto-selected past AUTO_SCALE_ROWS inside "
     "ivf_seeded_topk/pq_topk; pinned row-equal to the HOF argmin in "

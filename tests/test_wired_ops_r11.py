@@ -308,3 +308,139 @@ class TestPersistedAnnIndex:
         n_pruned = pruned.select(F.input_file_name()).distinct().count()
         n_full = full.select(F.input_file_name()).distinct().count()
         assert n_pruned < n_full
+
+
+class TestTokenBudgetPerSource:
+    def test_equals_per_source_token_budget(self, spark):
+        """token_budget_by_source must equal token_budget run on each
+        source slice independently (same order key, same cutoff) —
+        the partitioned window IS per-source curation."""
+        from scdataset_spark.operators import textanalysis as tx
+        from scdataset_spark.operators.textanalysis import (
+            token_budget,
+            token_budget_by_source,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        toks = tx.with_stop_counts(docs).select(
+            "doc_id", "lang", "n_tokens", "n_stop"
+        )
+        scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
+        got = {
+            (r["lang"], r["doc_id"]): (r["n_tokens"], r["cum_tokens"])
+            for r in token_budget_by_source(scored, 2000, source_col="lang").collect()
+        }
+        langs = [r[0] for r in scored.select("lang").distinct().collect()]
+        assert len(langs) > 1
+        expected = {}
+        for lang in langs:
+            sl = scored.where(F.col("lang") == lang)
+            for r in token_budget(sl, 2000, buckets=0).collect():
+                expected[(lang, r["doc_id"])] = (r["n_tokens"], r["cum_tokens"])
+        assert got == expected and got
+        # every source contributes (no starvation by a global budget)
+        assert {k[0] for k in got} == set(langs)
+
+
+class TestAnnIndexAppend:
+    def test_append_assigns_with_frozen_centroids_and_probes(self, spark, tmp_path):
+        """Appending an increment must (a) assign every new vector the
+        cell the STORED centroids dictate (the exact
+        assign_nearest_cell contract against the read-back centroid
+        frame), (b) grow the cells layout by exactly the increment,
+        and (c) make appended vectors probe-visible (a query identical
+        to an appended vector finds it at cosine 1, rank 1)."""
+        from scdataset_spark.operators.similarity import (
+            ann_index_topk,
+            append_to_ann_index,
+            assign_nearest_cell,
+            build_ann_index,
+        )
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        first = c.where("c_id % 2 = 0")
+        second = c.where("c_id % 2 = 1")
+        path = str(tmp_path / "idx")
+        build_ann_index(first, path, n_clusters=8, seed=11, vectorized_assign=False)
+        n_first = spark.read.parquet(f"{path}/cells").count()
+        append_to_ann_index(second, path, vectorized_assign=False)
+        cells = spark.read.parquet(f"{path}/cells")
+        assert cells.count() == n_first + second.count()
+        # (a) appended cells == direct assignment against stored centroids
+        cent = spark.read.parquet(f"{path}/centroids")
+        expected = {
+            r["c_id"]: r["_cell"]
+            for r in assign_nearest_cell(
+                second.select("c_id", F.col("embedding").alias("_v")),
+                cent, "c_id", "_v",
+            ).collect()
+        }
+        got = {
+            r["c_id"]: r["cell"]
+            for r in cells.join(second.select("c_id"), "c_id", "left_semi").collect()
+        }
+        assert got == expected and got
+        # (c) an appended vector is probe-visible at cosine 1
+        probe_q = e.where("vec_id = 1").select(
+            (F.col("vec_id") + 1_000_000).alias("q_id"), "embedding"
+        )
+        hits = ann_index_topk(spark, path, probe_q, k=1, n_probe=1).collect()
+        assert hits and hits[0]["c_id"] == 1 and hits[0]["cosine"] >= 0.999999
+
+
+class TestPersistedPqIndex:
+    def test_probe_equals_inline_pq_topk(self, spark, tmp_path):
+        """The persisted IVF-PQ probe (code lists + archive fetch) must
+        return row-identical results to the inline pq_topk at the same
+        build parameters."""
+        from scdataset_spark.operators.similarity import (
+            build_pq_index,
+            pq_index_topk,
+            pq_topk,
+        )
+
+        q, c = _qc(spark)
+        path = str(tmp_path / "pqidx")
+        build_pq_index(
+            c, path, n_clusters=8, dim=64, m=8, n_codes=16, seed=11,
+            pq_seed=13, vectorized_encode=False, vectorized_assign=False,
+        )
+        probe = sorted(
+            map(
+                tuple,
+                pq_index_topk(
+                    spark, path, q, k=3, refine=3, n_probe=2, dim=64, m=8
+                ).collect(),
+            )
+        )
+        inline = sorted(
+            map(
+                tuple,
+                pq_topk(
+                    q, c, k=3, refine=3, n_clusters=8, n_probe=2,
+                    dim=64, m=8, n_codes=16, seed=11, pq_seed=13,
+                    vectorized_encode=False, vectorized_assign=False,
+                ).collect(),
+            )
+        )
+        assert probe == inline and probe
+
+    def test_lists_carry_codes_not_vectors(self, spark, tmp_path):
+        """The inverted lists must hold only (id, codes, cell) — the
+        m-byte payload, never the raw vectors (those live in archive/
+        and are fetched per refine·k row)."""
+        from scdataset_spark.operators.similarity import build_pq_index
+
+        _, c = _qc(spark)
+        path = str(tmp_path / "pqidx")
+        build_pq_index(
+            c, path, n_clusters=8, seed=11, pq_seed=13,
+            vectorized_encode=False, vectorized_assign=False,
+        )
+        lists = spark.read.parquet(f"{path}/cells")
+        assert sorted(lists.columns) == ["_codes", "c_id", "cell"]
+        row = lists.first()
+        assert len(row["_codes"]) == 8  # m codes per vector
+        archive = spark.read.parquet(f"{path}/archive")
+        assert sorted(archive.columns) == ["_v", "c_id"]
