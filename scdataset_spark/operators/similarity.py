@@ -1922,7 +1922,15 @@ def build_pq_index(
     lists.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    c.write.mode("overwrite").parquet(f"{path}/archive")
+    # archive is range-laid-out and sorted on the id so the probe's
+    # refine·k id fetch prunes row groups via parquet min/max stats
+    # (an unsorted archive would stream fully under the same filter)
+    (
+        c.repartitionByRange(32, F.col(cand_id))
+        .sortWithinPartitions(cand_id)
+        .write.mode("overwrite")
+        .parquet(f"{path}/archive")
+    )
 
 
 def pq_index_topk(
@@ -1988,8 +1996,17 @@ def pq_index_topk(
     refined = adc.withColumn("_ark", F.row_number().over(w_adc)).where(
         F.col("_ark") <= refine * k
     )
-    archive = spark.read.parquet(f"{path}/archive")
-    rescored = refined.join(archive, cand_id).withColumn(
+    # the exact-rerank fetch touches <= refine·k·|queries| ids by
+    # construction (bounded — a probe is an online query batch, not a
+    # corpus scan), so collect them and push an In() filter into the
+    # range-sorted archive scan: parquet min/max stats skip every row
+    # group outside the id set, and the filtered side broadcasts
+    refined = persist_bounded(refined)
+    ids = [r[0] for r in refined.select(cand_id).distinct().collect()]
+    archive = spark.read.parquet(f"{path}/archive").where(
+        F.col(cand_id).isin(ids)
+    )
+    rescored = refined.join(F.broadcast(archive), cand_id).withColumn(
         "cosine", cosine_expr("_qv", "_v")
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))

@@ -279,9 +279,59 @@ def _pq_ann_cells_scaled(spark, sf_dir):
     )
 
 
+def _pq_index_path() -> str:
+    import os as _os
+
+    return f"/tmp/scdataset_audit_pqidx/{_os.path.basename(_os.path.normpath(SF_DIR))}"
+
+
+def _pq_index_build_scaled(spark, sf_dir):
+    """ONE-TIME build of the persisted IVF-PQ layout at scale-sized
+    parameters (cells ~ n/4500, BLAS twins): what the inline
+    pq_ann_cells_scaled pays on EVERY run — measured separately so the
+    probe's cost can be read on its own.  Returns a 1-row marker (the
+    timed work is the index write side effect)."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import build_pq_index
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, sf_dir)
+    n = c.count()
+    cand = c.select(F.col("vec_id").alias("c_id"), F.col("v").alias("embedding"))
+    build_pq_index(
+        cand, _pq_index_path(), n_clusters=max(64, n // 4500),
+        vectorized_encode=True, vectorized_assign=True, n_rows=n,
+    )
+    return spark.range(1)
+
+
+def _pq_index_probe_scaled(spark, sf_dir):
+    """Probe of the PERSISTED IVF-PQ layout built by
+    _pq_index_build_scaled (must run first in the same audit session):
+    partition-pruned code lists, broadcast-codebook ADC, id-pushdown
+    archive fetch for the refine·k rerank rows.  THIS is the per-query
+    serving cost — the number that must stay ~flat across corpus
+    decades once the build is amortized."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import pq_index_topk
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, sf_dir)
+    q = c.where("vec_id < 20").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("embedding")
+    )
+    return pq_index_topk(
+        spark, _pq_index_path(), q, k=10, refine=5, n_probe=4
+    )
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
 EXTRA = {
+    "pq_index_build_scaled": _pq_index_build_scaled,
+    "pq_index_probe_scaled": _pq_index_probe_scaled,
     "constraints_scaled": _constraints_scaled,
     "semantic_dedup_scaled": _semantic_dedup_scaled,
     "interleave_scaled": _interleave_scaled,
