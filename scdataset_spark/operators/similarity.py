@@ -767,6 +767,162 @@ def assign_nearest_cell_blas(
     )
 
 
+def assign_cells_routed(
+    df: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_alias: str,
+    coarse_route_k: int = 512,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Two-level EXACT BLAS cell assignment — semantic_dedup_fast's
+    bound-pruned routed search (r8/r10), extracted so the IVF index
+    builds share it.  At or below ``coarse_route_k`` centroids it is
+    the plain flat ``X @ C.T`` argmin (unrounded, lowest-index ties);
+    past it, ~sqrt(k) coarse probes + triangle-inequality pruning cut
+    the expected flops to O(n·sqrt(k)).  This is the build-side scale
+    fix: with the cell-budget rule k ~ n/4500 the FLAT assignment is
+    O(n²) per corpus decade (measured r11: 15×/decade one-time
+    IVF-PQ build at 24 M vectors — 2.4 Tflop-scale X@C.T), while the
+    routed search restores ~O(n^1.5) and returns the flat argmin
+    EXACTLY up to BLAS summation ulps (the routing_agreement audit
+    probe measures 100% agreement).  Vs the 6-digit-rounded
+    :func:`assign_nearest_cell_blas`/HOF pair it can differ only on a
+    1e-6 rounding-boundary tie — the same caveat class as BLAS-vs-HOF.
+
+    ``df`` must carry ``(id_col, vec_alias)``; returns the same plus
+    ``out_col`` (int cell id)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = cent.collect()
+    C = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+    cell_ids = np.array(
+        [int(r["cell"]) for r in sorted(cent_rows, key=lambda r: r["cell"])],
+        dtype=np.int64,
+    )
+    idt = df.schema[id_col].dataType.simpleString()
+    cvt = df.schema[vec_alias].dataType.simpleString()
+    k = len(cell_ids)
+    two_level = k > coarse_route_k
+
+    def _assign(batches):
+        c2 = (C * C).sum(axis=1)
+        if two_level:
+            # Flat argmin is O(n·k) flops AND an n×k distance matrix per
+            # batch; with the budget rule k ~ n/c that is QUADRATIC in n
+            # (measured: 36x time for 10x vectors at the sf100e audit).
+            # Two-level EXACT search instead: group the k centroids
+            # under ~sqrt(k) coarse probes (a few driver-side Lloyd
+            # rounds on the centroids, g×k distances), then per row
+            # visit probe groups in nearest-probe order and PRUNE with
+            # the triangle inequality — a group whose probe satisfies
+            # d(row, probe) - radius(group) >= best-so-far cannot hold a
+            # nearer centroid (radius = max member-to-probe distance).
+            # Expected O(n·sqrt(k)) flops on clustered data, and the
+            # result is the flat argmin EXACTLY (up to BLAS summation
+            # ulps), not an approximation — the r7 advisor found the
+            # earlier top-p heuristic misassigned ~19% of rows at cell
+            # boundaries (k=40 planted corpus); the bound-based search
+            # agrees 100% there (tests/test_span_semantic_dedup.py).
+            g = int(np.ceil(np.sqrt(k)))
+            sel = np.linspace(0, k - 1, g).astype(np.int64)
+            S = C[sel]
+            for _ in range(5):
+                s2 = (S * S).sum(axis=1)
+                cmem = (c2[:, None] + s2[None, :] - 2.0 * (C @ S.T)).argmin(axis=1)
+                for s in range(g):
+                    m = cmem == s
+                    if m.any():
+                        S[s] = C[m].mean(axis=0)
+            # groups/radii must come from the FINAL Lloyd-updated S
+            # (routing uses post-update S; stale pre-update membership
+            # breaks the radius bound's correctness contract)
+            s2 = (S * S).sum(axis=1)
+            D2 = c2[:, None] + s2[None, :] - 2.0 * (C @ S.T)
+            cmem = D2.argmin(axis=1)
+            groups = [np.where(cmem == s)[0] for s in range(g)]
+            radius = np.zeros(g)
+            for s in range(g):
+                if len(groups[s]):
+                    radius[s] = np.sqrt(np.maximum(D2[groups[s], s], 0.0).max())
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_alias].to_numpy()).astype(np.float64)
+            x2 = (X * X).sum(axis=1, keepdims=True)
+            if not two_level:
+                d2 = x2 + c2[None, :] - 2.0 * (X @ C.T)
+                idx = d2.argmin(axis=1)  # first min -> lowest cell on ties
+            else:
+                droute = np.sqrt(
+                    np.maximum(x2 + s2[None, :] - 2.0 * (X @ S.T), 0.0)
+                )
+                # visit groups in increasing LOWER-BOUND order (not
+                # nearest-probe order: lb = d(row,probe) - radius is not
+                # monotone in probe distance, so probe order would let a
+                # row early-exit past a fat group it still needs) — in
+                # lb order, the first group with lb >= best-so-far
+                # proves all remaining groups can't improve.
+                LB = droute - radius[None, :]
+                order = np.argsort(LB, kind="stable", axis=1)
+                best_d = np.full(len(X), np.inf)
+                idx = np.zeros(len(X), dtype=np.int64)
+                alive = np.arange(len(X))
+                for col in range(g):
+                    route = order[alive, col]
+                    lb = LB[alive, route]
+                    # <= not <: a group whose lower bound EQUALS the
+                    # best distance can still hold an equidistant
+                    # centroid with a lower index (exact duplicates →
+                    # coincident centroids), and the flat argmin's tie
+                    # rule is lowest-index-wins — prune only strictly
+                    # worse groups so ties resolve identically.
+                    keep = lb <= best_d[alive]
+                    alive = alive[keep]
+                    if not len(alive):
+                        break
+                    route = route[keep]
+                    for s in np.unique(route):
+                        rows = alive[route == s]
+                        mem = groups[s]
+                        if len(mem) == 0:
+                            continue  # empty group holds no centroid
+                        sub = (
+                            x2[rows]
+                            + c2[mem][None, :]
+                            - 2.0 * (X[rows] @ C[mem].T)
+                        )
+                        j = sub.argmin(axis=1)
+                        d = np.sqrt(
+                            np.maximum(sub[np.arange(len(rows)), j], 0.0)
+                        )
+                        cand = mem[j]
+                        # match the flat path's argmin tie rule exactly:
+                        # on equal distance keep the LOWER centroid index
+                        upd = (d < best_d[rows]) | (
+                            (d == best_d[rows]) & (cand < idx[rows])
+                        )
+                        rr = rows[upd]
+                        best_d[rr] = d[upd]
+                        idx[rr] = cand[upd]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_alias: pdf[vec_alias],
+                    out_col: cell_ids[idx].astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        _assign, f"{id_col} {idt}, {vec_alias} {cvt}, {out_col} int"
+    )
+
+
+
 def ivf_seeded_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -803,8 +959,7 @@ def ivf_seeded_topk(
         vectorized_assign = n >= AUTO_SCALE_ROWS
     cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
     c = candidates.select(F.col(cand_id), F.col(vec).alias("_cv"))
-    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
-    c_assigned = assign(c, cent, cand_id, "_cv")
+    c_assigned = _assign_cells(c, cent, cand_id, "_cv", vectorized_assign, n_clusters)
     q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
     q_cells = (
         q.crossJoin(F.broadcast(cent))
@@ -1018,6 +1173,35 @@ def _resolve_ivf_cells(
         return int(n_clusters), n_rows
     n = int(n_rows) if n_rows is not None else candidates.count()
     return max(8, n // IVF_CELL_BUDGET), n
+
+
+# centroid count past which the vectorized assignment routes through
+# ~sqrt(k) coarse probes instead of the flat X@C.T: the flat matmul is
+# O(n·k) flops, and with cells ~ n/4500 that makes every index BUILD
+# O(n²) per corpus decade (measured r11: 134 s -> 2017 s one-time
+# IVF-PQ build for 2.4 M -> 24 M vectors); the bound-pruned routed
+# search (assign_cells_routed) is exact and ~O(n·sqrt(k))
+ROUTE_CELLS = 512
+
+
+def _assign_cells(
+    df: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_alias: str,
+    vectorized: bool,
+    n_clusters: int,
+) -> DataFrame:
+    """Pick the cell-assignment engine: the HOF fold (oracle shape)
+    when not vectorized; flat BLAS up to ``ROUTE_CELLS`` centroids;
+    the bound-pruned routed search past it."""
+    if not vectorized:
+        return assign_nearest_cell(df, cent, id_col, vec_alias)
+    if n_clusters <= ROUTE_CELLS:
+        return assign_nearest_cell_blas(df, cent, id_col, vec_alias)
+    return assign_cells_routed(
+        df, cent, id_col, vec_alias, ROUTE_CELLS, out_col="_cell"
+    )
 
 
 def _jl_out_dim(n: int, lo: int = 8, hi: int = 62) -> int:
@@ -1308,129 +1492,11 @@ def semantic_dedup_fast(
     if n_clusters is None:
         n = int(n_rows) if n_rows is not None else df.count()
         n_clusters = max(8, n // 500)
-    cent_rows = seeded_centroids(df, n_clusters, seed, id_col, vec).collect()
-    C = np.array(
-        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
-        dtype=np.float64,
-    )
-    cells = [int(r["cell"]) for r in sorted(cent_rows, key=lambda r: r["cell"])]
-    cell_ids = np.array(cells, dtype=np.int64)
+    cent = seeded_centroids(df, n_clusters, seed, id_col, vec)
     thr = float(threshold)
 
     src = df.select(F.col(id_col), F.col(vec).alias("_v"))
     out_schema = f"{id_col} bigint, cell int, kept boolean"
-    assign_schema = f"{id_col} bigint, _v array<double>, cell int"
-
-    k = len(cells)
-    two_level = k > coarse_route_k
-
-    def _assign(batches):
-        c2 = (C * C).sum(axis=1)
-        if two_level:
-            # Flat argmin is O(n·k) flops AND an n×k distance matrix per
-            # batch; with the budget rule k ~ n/c that is QUADRATIC in n
-            # (measured: 36x time for 10x vectors at the sf100e audit).
-            # Two-level EXACT search instead: group the k centroids
-            # under ~sqrt(k) coarse probes (a few driver-side Lloyd
-            # rounds on the centroids, g×k distances), then per row
-            # visit probe groups in nearest-probe order and PRUNE with
-            # the triangle inequality — a group whose probe satisfies
-            # d(row, probe) - radius(group) >= best-so-far cannot hold a
-            # nearer centroid (radius = max member-to-probe distance).
-            # Expected O(n·sqrt(k)) flops on clustered data, and the
-            # result is the flat argmin EXACTLY (up to BLAS summation
-            # ulps), not an approximation — the r7 advisor found the
-            # earlier top-p heuristic misassigned ~19% of rows at cell
-            # boundaries (k=40 planted corpus); the bound-based search
-            # agrees 100% there (tests/test_span_semantic_dedup.py).
-            g = int(np.ceil(np.sqrt(k)))
-            sel = np.linspace(0, k - 1, g).astype(np.int64)
-            S = C[sel]
-            for _ in range(5):
-                s2 = (S * S).sum(axis=1)
-                cmem = (c2[:, None] + s2[None, :] - 2.0 * (C @ S.T)).argmin(axis=1)
-                for s in range(g):
-                    m = cmem == s
-                    if m.any():
-                        S[s] = C[m].mean(axis=0)
-            # groups/radii must come from the FINAL Lloyd-updated S
-            # (routing uses post-update S; stale pre-update membership
-            # breaks the radius bound's correctness contract)
-            s2 = (S * S).sum(axis=1)
-            D2 = c2[:, None] + s2[None, :] - 2.0 * (C @ S.T)
-            cmem = D2.argmin(axis=1)
-            groups = [np.where(cmem == s)[0] for s in range(g)]
-            radius = np.zeros(g)
-            for s in range(g):
-                if len(groups[s]):
-                    radius[s] = np.sqrt(np.maximum(D2[groups[s], s], 0.0).max())
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            x2 = (X * X).sum(axis=1, keepdims=True)
-            if not two_level:
-                d2 = x2 + c2[None, :] - 2.0 * (X @ C.T)
-                idx = d2.argmin(axis=1)  # first min -> lowest cell on ties
-            else:
-                droute = np.sqrt(
-                    np.maximum(x2 + s2[None, :] - 2.0 * (X @ S.T), 0.0)
-                )
-                # visit groups in increasing LOWER-BOUND order (not
-                # nearest-probe order: lb = d(row,probe) - radius is not
-                # monotone in probe distance, so probe order would let a
-                # row early-exit past a fat group it still needs) — in
-                # lb order, the first group with lb >= best-so-far
-                # proves all remaining groups can't improve.
-                LB = droute - radius[None, :]
-                order = np.argsort(LB, kind="stable", axis=1)
-                best_d = np.full(len(X), np.inf)
-                idx = np.zeros(len(X), dtype=np.int64)
-                alive = np.arange(len(X))
-                for col in range(g):
-                    route = order[alive, col]
-                    lb = LB[alive, route]
-                    # <= not <: a group whose lower bound EQUALS the
-                    # best distance can still hold an equidistant
-                    # centroid with a lower index (exact duplicates →
-                    # coincident centroids), and the flat argmin's tie
-                    # rule is lowest-index-wins — prune only strictly
-                    # worse groups so ties resolve identically.
-                    keep = lb <= best_d[alive]
-                    alive = alive[keep]
-                    if not len(alive):
-                        break
-                    route = route[keep]
-                    for s in np.unique(route):
-                        rows = alive[route == s]
-                        mem = groups[s]
-                        if len(mem) == 0:
-                            continue  # empty group holds no centroid
-                        sub = (
-                            x2[rows]
-                            + c2[mem][None, :]
-                            - 2.0 * (X[rows] @ C[mem].T)
-                        )
-                        j = sub.argmin(axis=1)
-                        d = np.sqrt(
-                            np.maximum(sub[np.arange(len(rows)), j], 0.0)
-                        )
-                        cand = mem[j]
-                        # match the flat path's argmin tie rule exactly:
-                        # on equal distance keep the LOWER centroid index
-                        upd = (d < best_d[rows]) | (
-                            (d == best_d[rows]) & (cand < idx[rows])
-                        )
-                        rr = rows[upd]
-                        best_d[rr] = d[upd]
-                        idx[rr] = cand[upd]
-            yield pd.DataFrame(
-                {
-                    pdf.columns[0]: pdf.iloc[:, 0].to_numpy(),
-                    "_v": pdf["_v"],
-                    "cell": cell_ids[idx].astype("int32"),
-                }
-            )
 
     def _dominate(pdf):
         pdf = pdf.sort_values(pdf.columns[0]).reset_index(drop=True)
@@ -1451,7 +1517,9 @@ def semantic_dedup_fast(
             }
         )
 
-    assigned = src.mapInPandas(_assign, assign_schema)
+    # assignment delegates to the shared routed helper (extracted
+    # r11 so the IVF index builds reuse the bound-pruned search)
+    assigned = assign_cells_routed(src, cent, id_col, "_v", coarse_route_k)
     if max_cell is None:
         return (
             assigned.groupBy("cell")
@@ -1689,8 +1757,7 @@ def pq_topk(
             vectorized_assign = n >= AUTO_SCALE_ROWS
         if vectorized_encode is None:
             vectorized_encode = n >= AUTO_SCALE_ROWS
-    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
-    c_assigned = assign(c, cent, cand_id, "_cv")
+    c_assigned = _assign_cells(c, cent, cand_id, "_cv", vectorized_assign, n_clusters)
     cb = pq_codebook(candidates, n_codes, pq_seed, cand_id, vec)
     codes = pq_encode(
         candidates, cand_id, vec, dim, m, n_codes, pq_seed, codebook=cb,
@@ -1779,8 +1846,9 @@ def build_ann_index(
         vectorized_assign = n >= AUTO_SCALE_ROWS
     cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
     c = candidates.select(F.col(cand_id), F.col(vec).alias("_v"))
-    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
-    assigned = assign(c, cent, cand_id, "_v").withColumnRenamed("_cell", "cell")
+    assigned = _assign_cells(
+        c, cent, cand_id, "_v", vectorized_assign, n_clusters
+    ).withColumnRenamed("_cell", "cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -1865,8 +1933,9 @@ def append_to_ann_index(
         n = int(n_rows) if n_rows is not None else increment.count()
         vectorized_assign = n >= AUTO_SCALE_ROWS
     c = increment.select(F.col(cand_id), F.col(vec).alias("_v"))
-    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
-    assigned = assign(c, cent, cand_id, "_v").withColumnRenamed("_cell", "cell")
+    assigned = _assign_cells(
+        c, cent, cand_id, "_v", vectorized_assign, cent.count()
+    ).withColumnRenamed("_cell", "cell")
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
@@ -1906,8 +1975,9 @@ def build_pq_index(
             vectorized_encode = n >= AUTO_SCALE_ROWS
     cent = seeded_centroids(candidates, n_clusters, seed, cand_id, vec)
     c = candidates.select(F.col(cand_id), F.col(vec).alias("_v"))
-    assign = assign_nearest_cell_blas if vectorized_assign else assign_nearest_cell
-    assigned = assign(c, cent, cand_id, "_v").withColumnRenamed("_cell", "cell")
+    assigned = _assign_cells(
+        c, cent, cand_id, "_v", vectorized_assign, n_clusters
+    ).withColumnRenamed("_cell", "cell")
     cb = pq_codebook(candidates, n_codes, pq_seed, cand_id, vec)
     codes = pq_encode(
         candidates, cand_id, vec, dim, m, n_codes, pq_seed, codebook=cb,

@@ -53,6 +53,11 @@ LIBRARY_ONLY = {
     "the index), so it cannot be a rerunnable registered query; "
     "assignment contract + probe-visibility pinned in "
     "tests/test_wired_ops_r11.py::TestPersistedAnnIndex",
+    "assign_cells_routed": "bound-pruned two-level EXACT assignment "
+    "shared by semantic_dedup_fast and the IVF builds past ROUTE_CELLS "
+    "centroids (the flat X@C.T is O(n*k) — the measured r11 build "
+    "wall); pinned equal to flat BLAS + HOF in test_wired_ops_r11 and "
+    "the routing_agreement audit probe",
     "assign_nearest_cell_blas": "BLAS mapInPandas twin of "
     "assign_nearest_cell, auto-selected past AUTO_SCALE_ROWS inside "
     "ivf_seeded_topk/pq_topk; pinned row-equal to the HOF argmin in "

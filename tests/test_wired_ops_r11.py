@@ -444,3 +444,57 @@ class TestPersistedPqIndex:
         assert len(row["_codes"]) == 8  # m codes per vector
         archive = spark.read.parquet(f"{path}/archive")
         assert sorted(archive.columns) == ["_v", "c_id"]
+
+
+class TestRoutedAssignment:
+    def test_routed_equals_flat_blas_at_large_cell_count(self, spark):
+        """Past ROUTE_CELLS the vectorized assignment flips to the
+        bound-pruned routed search (shared with semantic_dedup_fast);
+        it must agree with the flat BLAS argmin on every row (exact by
+        the triangle-inequality bound, same lowest-index tie rule)."""
+        from scdataset_spark.operators.similarity import (
+            assign_cells_routed,
+            assign_nearest_cell_blas,
+            seeded_centroids,
+        )
+
+        _, c = _qc(spark)
+        cent = seeded_centroids(c, 600, 11, "c_id", "embedding")
+        src = c.select("c_id", F.col("embedding").alias("_v"))
+        routed = {
+            r["c_id"]: r["_cell"]
+            for r in assign_cells_routed(
+                src, cent, "c_id", "_v", 512, out_col="_cell"
+            ).collect()
+        }
+        flat = {
+            r["c_id"]: r["_cell"]
+            for r in assign_nearest_cell_blas(src, cent, "c_id", "_v").collect()
+        }
+        assert routed == flat and len(routed) == c.count()
+
+    def test_ivf_probe_identical_through_routing_flip(self, spark):
+        """ivf_seeded_topk at 600 cells: the routed vectorized
+        assignment must produce the same top-k as the HOF argmin
+        pinned to the same cells — the build-side engine choice never
+        changes the answer."""
+        from scdataset_spark.operators.similarity import ivf_seeded_topk
+
+        q, c = _qc(spark)
+        routed = sorted(
+            map(
+                tuple,
+                ivf_seeded_topk(
+                    q, c, k=3, n_clusters=600, seed=11, vectorized_assign=True
+                ).collect(),
+            )
+        )
+        hof = sorted(
+            map(
+                tuple,
+                ivf_seeded_topk(
+                    q, c, k=3, n_clusters=600, seed=11, vectorized_assign=False
+                ).collect(),
+            )
+        )
+        assert routed == hof and routed
