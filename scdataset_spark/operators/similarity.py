@@ -1812,6 +1812,21 @@ def pq_topk(
     )
 
 
+def _cell_group_size(n_clusters: int, max_dirs: int = 1024) -> int:
+    """Cells per partition DIRECTORY in the persisted index layouts:
+    one-dir-per-cell stops scaling past a few thousand cells (the
+    sf1000e probe's cold 166 s was mostly first-touch listing of 5,333
+    dirs; the n/4500 rule at 4.5 B vectors would mean ~1 M dirs), so
+    cells are grouped into at most ``max_dirs`` directories and the
+    per-cell cut moves to parquet row-group stats (files are written
+    sorted by cell within each group).  Derived deterministically from
+    the centroid count, so probes recompute it from the stored
+    centroids — no side-channel metadata."""
+    import math
+
+    return max(1, math.ceil(n_clusters / max_dirs))
+
+
 def build_ann_index(
     candidates: DataFrame,
     path: str,
@@ -1849,7 +1864,18 @@ def build_ann_index(
     assigned = _assign_cells(
         c, cent, cand_id, "_v", vectorized_assign, n_clusters
     ).withColumnRenamed("_cell", "cell")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    # group on the ACTUAL centroid count: seeded_centroids caps at the
+    # corpus size, so a requested n_clusters above n would desync the
+    # probe's recomputation (it derives g from the stored centroids)
+    g = _cell_group_size(cent.count())
+    (
+        assigned.withColumn("cell_group", (F.col("cell") / g).cast("int"))
+        .repartition("cell_group")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell_group")
+        .parquet(f"{path}/cells")
+    )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -1889,7 +1915,13 @@ def ann_index_topk(
     )
     q_cells = persist_bounded(q_cells)
     probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
-    cells = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probed))
+    g = _cell_group_size(cent.count())
+    groups = sorted({c // g for c in probed})
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell_group").isin(groups) & F.col("cell").isin(probed))
+        .drop("cell_group")
+    )
     cand_id = [c for c in cells.columns if c not in ("_v", "cell")][0]
     scored = (
         cells.join(F.broadcast(q_cells), cells["cell"] == q_cells["_cell"])
@@ -1933,10 +1965,19 @@ def append_to_ann_index(
         n = int(n_rows) if n_rows is not None else increment.count()
         vectorized_assign = n >= AUTO_SCALE_ROWS
     c = increment.select(F.col(cand_id), F.col(vec).alias("_v"))
+    k = cent.count()
     assigned = _assign_cells(
-        c, cent, cand_id, "_v", vectorized_assign, cent.count()
+        c, cent, cand_id, "_v", vectorized_assign, k
     ).withColumnRenamed("_cell", "cell")
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    g = _cell_group_size(k)
+    (
+        assigned.withColumn("cell_group", (F.col("cell") / g).cast("int"))
+        .repartition("cell_group")
+        .sortWithinPartitions("cell")
+        .write.mode("append")
+        .partitionBy("cell_group")
+        .parquet(f"{path}/cells")
+    )
 
 
 def build_pq_index(
@@ -1989,7 +2030,18 @@ def build_pq_index(
         ).alias("_codes")
     )
     lists = assigned.select(cand_id, "cell").join(codes_per_id, cand_id)
-    lists.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    # group on the ACTUAL centroid count: seeded_centroids caps at the
+    # corpus size, so a requested n_clusters above n would desync the
+    # probe's recomputation (it derives g from the stored centroids)
+    g = _cell_group_size(cent.count())
+    (
+        lists.withColumn("cell_group", (F.col("cell") / g).cast("int"))
+        .repartition("cell_group")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell_group")
+        .parquet(f"{path}/cells")
+    )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
     # archive is range-laid-out and sorted on the id so the probe's
@@ -2044,7 +2096,13 @@ def pq_index_topk(
     )
     q_cells = persist_bounded(q_cells)
     probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
-    lists = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probed))
+    g = _cell_group_size(cent.count())
+    groups = sorted({c // g for c in probed})
+    lists = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell_group").isin(groups) & F.col("cell").isin(probed))
+        .drop("cell_group")
+    )
     cand_id = [c for c in lists.columns if c not in ("_codes", "cell")][0]
     sub_dim = dim // m
     cb_arr = cb.agg(F.collect_list(F.struct("code", "codevec")).alias("_cb"))

@@ -439,7 +439,7 @@ class TestPersistedPqIndex:
             vectorized_encode=False, vectorized_assign=False,
         )
         lists = spark.read.parquet(f"{path}/cells")
-        assert sorted(lists.columns) == ["_codes", "c_id", "cell"]
+        assert sorted(lists.columns) == ["_codes", "c_id", "cell", "cell_group"]
         row = lists.first()
         assert len(row["_codes"]) == 8  # m codes per vector
         archive = spark.read.parquet(f"{path}/archive")
@@ -498,3 +498,45 @@ class TestRoutedAssignment:
             )
         )
         assert routed == hof and routed
+
+
+class TestCellGroupLayout:
+    def test_grouped_dirs_probe_equals_inline(self, spark, tmp_path):
+        """Past 1024 cells the index layout groups cells into bounded
+        partition DIRECTORIES (cell_group) with the per-cell cut on
+        row-group stats — the probe must still equal the inline IVF
+        exactly, and the directory count must be the grouped one, not
+        one-per-cell."""
+        from scdataset_spark.operators.similarity import (
+            _cell_group_size,
+            ann_index_topk,
+            build_ann_index,
+            ivf_seeded_topk,
+        )
+
+        assert _cell_group_size(8) == 1 and _cell_group_size(5333) == 6
+        # sf0.1 embeddings (2000 vectors) -> 2000 actual cells -> g=2:
+        # the grouped-directory path genuinely fires (1000 dirs, two
+        # cells per dir, per-cell cut on row-group stats)
+        e = load_table(spark, "embeddings", "/root/testdata/sf0.1", with_row_id=False)
+        q = e.where("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        path = str(tmp_path / "idx")
+        build_ann_index(c, path, n_clusters=2000, seed=11, vectorized_assign=True)
+        import os
+
+        dirs = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell_group=")]
+        assert 0 < len(dirs) <= 1000 < 2000  # grouped, not one-per-cell
+        probe = sorted(
+            map(tuple, ann_index_topk(spark, path, q, k=3, n_probe=2).collect())
+        )
+        inline = sorted(
+            map(
+                tuple,
+                ivf_seeded_topk(
+                    q, c, k=3, n_clusters=2000, n_probe=2, seed=11,
+                    vectorized_assign=True,
+                ).collect(),
+            )
+        )
+        assert probe == inline and probe
