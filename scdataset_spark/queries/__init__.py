@@ -26,14 +26,14 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-11 priority (VERDICT r10 task 1, rotated as the FIRST
+# cosmetics.  Round-12 priority (VERDICT r11 task 1, rotated as the FIRST
 # commit of the round): (a) queries NEW this round (never externally
-# checked) lead, then (b) the 7 entries whose most recent external check
-# is round 7 (three rounds stale — the r10 spillover), then (c) the
-# 50-query round-8 cohort, then the round-9 cohort, then the
-# round-10-checked cohort last (freshest).  Head = new + 7 + r8 cohort;
-# with up to ~7 new entries the tail of the r8 cohort may spill one
-# round and must lead round 12's rotation.
+# checked) lead, then (b) the 10 entries whose most recent external
+# check is round 8 (three rounds stale — the r11 spillover), then
+# (c) the 50-query round-9 cohort, then the round-10 cohort, then the
+# round-11-checked cohort last (freshest).  Head = new + 10 + r9
+# cohort; with new entries the tail of the r9 cohort may spill one
+# round and must lead round 13's rotation.
 #
 # Staleness floor (codified per VERDICT r10 task 7): with 157+ entries
 # and a ~50-slot external sweep, the worst-case age of any entry's
@@ -45,59 +45,8 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # latency, not untested surface.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 11: never externally checked ---
-    "sim_ivf_index",
-    "sim_pq_index",
-    "tx_token_budget_per_source",
-    # --- last externally checked in round 7 (r10 spillover; leads) ---
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "tx_repetition",
-    "emb_quantize",
-    "dd_embed_exact",
-    "o17_temperature_mixture",
+    # --- new in round 12: never externally checked (prepend as added) ---
     # --- last externally checked in round 8 ---
-    "dd_embed_cosine_fast",
-    "dd_keep_best",
-    "tx_vocabulary",
-    "o21_split_assign",
-    "dq_drift",
-    "o23_interleave",
-    "tx_unigram_logprob",
-    "dd_ngram_decontam",
-    "ev_user_stats",
-    "j_full_outer_nation_activity",
-    "g7_unpivot_flag_metrics",
-    "tx_length_buckets",
-    "s1_streaming_scan",
-    "s2_subset_split",
-    "o9_epoch_reshuffle",
-    "o12_exact_len",
-    "q3_shipping_priority",
-    "q6_revenue_forecast",
-    "o1_block_shuffle",
-    "o3_weighted_replace",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "g7_approx_sketches",
-    "q9_product_profit",
-    "q21_waiting_supplier",
-    "tx_quality_score",
-    "dd_exact_groups",
-    "dd_minhash_lsh",
-    "dd_simhash_pairs",
-    "dd_decontamination",
-    "dd_components",
-    "dd_dedup_corpus",
-    "dd_embed_cosine",
-    "dd_embed_components",
-    "sim_topk_cosine",
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "mm_multimodal_zip",
-    "tx_normalize",
-    "tx_pii_scrub",
     "pipe_curation",
     "ev_tumbling_window",
     "dd_components_star",
@@ -159,7 +108,7 @@ _SWEEP_PRIORITY = [
     "q19_disjunctive_predicates",
     "q22_idle_wealthy_customers",
     "w5_running_revenue",
-    # --- last externally checked in round 10 (freshest; sweep tail) ---
+    # --- last externally checked in round 10 ---
     "pipe_curation_gated",
     "sim_pq_encode",
     "sim_pq_ann",
@@ -210,6 +159,57 @@ _SWEEP_PRIORITY = [
     "mm_frame_sample",
     "skew_salted_count",
     "q17_small_quantity",
+    # --- last externally checked in round 11 ---
+    "sim_ivf_index",
+    "sim_pq_index",
+    "tx_token_budget_per_source",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "tx_repetition",
+    "emb_quantize",
+    "dd_embed_exact",
+    "o17_temperature_mixture",
+    "dd_embed_cosine_fast",
+    "dd_keep_best",
+    "tx_vocabulary",
+    "o21_split_assign",
+    "dq_drift",
+    "o23_interleave",
+    "tx_unigram_logprob",
+    "dd_ngram_decontam",
+    "ev_user_stats",
+    "j_full_outer_nation_activity",
+    "g7_unpivot_flag_metrics",
+    "tx_length_buckets",
+    "s1_streaming_scan",
+    "s2_subset_split",
+    "o9_epoch_reshuffle",
+    "o12_exact_len",
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
+    "o1_block_shuffle",
+    "o3_weighted_replace",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "g7_approx_sketches",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "tx_quality_score",
+    "dd_exact_groups",
+    "dd_minhash_lsh",
+    "dd_simhash_pairs",
+    "dd_decontamination",
+    "dd_components",
+    "dd_dedup_corpus",
+    "dd_embed_cosine",
+    "dd_embed_components",
+    "sim_topk_cosine",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "mm_multimodal_zip",
+    "tx_normalize",
+    "tx_pii_scrub",
 ]
 
 def _apply_sweep_priority() -> None:

@@ -25,25 +25,27 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 # runs every oracle query; the marker is a fast subset, not the gate.)
 # Updated each round from CORRECTNESS_r{N}.json ages.
 STALE_COHORT = {
-    "dd_components", "dd_components_star", "dd_decontamination",
-    "dd_dedup_corpus", "dd_embed_components", "dd_embed_cosine",
-    "dd_embed_cosine_fast", "dd_embed_exact", "dd_exact_groups",
-    "dd_incremental_novel", "dd_keep_best", "dd_minhash_lsh",
-    "dd_ngram_decontam", "dd_simhash_pairs", "dq_drift", "emb_quantize",
-    "ev_tumbling_window", "ev_user_stats", "g7_approx_sketches",
-    "g7_unpivot_flag_metrics", "j_full_outer_nation_activity",
-    "ml_label_encode", "mm_multimodal_zip", "o12_exact_len",
-    "o17_temperature_mixture", "o18_fetch_shuffle", "o1_block_shuffle",
-    "o21_split_assign", "o23_interleave", "o3_weighted_replace",
-    "o9_epoch_reshuffle", "pipe_curation", "q11_important_stock",
-    "q1_pricing_summary", "q20_potential_promotion",
-    "q21_waiting_supplier", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_forecast", "q9_product_profit",
-    "s1_streaming_scan", "s2_subset_split", "s3_anndata_ingest",
-    "s4_sparse_densify", "sim_ivf_ann", "sim_lsh_ann", "sim_topk_cosine",
-    "src_custom_datasource", "t_hook_pipeline", "tx_length_buckets",
-    "tx_normalize", "tx_pii_scrub", "tx_quality_score", "tx_repetition",
-    "tx_unigram_logprob", "tx_vocabulary",
+    "arr_functions", "dd_components_star", "dd_incremental_novel",
+    "dd_lsh_verified", "dd_ngram_jaccard", "dd_remove_spans", "dd_simhash",
+    "dq_constraints", "dq_foreign_key", "dq_volume_anomalies",
+    "dt_date_functions", "ev_first_event_dedup", "ev_session_window",
+    "ev_sliding_window", "ev_stream_stream_join", "ev_tumbling_window",
+    "g5_sample_size_estimate", "g6_batch_normalize", "g7_cube",
+    "g7_grouping_sets", "ml_label_encode", "ml_tfidf", "mm_binary_decode",
+    "mm_feature_extract", "o10_batch_plan", "o11_drop_last_batches",
+    "o13_ddp_partition", "o15_block_shuffle_droplast",
+    "o16_mixture_sample", "o18_fetch_shuffle", "o24_mixture_plan",
+    "o2_buffer_shuffle", "o4_weighted_noreplace", "o5_subset_weighted",
+    "o6_class_balanced", "o7_smoothed_weights", "pipe_curation",
+    "q10_returned_revenue", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
+    "q16_supplier_part_counts", "q18_large_orders",
+    "q19_disjunctive_predicates", "q22_idle_wealthy_customers",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "s3_anndata_ingest", "s4_sparse_densify", "sim_projected_ann",
+    "sim_random_projection", "sq_in_subquery", "sq_scalar_subquery",
+    "src_custom_datasource", "str_functions", "t_hook_pipeline",
+    "tx_chunk_documents", "w5_running_revenue",
 }
 
 ORACLE_PARAMS = [
