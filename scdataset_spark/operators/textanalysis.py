@@ -420,6 +420,8 @@ def token_budget_by_source(
     quality_col: str = "q_int",
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
+    buckets: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-source token budgets — the mixture-curation form of
     :func:`token_budget`: every source (language / domain / dataset)
@@ -432,20 +434,84 @@ def token_budget_by_source(
     Output: ``(id_col, source_col, token_col, cum_tokens)`` for the
     selected docs, ``cum_tokens`` running within the source.
 
-    Scale shape: ONE window partitioned by source — sources fill in
-    parallel, no global sort anywhere, and the shuffle key is the
-    source id (coarse, but the post-filter output is budget-bounded
-    per source).  A single pathologically large source is the
-    :func:`token_budget` bucketed shape applied within that source;
-    at the mixture level the partitioned window IS the scale posture.
+    Scale shape (the ``AUTO_SCALE_ROWS`` contract): ``buckets=0`` pins
+    the exact ONE-window shape — partitioned by source, sources fill
+    in parallel — the oracle-checked form, fine while no single source
+    exceeds ~10^5 rows.  But a hot source (one language that is half a
+    100 TB corpus) makes that window a single-reducer running sum over
+    the source's entire row set, so ``buckets=k`` applies
+    :func:`token_budget`'s bucket-offset machinery WITHIN each source:
+    the bucket key is ``(source, quality_bucket)`` (negated integer
+    quality, global min/max bounds broadcast from one stats row),
+    per-(source, bucket) partial sums are one coarse shuffle of
+    ~|sources|·k rows, offsets are a window over that TINY sums frame
+    partitioned by source, and the running sum is a window partitioned
+    by the composite key — the widest partition shrinks from
+    max-source-rows to max-source-rows/k, with no global sort anywhere.
+    Both shapes produce identical rows (the sum is exact either way);
+    ``None`` resolves from the MAX per-source row count (``n_rows``
+    skips the probe and is compared as that max).
     """
-    w = (
+    from scdataset_spark.operators.similarity import AUTO_SCALE_ROWS
+
+    if buckets is None:
+        if n_rows is not None:
+            n = int(n_rows)
+        else:
+            n = (
+                df.groupBy(source_col)
+                .count()
+                .agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+                or 0
+            )
+        buckets = 64 if n >= AUTO_SCALE_ROWS else 0
+    out = [id_col, source_col, token_col, "cum_tokens"]
+    if buckets == 0:
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(F.col(quality_col).desc(), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            df.withColumn("cum_tokens", F.sum(token_col).over(w))
+            .where(F.col("cum_tokens") <= budget)
+            .select(*out)
+        )
+    neg = df.withColumn("_negq", -F.col(quality_col))
+    stats = neg.agg(F.min("_negq").alias("_lo"), F.max("_negq").alias("_hi"))
+    b = (
+        neg.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_bucket",
+            F.least(
+                F.lit(buckets - 1),
+                (
+                    (F.col("_negq") - F.col("_lo"))
+                    * buckets
+                    / (F.col("_hi") - F.col("_lo") + 1)
+                ).cast("bigint"),
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    sums = b.groupBy(source_col, "_bucket").agg(F.sum(token_col).alias("_bsum"))
+    w_off = (
         Window.partitionBy(source_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.withColumn(
+        "_offset", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
+    ).drop("_bsum")
+    w_in = (
+        Window.partitionBy(source_col, "_bucket")
         .orderBy(F.col(quality_col).desc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        df.withColumn("cum_tokens", F.sum(token_col).over(w))
+        b.join(F.broadcast(offsets), [source_col, "_bucket"])
+        .withColumn("cum_tokens", F.sum(token_col).over(w_in) + F.col("_offset"))
         .where(F.col("cum_tokens") <= budget)
-        .select(id_col, source_col, token_col, "cum_tokens")
+        .select(*out)
     )

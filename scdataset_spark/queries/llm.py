@@ -1483,13 +1483,15 @@ def tx_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budgets (``textanalysis.token_budget_by_source``):
     each language independently fills a 2k-token budget with its
     highest-quality documents — the "N tokens from each source"
-    mixture-curation selection.  One window PARTITIONED by the source
-    (languages fill in parallel; no global sort), value-checked
-    exactly by the partitioned-window oracle."""
+    mixture-curation selection.  ``buckets=0`` pins the one-window
+    shape (PARTITIONED by source; languages fill in parallel, no
+    global sort, stays lazy), value-checked exactly by the
+    partitioned-window oracle; the within-source bucket-offset scale
+    shape is pinned row-equal in ``TestTokenBudgetPerSource``."""
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
     toks = tx.with_stop_counts(docs).select("doc_id", "lang", "n_tokens", "n_stop")
     scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
-    return tx.token_budget_by_source(scored, 2000, source_col="lang")
+    return tx.token_budget_by_source(scored, 2000, source_col="lang", buckets=0)
 
 
 @query(
