@@ -1812,6 +1812,25 @@ def pq_topk(
     )
 
 
+# column names the persisted index layouts claim for themselves: the
+# probes recover the id column by EXCLUDING these from the stored
+# schema, so an id named like one of them would silently make the
+# probe pick the wrong column (or IndexError) with no diagnosis at
+# build time (round-11 ADVICE).
+_RESERVED_INDEX_COLS = ("cell", "cell_group", "_v", "_codes")
+
+
+def _check_index_id(cand_id: str) -> None:
+    """Reject ids that collide with the persisted layouts' own column
+    names — fail at BUILD/APPEND time with the real cause instead of a
+    misread layout at probe time."""
+    if cand_id in _RESERVED_INDEX_COLS:
+        raise ValueError(
+            f"cand_id {cand_id!r} collides with a reserved index column "
+            f"{_RESERVED_INDEX_COLS}; rename the id column before building"
+        )
+
+
 def _cell_group_size(n_clusters: int, max_dirs: int = 1024) -> int:
     """Cells per partition DIRECTORY in the persisted index layouts:
     one-dir-per-cell stops scaling past a few thousand cells (the
@@ -1855,6 +1874,7 @@ def build_ann_index(
     partition col ``cell``) and ``centroids/`` (``cell, centroid``).
     All knobs resolve under the ``AUTO_SCALE_ROWS`` contract exactly
     as in :func:`ivf_seeded_topk`."""
+    _check_index_id(cand_id)
     n_clusters, n_rows = _resolve_ivf_cells(n_clusters, candidates, n_rows)
     if vectorized_assign is None:
         n = int(n_rows) if n_rows is not None else candidates.count()
@@ -1887,6 +1907,7 @@ def ann_index_topk(
     n_probe: int = 2,
     query_id: str = "q_id",
     vec: str = "embedding",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Probe a persisted :func:`build_ann_index` index: route each
     query to its ``n_probe`` nearest centroids (broadcast, same
@@ -1899,7 +1920,14 @@ def ann_index_topk(
     ``n_clusters`` ints no matter how many queries probe (distinct of
     a queries×n_probe routing frame) — and lands in the scan as a
     PartitionFilters entry: the 100 TB win is unread partition
-    directories, not a post-scan filter.  Output:
+    directories, not a post-scan filter.  That collect-and-push is the
+    ONLINE posture (a serving batch of queries); hand the whole corpus
+    as ``queries`` and the routing frame must not broadcast and the
+    probed set must not become a driver list — past ``AUTO_SCALE_ROWS``
+    queries (``n_queries`` skips the resolution count) the probe flips
+    to a plain distributed join: a corpus-sized batch probes
+    essentially every cell anyway, so pruning is moot and the right
+    plan is a shuffle join on the cell key.  Output:
     ``(query_id, cell, cand_id, cosine, rank)``."""
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
@@ -1913,18 +1941,24 @@ def ann_index_topk(
         .where(F.col("_rk") <= n_probe)
         .select(query_id, "_qv", F.col("cell").alias("_cell"))
     )
-    q_cells = persist_bounded(q_cells)
-    probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
-    g = _cell_group_size(cent.count())
-    groups = sorted({c // g for c in probed})
-    cells = (
-        spark.read.parquet(f"{path}/cells")
-        .where(F.col("cell_group").isin(groups) & F.col("cell").isin(probed))
-        .drop("cell_group")
-    )
+    n_q = int(n_queries) if n_queries is not None else queries.count()
+    if n_q < AUTO_SCALE_ROWS:
+        q_cells = persist_bounded(q_cells)
+        probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
+        g = _cell_group_size(cent.count())
+        groups = sorted({c // g for c in probed})
+        cells = (
+            spark.read.parquet(f"{path}/cells")
+            .where(F.col("cell_group").isin(groups) & F.col("cell").isin(probed))
+            .drop("cell_group")
+        )
+        q_side = F.broadcast(q_cells)
+    else:
+        cells = spark.read.parquet(f"{path}/cells").drop("cell_group")
+        q_side = q_cells
     cand_id = [c for c in cells.columns if c not in ("_v", "cell")][0]
     scored = (
-        cells.join(F.broadcast(q_cells), cells["cell"] == q_cells["_cell"])
+        cells.join(q_side, cells["cell"] == q_cells["_cell"])
         .where(F.col(query_id) != F.col(cand_id))
         .withColumn("cosine", cosine_expr("_qv", "_v"))
     )
@@ -1958,14 +1992,21 @@ def append_to_ann_index(
 
     The increment must carry the same id/vector column names the index
     was built with.  ``vectorized_assign`` auto-resolves from the
-    INCREMENT size under the ``AUTO_SCALE_ROWS`` contract."""
+    INCREMENT size — or, regardless of how small the increment is,
+    from the STORED centroid count: assignment cost is O(increment·k),
+    so a 1 k-row increment appended to a 24 M-vector/5 333-cell index
+    still evaluates millions of HOF distance terms per row on the
+    Catalyst-fold path this file documents as the measured GC wall
+    past a few hundred centroids — the index's k, not the increment's
+    n, is what makes the fold explode (round-11 ADVICE)."""
+    _check_index_id(cand_id)
     spark = increment.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
+    k = cent.count()
     if vectorized_assign is None:
         n = int(n_rows) if n_rows is not None else increment.count()
-        vectorized_assign = n >= AUTO_SCALE_ROWS
+        vectorized_assign = n >= AUTO_SCALE_ROWS or k > ROUTE_CELLS
     c = increment.select(F.col(cand_id), F.col(vec).alias("_v"))
-    k = cent.count()
     assigned = _assign_cells(
         c, cent, cand_id, "_v", vectorized_assign, k
     ).withColumnRenamed("_cell", "cell")
@@ -2006,6 +2047,7 @@ def build_pq_index(
     build as :func:`pq_topk` (mixer-seeded centroids + codebook), so a
     probe of this layout is value-checked by the same SQL oracle.  All
     knobs resolve under the ``AUTO_SCALE_ROWS`` contract."""
+    _check_index_id(cand_id)
     n_clusters, n_rows = _resolve_ivf_cells(n_clusters, candidates, n_rows)
     if vectorized_assign is None or vectorized_encode is None:
         n = int(n_rows) if n_rows is not None else candidates.count()
@@ -2055,6 +2097,85 @@ def build_pq_index(
     )
 
 
+def append_to_pq_index(
+    increment: DataFrame,
+    path: str,
+    dim: int = 64,
+    m: int = 8,
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    vectorized_encode: bool | None = None,
+    vectorized_assign: bool | None = None,
+    n_rows: int | None = None,
+) -> None:
+    """Append an increment to a persisted :func:`build_pq_index`
+    layout — the PQ sibling of :func:`append_to_ann_index` (round-11
+    shipped the IVF append but left the PQ build overwrite-only, so a
+    growing corpus had to re-encode EVERYTHING to add an increment,
+    contradicting the build-once lifecycle): new vectors are encoded
+    with the STORED codebook and assigned with the STORED centroids
+    (routing geometry and quantizer both frozen at build time — the
+    standard IVF-PQ maintenance posture), their ``(id, m codes)`` rows
+    appended to the grouped cell directories and their raw vectors
+    appended to ``archive/``.  Cost is one encode+assign pass over the
+    increment plus two partitioned appends — O(increment), never
+    O(corpus).
+
+    ``dim``/``m`` must match the build (the stored codes are
+    ``m``-long; a mismatched slice width would encode against the
+    wrong codeword slices).  Appended archive files are each sorted on
+    the id, so the probe's refine-fetch still prunes row groups via
+    per-file min/max stats.  Codebook drift caveat: a quantizer
+    trained on the original corpus degrades (ADC error grows) as the
+    appended distribution drifts — monitor per-cell occupancy and the
+    ADC-vs-exact rank agreement on a sample, and rebuild when the
+    increment history outweighs the original build.  Engine choice for
+    encode/assign resolves from the increment size OR the stored cell
+    count (``ROUTE_CELLS``), exactly as :func:`append_to_ann_index`."""
+    _check_index_id(cand_id)
+    spark = increment.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    k = cent.count()
+    n_codes = cb.count()
+    if vectorized_assign is None or vectorized_encode is None:
+        n = int(n_rows) if n_rows is not None else increment.count()
+        n_rows = n
+        if vectorized_assign is None:
+            vectorized_assign = n >= AUTO_SCALE_ROWS or k > ROUTE_CELLS
+        if vectorized_encode is None:
+            vectorized_encode = n >= AUTO_SCALE_ROWS
+    c = increment.select(F.col(cand_id), F.col(vec).alias("_v"))
+    assigned = _assign_cells(
+        c, cent, cand_id, "_v", vectorized_assign, k
+    ).withColumnRenamed("_cell", "cell")
+    codes = pq_encode(
+        increment, cand_id, vec, dim, m, n_codes, codebook=cb,
+        vectorized=vectorized_encode, n_rows=n_rows,
+    )
+    codes_per_id = codes.groupBy(cand_id).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(subspace, code))), s -> s.code)"
+        ).alias("_codes")
+    )
+    lists = assigned.select(cand_id, "cell").join(codes_per_id, cand_id)
+    g = _cell_group_size(k)
+    (
+        lists.withColumn("cell_group", (F.col("cell") / g).cast("int"))
+        .repartition("cell_group")
+        .sortWithinPartitions("cell")
+        .write.mode("append")
+        .partitionBy("cell_group")
+        .parquet(f"{path}/cells")
+    )
+    (
+        c.repartitionByRange(8, F.col(cand_id))
+        .sortWithinPartitions(cand_id)
+        .write.mode("append")
+        .parquet(f"{path}/archive")
+    )
+
+
 def pq_index_topk(
     spark,
     path: str,
@@ -2066,6 +2187,7 @@ def pq_index_topk(
     m: int = 8,
     query_id: str = "q_id",
     vec: str = "embedding",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Probe a persisted :func:`build_pq_index` layout: route queries
     to their ``n_probe`` nearest stored centroids, read ONLY the probed
@@ -2079,7 +2201,14 @@ def pq_index_topk(
     codes), exact cosine re-rank to the final top-k.
 
     Row-identical to the inline :func:`pq_topk` at the same build
-    parameters (pinned by test + the shared SQL oracle).  Output:
+    parameters (pinned by test + the shared SQL oracle).
+
+    Driver-side id pushdown (probed-cell list, refine-id list) is the
+    ONLINE posture — bounded by n_clusters and refine·k·|queries|.
+    Past ``AUTO_SCALE_ROWS`` queries (``n_queries`` skips the
+    resolution count) both flips to plain distributed joins: no
+    driver lists, no broadcast of the corpus-sized routing frame, the
+    archive fetch becomes a shuffle equi-join on the id.  Output:
     ``(query_id, cand_id, adc, cosine, rank)``."""
     cent = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
@@ -2094,15 +2223,20 @@ def pq_index_topk(
         .where(F.col("_rk") <= n_probe)
         .select(query_id, "_qv", F.col("cell").alias("_cell"))
     )
-    q_cells = persist_bounded(q_cells)
-    probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
-    g = _cell_group_size(cent.count())
-    groups = sorted({c // g for c in probed})
-    lists = (
-        spark.read.parquet(f"{path}/cells")
-        .where(F.col("cell_group").isin(groups) & F.col("cell").isin(probed))
-        .drop("cell_group")
-    )
+    n_q = int(n_queries) if n_queries is not None else queries.count()
+    online = n_q < AUTO_SCALE_ROWS
+    if online:
+        q_cells = persist_bounded(q_cells)
+        probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
+        g = _cell_group_size(cent.count())
+        groups = sorted({c // g for c in probed})
+        lists = (
+            spark.read.parquet(f"{path}/cells")
+            .where(F.col("cell_group").isin(groups) & F.col("cell").isin(probed))
+            .drop("cell_group")
+        )
+    else:
+        lists = spark.read.parquet(f"{path}/cells").drop("cell_group")
     cand_id = [c for c in lists.columns if c not in ("_codes", "cell")][0]
     sub_dim = dim // m
     cb_arr = cb.agg(F.collect_list(F.struct("code", "codevec")).alias("_cb"))
@@ -2116,7 +2250,10 @@ def pq_index_topk(
         .select(cand_id, "_rv", "cell")
     )
     adc = (
-        c_recon.join(F.broadcast(q_cells), c_recon["cell"] == q_cells["_cell"])
+        c_recon.join(
+            F.broadcast(q_cells) if online else q_cells,
+            c_recon["cell"] == q_cells["_cell"],
+        )
         .where(F.col(query_id) != F.col(cand_id))
         .withColumn("adc", F.expr(_DIST_SQL.format(a="_qv", b="_rv")))
     )
@@ -2124,19 +2261,28 @@ def pq_index_topk(
     refined = adc.withColumn("_ark", F.row_number().over(w_adc)).where(
         F.col("_ark") <= refine * k
     )
-    # the exact-rerank fetch touches <= refine·k·|queries| ids by
-    # construction (bounded — a probe is an online query batch, not a
-    # corpus scan), so collect them and push an In() filter into the
-    # range-sorted archive scan: parquet min/max stats skip every row
-    # group outside the id set, and the filtered side broadcasts
-    refined = persist_bounded(refined)
-    ids = [r[0] for r in refined.select(cand_id).distinct().collect()]
-    archive = spark.read.parquet(f"{path}/archive").where(
-        F.col(cand_id).isin(ids)
-    )
-    rescored = refined.join(F.broadcast(archive), cand_id).withColumn(
-        "cosine", cosine_expr("_qv", "_v")
-    )
+    if online:
+        # the exact-rerank fetch touches <= refine·k·|queries| ids by
+        # construction (bounded — an online query batch), so collect
+        # them and push an In() filter into the range-sorted archive
+        # scan: parquet min/max stats skip every row group outside the
+        # id set, and the filtered side broadcasts
+        refined = persist_bounded(refined)
+        ids = [r[0] for r in refined.select(cand_id).distinct().collect()]
+        archive = spark.read.parquet(f"{path}/archive").where(
+            F.col(cand_id).isin(ids)
+        )
+        rescored = refined.join(F.broadcast(archive), cand_id).withColumn(
+            "cosine", cosine_expr("_qv", "_v")
+        )
+    else:
+        # corpus-sized batch: refine·k·|queries| is itself corpus-sized,
+        # so the fetch is a distributed equi-join against the archive —
+        # same answers, no driver list, no broadcast
+        archive = spark.read.parquet(f"{path}/archive")
+        rescored = refined.join(archive, cand_id).withColumn(
+            "cosine", cosine_expr("_qv", "_v")
+        )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
         rescored.withColumn("rank", F.row_number().over(w))

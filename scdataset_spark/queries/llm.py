@@ -1108,11 +1108,13 @@ def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
     ver = hashlib.md5(b"ivf_index:n_clusters=8:seed=11:v1").hexdigest()[:8]
     base = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/scdataset_spark_annidx_{ver}/{base}"
+    # per-process token: two concurrent sessions running this query on
+    # the same sf_dir must not race a shared overwrite/read path
+    path = f"/tmp/scdataset_spark_annidx_{ver}_{os.getpid()}/{base}"
     sim.build_ann_index(
         c, path, n_clusters=8, seed=11, vectorized_assign=False
     )
-    return sim.ann_index_topk(spark, path, q, k=3, n_probe=2)
+    return sim.ann_index_topk(spark, path, q, k=3, n_probe=2, n_queries=20)
 
 
 # ------------------------------------------------ product quantization
@@ -1296,14 +1298,17 @@ def sim_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
     ver = hashlib.md5(b"pq_index:n_clusters=8:seed=11:pq13:v1").hexdigest()[:8]
     base = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/scdataset_spark_pqidx_{ver}/{base}"
+    # per-process token: two concurrent sessions running this query on
+    # the same sf_dir must not race a shared overwrite/read path
+    path = f"/tmp/scdataset_spark_pqidx_{ver}_{os.getpid()}/{base}"
     sim.build_pq_index(
         c, path, n_clusters=8, dim=64, m=_PQ_M, n_codes=_PQ_CODES,
         seed=11, pq_seed=_PQ_SEED,
         vectorized_encode=False, vectorized_assign=False,
     )
     return sim.pq_index_topk(
-        spark, path, q, k=3, refine=3, n_probe=2, dim=64, m=_PQ_M
+        spark, path, q, k=3, refine=3, n_probe=2, dim=64, m=_PQ_M,
+        n_queries=20,
     )
 
 

@@ -53,6 +53,12 @@ LIBRARY_ONLY = {
     "the index), so it cannot be a rerunnable registered query; "
     "assignment contract + probe-visibility pinned in "
     "tests/test_wired_ops_r11.py::TestPersistedAnnIndex",
+    "append_to_pq_index": "incremental maintenance of the persisted "
+    "IVF-PQ layout (encode with the FROZEN stored codebook, assign "
+    "with the FROZEN stored centroids, partitioned append of codes + "
+    "archive) — non-idempotent by design like its IVF sibling; "
+    "encode contract + probe-visibility pinned in "
+    "tests/test_wired_ops_r12.py::TestPqIndexAppend",
     "assign_cells_routed": "bound-pruned two-level EXACT assignment "
     "shared by semantic_dedup_fast and the IVF builds past ROUTE_CELLS "
     "centroids (the flat X@C.T is O(n*k) — the measured r11 build "

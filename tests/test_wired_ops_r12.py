@@ -102,3 +102,196 @@ class TestTokenBudgetPerSourceBucketed:
         scored = self._scored(spark)
         auto = token_budget_by_source(scored, 2000, source_col="lang")
         assert "_bucket" not in _plan_str(auto)
+
+
+def _cands(spark):
+    e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+    return e.select(F.col("vec_id").alias("c_id"), "embedding")
+
+
+class TestPqIndexAppend:
+    def test_append_encodes_with_frozen_codebook_and_probes(self, spark, tmp_path):
+        """Appending an increment to a persisted IVF-PQ layout must
+        (a) store EXACTLY the codes pq_encode produces under the
+        STORED codebook (quantizer frozen at build time), (b) grow the
+        archive by exactly the increment, and (c) make appended
+        vectors probe-visible (a query identical to an appended vector
+        finds it at cosine 1, rank 1 after the exact re-rank)."""
+        from scdataset_spark.operators.similarity import (
+            append_to_pq_index,
+            build_pq_index,
+            pq_encode,
+            pq_index_topk,
+        )
+
+        c = _cands(spark)
+        buildset = c.where("c_id < 400")
+        inc = c.where("c_id >= 400")
+        path = str(tmp_path / "pq")
+        build_pq_index(
+            buildset, path, n_clusters=8, dim=64, m=8, n_codes=16,
+            seed=11, pq_seed=13,
+            vectorized_encode=False, vectorized_assign=False,
+        )
+        n0 = spark.read.parquet(f"{path}/archive").count()
+        append_to_pq_index(inc, path, dim=64, m=8)
+        n1 = spark.read.parquet(f"{path}/archive").count()
+        n_inc = inc.count()
+        assert n_inc > 0 and n1 == n0 + n_inc
+
+        # (a) encode contract under the stored codebook
+        cb = spark.read.parquet(f"{path}/codebook")
+        want = pq_encode(
+            inc, "c_id", "embedding", 64, 8, 16, codebook=cb, vectorized=False
+        )
+        wm = {
+            r["c_id"]: list(r["_codes"])
+            for r in want.groupBy("c_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(subspace, code))),"
+                    " s -> s.code)"
+                ).alias("_codes")
+            )
+            .collect()
+        }
+        sm = {
+            r["c_id"]: list(r["_codes"])
+            for r in spark.read.parquet(f"{path}/cells")
+            .where("c_id >= 400")
+            .select("c_id", "_codes")
+            .collect()
+        }
+        assert wm == sm and len(sm) == n_inc
+
+        # (c) probe-visibility with exact re-rank
+        some = inc.limit(1).collect()[0]
+        qx = spark.createDataFrame(
+            [(99999, some["embedding"])], "q_id bigint, embedding array<float>"
+        )
+        rows = pq_index_topk(
+            spark, path, qx, k=3, refine=3, n_probe=2, n_queries=1
+        ).collect()
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["c_id"] == some["c_id"]
+        assert abs(top["cosine"] - 1.0) < 1e-6
+
+    def test_append_engine_resolves_from_stored_cell_count(self, spark, tmp_path, monkeypatch):
+        """A sub-AUTO_SCALE_ROWS increment appended to an index with
+        more than ROUTE_CELLS stored centroids must NOT take the HOF
+        Catalyst-fold assignment (the measured GC wall past a few
+        hundred centroids): the engine choice factors the STORED cell
+        count, not just the increment size (round-11 ADVICE).  Applies
+        to both append_to_ann_index and append_to_pq_index."""
+        import scdataset_spark.operators.similarity as sim
+
+        c = _cands(spark)
+        # 4k-vector fixture? sf0.001 has 500 — cap n_clusters accordingly:
+        # anything > ROUTE_CELLS proves the flip; 500 centroids < 512,
+        # so force ROUTE_CELLS down for the test instead of a huge build
+        monkeypatch.setattr(sim, "ROUTE_CELLS", 64)
+        path = str(tmp_path / "ann")
+        sim.build_ann_index(
+            c.where("c_id < 450"), path, n_clusters=128, seed=11,
+            vectorized_assign=True,
+        )
+
+        def _boom(*a, **k):
+            raise AssertionError(
+                "HOF assignment chosen for a large-cell-count index"
+            )
+
+        monkeypatch.setattr(sim, "assign_nearest_cell", _boom)
+        inc = c.where("c_id >= 450")
+        sim.append_to_ann_index(inc, path)  # vectorized_assign=None resolves
+        # PQ sibling under the same contract
+        path2 = str(tmp_path / "pq")
+        monkeypatch.undo()
+        monkeypatch.setattr(sim, "ROUTE_CELLS", 64)
+        sim.build_pq_index(
+            c.where("c_id < 450"), path2, n_clusters=128, seed=11, pq_seed=13,
+            vectorized_encode=False, vectorized_assign=True,
+        )
+        monkeypatch.setattr(sim, "assign_nearest_cell", _boom)
+        sim.append_to_pq_index(inc, path2)
+
+
+class TestReservedIndexCols:
+    def test_build_and_append_reject_reserved_ids(self, spark, tmp_path):
+        """An id named like a layout column ('cell', 'cell_group',
+        '_v', '_codes') would silently make the probe misread the
+        stored schema — builds and appends must reject it up front
+        (round-11 ADVICE)."""
+        import pytest
+
+        from scdataset_spark.operators.similarity import (
+            append_to_ann_index,
+            append_to_pq_index,
+            build_ann_index,
+            build_pq_index,
+        )
+
+        c = _cands(spark)
+        for bad in ("cell", "cell_group", "_v", "_codes"):
+            renamed = c.withColumnRenamed("c_id", bad)
+            with pytest.raises(ValueError, match="reserved"):
+                build_ann_index(renamed, str(tmp_path / "x"), n_clusters=8,
+                                cand_id=bad)
+            with pytest.raises(ValueError, match="reserved"):
+                build_pq_index(renamed, str(tmp_path / "x"), n_clusters=8,
+                               cand_id=bad)
+            with pytest.raises(ValueError, match="reserved"):
+                append_to_ann_index(renamed, str(tmp_path / "x"), cand_id=bad)
+            with pytest.raises(ValueError, match="reserved"):
+                append_to_pq_index(renamed, str(tmp_path / "x"), cand_id=bad)
+
+
+class TestProbeJoinFallback:
+    def test_large_query_batch_drops_driver_pushdown(self, spark, tmp_path):
+        """n_queries forced past AUTO_SCALE_ROWS must flip both probes
+        from collected driver-side pushdown (PartitionFilters In(cell),
+        archive isin) to plain distributed joins — identical rows, no
+        driver lists, no broadcast of the corpus-sized routing frame."""
+        from scdataset_spark.operators.similarity import (
+            ann_index_topk,
+            build_ann_index,
+            build_pq_index,
+            pq_index_topk,
+        )
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 10").select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        c = _cands(spark)
+        import re
+
+        ann = str(tmp_path / "ann")
+        build_ann_index(c, ann, n_clusters=8, seed=11, vectorized_assign=False)
+        on = ann_index_topk(spark, ann, q, k=3, n_probe=2, n_queries=10)
+        big = ann_index_topk(spark, ann, q, k=3, n_probe=2,
+                             n_queries=10_000_000)
+        p_on, p_big = _plan_str(on), _plan_str(big)
+        assert re.search(r"PartitionFilters: \[[^\]]*cell", p_on)
+        assert not re.search(r"PartitionFilters: \[[^\]]*cell", p_big)
+        assert " IN " not in p_big.replace("\n", " ") or "cell#" not in p_big
+        assert sorted(map(tuple, on.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+
+        pq = str(tmp_path / "pq")
+        build_pq_index(
+            c, pq, n_clusters=8, dim=64, m=8, n_codes=16, seed=11, pq_seed=13,
+            vectorized_encode=False, vectorized_assign=False,
+        )
+        on2 = pq_index_topk(spark, pq, q, k=3, refine=3, n_probe=2,
+                            n_queries=10)
+        big2 = pq_index_topk(spark, pq, q, k=3, refine=3, n_probe=2,
+                             n_queries=10_000_000)
+        p_big2 = _plan_str(big2)
+        assert not re.search(r"PartitionFilters: \[[^\]]*cell", p_big2)
+        # the archive scan carries no collected id-list filter
+        assert not re.search(r"c_id#\d+L? IN \(", p_big2)
+        assert sorted(map(tuple, on2.collect())) == sorted(
+            map(tuple, big2.collect())
+        )
