@@ -282,6 +282,13 @@ def constraint_gate_batches(constraints, sink, approx: bool = False,
     return _gate
 
 
+# key-hash partition count for unique_gate_batches' persisted index:
+# enough buckets that a delivery's anti-join probe prunes real I/O on
+# localized batches, few enough that the per-batch bucket collect is a
+# handful of ints and the append never writes a small-file explosion
+UNIQUE_INDEX_BUCKETS = 64
+
+
 def unique_gate_batches(unique_cols, sink, index_dir: str,
                         fail_fast: bool = False):
     """STREAMING cross-batch uniqueness gate — the stateful twin of the
@@ -289,10 +296,12 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
     key colliding with a row ingested in ANY earlier delivery fails the
     gate, not just a within-batch duplicate.
 
-    State is a persisted narrow key index per column (one parquet of
-    ``(key, batch_id)`` rows under ``index_dir``, appended per batch —
-    the same materialized-index posture as ``novel_documents``' band
-    index).  Per batch and column the gate computes
+    State is a persisted narrow key index per column (parquet of
+    ``(key, batch_id)`` rows under ``index_dir``, PARTITIONED by the
+    key-hash bucket ``_kb = pmod(hash(key), UNIQUE_INDEX_BUCKETS)`` and
+    appended per batch — the same materialized-index posture as
+    ``novel_documents``' band index).  Per batch and column the gate
+    computes
 
     ``violations = non-NULL rows − |distinct batch keys NOT in index|``
 
@@ -301,9 +310,12 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
     ``check_constraints``' whole-corpus unique violations, while any
     single cross-delivery collision already flips that batch's
     ``passed`` to false.  Each batch costs one anti-join of its
-    distinct keys against the index (key-only rows — at 100 TB the
-    index is bucketable by key so the probe is a co-located join) plus
-    one append of the genuinely-new keys.
+    distinct keys against ONLY the index partitions its own key hashes
+    touch (the batch's bucket set — at most ``UNIQUE_INDEX_BUCKETS``
+    ints — lands in the scan as a PartitionFilters entry, so a small
+    or key-range-localized delivery probes a fraction of the key
+    history instead of shuffling all of it) plus one partitioned
+    append of the genuinely-new keys.
 
     Replay safety: index rows carry the writing ``batch_id``; a
     restarted query re-running batch k filters its own earlier partial
@@ -313,33 +325,44 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
 
     Report rows: ``(batch_id, check_name, violations, passed)`` handed
     to ``sink``; ``fail_fast`` raises inside the batch so the broken
-    delivery never commits."""
+    delivery never commits — including its keys: appends are deferred
+    until every column's gate decision is known, so a rejected
+    delivery leaves NO phantom keys behind and the repaired delivery
+    (re-enqueued under a new batch_id) is judged only against
+    genuinely committed history."""
     from pyspark.errors import AnalysisException
 
     def _gate(batch_df, batch_id):
         spark = batch_df.sparkSession
         rows = []
+        pending = []  # (path, persisted new-keys frame) — append AFTER the verdict
         for col in unique_cols:
             path = f"{index_dir}/{col}"
             keys = (
                 batch_df.select(F.col(col).alias("_k"))
                 .where(F.col("_k").isNotNull())
+                .withColumn(
+                    "_kb",
+                    F.pmod(F.hash("_k"), F.lit(UNIQUE_INDEX_BUCKETS)),
+                )
             )
             nonnull = keys.count()
             dist = keys.distinct()
             try:
+                buckets = [
+                    int(r[0])
+                    for r in dist.select("_kb").distinct().collect()
+                ]
                 idx = spark.read.parquet(path).where(
-                    F.col("batch_id") != int(batch_id)
+                    F.col("_kb").isin(buckets)
+                    & (F.col("batch_id") != int(batch_id))
                 )
                 new = dist.join(idx, dist["_k"] == idx["_k"], "left_anti")
             except AnalysisException:  # first delivery: no index yet
                 new = dist
-            new = new.select("_k").persist()
+            new = new.select("_k", "_kb").persist()
             n_new = new.count()
-            new.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-                "append"
-            ).parquet(path)
-            new.unpersist()
+            pending.append((path, new))
             violations = nonnull - n_new
             rows.append(
                 (int(batch_id), f"unique({col})", violations, violations == 0)
@@ -352,8 +375,19 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
         if fail_fast:
             failed = [r[1] for r in rows if not r[3]]
             if failed:
+                for _, new in pending:
+                    new.unpersist()
                 raise ValueError(
                     f"unique gate failed for batch {batch_id}: {failed}"
                 )
+        for path, new in pending:
+            (
+                new.withColumn("batch_id", F.lit(int(batch_id)))
+                .repartition("_kb")
+                .write.mode("append")
+                .partitionBy("_kb")
+                .parquet(path)
+            )
+            new.unpersist()
 
     return _gate

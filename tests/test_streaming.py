@@ -524,3 +524,70 @@ def test_streaming_unique_gate_fail_fast(spark, tmp_path):
     )
     with _pytest.raises(StreamingQueryException, match="unique gate failed"):
         q.awaitTermination(120)
+
+
+def test_unique_gate_rejected_delivery_leaves_no_phantom_keys(spark, tmp_path):
+    """A fail_fast-rejected delivery must NOT commit its keys to the
+    gate index (round-11 ADVICE): the repaired delivery, re-enqueued
+    under a NEW batch_id with the same genuinely-new keys, must pass —
+    colliding only with committed history, never with the failed
+    attempt's phantom keys.  Drives the foreachBatch callable directly
+    (replay semantics are covered by the streaming tests above)."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.streaming.events import unique_gate_batches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    fresh = docs.where(F.col("doc_id") % 2 == 1)
+    # broken second delivery: fresh keys + 3 replays of delivery 0
+    bad = fresh.unionByName(first.orderBy("doc_id").limit(3))
+
+    idx_dir = str(tmp_path / "key_index")
+    gate = unique_gate_batches(
+        ["doc_id"], lambda df: None, idx_dir, fail_fast=True
+    )
+    gate(first, 0)
+    with pytest.raises(ValueError, match="unique gate failed"):
+        gate(bad, 1)
+    # phantom check: the index holds ONLY delivery 0's keys
+    idx = spark.read.parquet(f"{idx_dir}/doc_id")
+    assert idx.count() == first.count()
+    assert idx.agg(F.max("batch_id")).collect()[0][0] == 0
+    # repaired delivery under a NEW batch_id: same fresh keys, replay
+    # removed — must pass (phantom keys would report them duplicate)
+    gate(fresh, 2)
+    assert spark.read.parquet(f"{idx_dir}/doc_id").count() == (
+        first.count() + fresh.count()
+    )
+
+
+def test_unique_gate_index_is_partition_pruned(spark, tmp_path):
+    """The persisted key index is PARTITIONED by the key-hash bucket
+    and a delivery's probe reads only its own buckets: the layout has
+    _kb= subdirectories and a bucket-filtered read touches strictly
+    fewer files than the full index (the same physical-pruning proof
+    as the ANN index tests)."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.streaming.events import (
+        UNIQUE_INDEX_BUCKETS,
+        unique_gate_batches,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    idx_dir = str(tmp_path / "key_index")
+    gate = unique_gate_batches(["doc_id"], lambda df: None, idx_dir)
+    gate(docs, 0)
+
+    import os
+
+    subdirs = [
+        d for d in os.listdir(f"{idx_dir}/doc_id") if d.startswith("_kb=")
+    ]
+    assert 1 < len(subdirs) <= UNIQUE_INDEX_BUCKETS
+    full = spark.read.parquet(f"{idx_dir}/doc_id")
+    pruned = full.where(F.col("_kb").isin([0, 1]))
+    n_full = full.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_full
