@@ -45,7 +45,8 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # latency, not untested surface.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 12: never externally checked (prepend as added) ---
+    # --- new in round 12: never externally checked ---
+    "tx_token_budget_per_source_bucketed",
     # --- last externally checked in round 8 ---
     "pipe_curation",
     "ev_tumbling_window",

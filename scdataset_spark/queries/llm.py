@@ -1459,10 +1459,7 @@ def tx_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_budget(scored, 5000, buckets=0)
 
 
-@query(
-    "tx_token_budget_per_source",
-    survey_ref="§2.14 text,W2,O16",
-    oracle=f"""
+_PER_SOURCE_BUDGET_ORACLE = f"""
 WITH sp_t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS sp FROM documents),
 q AS (
   SELECT doc_id, lang, len(sp) AS n_tokens,
@@ -1482,7 +1479,13 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, lang, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 2000
-""",
+"""
+
+
+@query(
+    "tx_token_budget_per_source",
+    survey_ref="§2.14 text,W2,O16",
+    oracle=_PER_SOURCE_BUDGET_ORACLE,
 )
 def tx_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budgets (``textanalysis.token_budget_by_source``):
@@ -1497,6 +1500,26 @@ def tx_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tx.with_stop_counts(docs).select("doc_id", "lang", "n_tokens", "n_stop")
     scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
     return tx.token_budget_by_source(scored, 2000, source_col="lang", buckets=0)
+
+
+@query(
+    "tx_token_budget_per_source_bucketed",
+    survey_ref="§2.14 text,W2,O16",
+    oracle=_PER_SOURCE_BUDGET_ORACLE,
+)
+def tx_token_budget_per_source_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE shape of the per-source token budget, externally
+    value-checked against the SAME oracle as the pinned-window twin:
+    ``buckets=16`` runs the within-source bucket-offset running sum —
+    bucket key ``(lang, quality_bucket)``, per-(source, bucket) partial
+    sums, offsets within source — so a hot source's running sum is
+    split across 16 reducers instead of one.  Exact: identical rows to
+    the one-window shape (the sums are integer and the order key is
+    total), which is exactly what sharing the oracle proves."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    toks = tx.with_stop_counts(docs).select("doc_id", "lang", "n_tokens", "n_stop")
+    scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
+    return tx.token_budget_by_source(scored, 2000, source_col="lang", buckets=16)
 
 
 @query(

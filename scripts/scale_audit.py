@@ -327,11 +327,95 @@ def _pq_index_probe_scaled(spark, sf_dir):
     )
 
 
+def _ann_index_path() -> str:
+    import os as _os
+
+    return f"/tmp/scdataset_audit_annidx/{_os.path.basename(_os.path.normpath(SF_DIR))}"
+
+
+def _ann_index_build_scaled(spark, sf_dir):
+    """ONE-TIME build of the persisted non-PQ IVF index at scale-sized
+    parameters — same grouped-directory layout as the PQ sibling but
+    the inverted lists carry RAW 64f vectors, not m-byte codes: this
+    row confirms the cell_group layout holds when partitions are
+    vector-sized (the write volume is ~64× the code lists')."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import build_ann_index
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, sf_dir)
+    n = c.count()
+    cand = c.select(F.col("vec_id").alias("c_id"), F.col("v").alias("embedding"))
+    build_ann_index(
+        cand, _ann_index_path(), n_clusters=max(64, n // 4500),
+        vectorized_assign=True, n_rows=n,
+    )
+    return spark.range(1)
+
+
+def _ann_index_probe_scaled(spark, sf_dir):
+    """Probe of the persisted non-PQ IVF index built by
+    _ann_index_build_scaled (must run first in the same audit
+    session): partition-pruned cell read, exact cosine inside the
+    probed cells — the serving cost when the corpus can afford raw
+    vectors in the lists (no ADC/rerank round trip)."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import ann_index_topk
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, sf_dir)
+    q = c.where("vec_id < 20").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("embedding")
+    )
+    return ann_index_topk(
+        spark, _ann_index_path(), q, k=10, n_probe=4, n_queries=24
+    )
+
+
+def _unique_gate_scaled(spark, sf_dir):
+    """20-delivery cross-batch uniqueness gate over the documents
+    table: the docs split into 20 disjoint deliveries (plus one final
+    pure-replay delivery that must report every row duplicate), each
+    probing the key-hash-partitioned index with its own bucket set and
+    appending its new keys.  Timed end to end — the number that must
+    stay ~linear in corpus size (each key probed/written once), not
+    quadratic in deliveries."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.streaming.events import unique_gate_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    idx = f"/tmp/scdataset_audit_uqgate/{_os.path.basename(_os.path.normpath(sf_dir))}"
+    _shutil.rmtree(idx, ignore_errors=True)
+    reports = []
+    gate = unique_gate_batches(
+        ["doc_id"], lambda df: reports.append(df.collect()), idx
+    )
+    for b in range(20):
+        gate(docs.where(F.pmod(F.col("doc_id"), F.lit(20)) == b), b)
+    gate(docs.where(F.pmod(F.col("doc_id"), F.lit(20)) == 0), 20)  # replay
+    flat = [r for rep in reports for r in rep]
+    clean = sum(r.violations for r in flat[:20])
+    dup = flat[20].violations
+    return spark.createDataFrame(
+        [(len(flat), int(clean), int(dup))],
+        "deliveries int, clean_violations bigint, replay_violations bigint",
+    )
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
 EXTRA = {
     "pq_index_build_scaled": _pq_index_build_scaled,
     "pq_index_probe_scaled": _pq_index_probe_scaled,
+    "ann_index_build_scaled": _ann_index_build_scaled,
+    "ann_index_probe_scaled": _ann_index_probe_scaled,
+    "unique_gate_scaled": _unique_gate_scaled,
     "constraints_scaled": _constraints_scaled,
     "semantic_dedup_scaled": _semantic_dedup_scaled,
     "interleave_scaled": _interleave_scaled,
