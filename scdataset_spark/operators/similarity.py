@@ -2021,6 +2021,30 @@ def append_to_ann_index(
     )
 
 
+def ann_index_stats(spark, path: str) -> DataFrame:
+    """Cell-occupancy report over a persisted index — works on both
+    layouts (:func:`build_ann_index` raw-vector lists and
+    :func:`build_pq_index` code lists; both store one row per vector
+    with a ``cell`` column): per stored centroid the vector count,
+    empty cells included at 0.  THE rebuild monitor the append
+    lifecycle needs: appends grow lists under FROZEN centroids, so a
+    drifting corpus shows up here first — appended mass routing into
+    few hot cells (max/avg occupancy climbing), or cells the original
+    build populated going relatively cold.  Cost: one column-pruned
+    aggregate — the scan reads only the ``cell`` column of the lists,
+    never vectors or codes, and the centroid side is
+    centroid-count-sized.  Output: ``(cell, n_vectors)``."""
+    cent = spark.read.parquet(f"{path}/centroids").select("cell")
+    occ = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    return cent.join(occ, "cell", "left").select(
+        "cell", F.coalesce("n_vectors", F.lit(0)).alias("n_vectors")
+    )
+
+
 def build_pq_index(
     candidates: DataFrame,
     path: str,

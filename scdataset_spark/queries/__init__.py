@@ -47,6 +47,7 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 _SWEEP_PRIORITY = [
     # --- new in round 12: never externally checked ---
     "tx_token_budget_per_source_bucketed",
+    "sim_ivf_index_stats",
     # --- last externally checked in round 8 ---
     "pipe_curation",
     "ev_tumbling_window",

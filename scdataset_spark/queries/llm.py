@@ -1074,6 +1074,62 @@ SELECT q_id, cell, c_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _ivf_occupancy_oracle(n_clusters: int = 8, seed: int = 11) -> str:
+    """Replays the IVF build's cell assignment (same cent/assigned
+    shape as _ivf_oracle) and reports per-cell occupancy — the oracle
+    for the persisted index's rebuild monitor."""
+    dist = (
+        "round(list_aggregate(list_transform(range(1, 65), "
+        "i -> ({a}[i]::DOUBLE - centroid[i]::DOUBLE) * ({a}[i]::DOUBLE - centroid[i]::DOUBLE)), 'sum'), 6)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT rk - 1 AS cell, centroid FROM (
+    SELECT embedding AS centroid,
+           row_number() OVER (ORDER BY {mix_sql('vec_id', seed, 'duckdb')}, vec_id) AS rk
+    FROM embeddings
+  ) WHERE rk <= {n_clusters}
+),
+assigned AS (
+  SELECT c_id, cell FROM (
+    SELECT e.vec_id AS c_id, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.embedding')}, cent.cell) AS ark
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE ark = 1
+)
+SELECT cent.cell AS cell, CAST(count(a.c_id) AS BIGINT) AS n_vectors
+FROM cent LEFT JOIN assigned a ON cent.cell = a.cell
+GROUP BY cent.cell
+"""
+
+
+@query(
+    "sim_ivf_index_stats",
+    survey_ref="§2.14 similarity",
+    oracle=_ivf_occupancy_oracle(),
+)
+def sim_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy report over the persisted IVF index
+    (``similarity.ann_index_stats``) — the rebuild monitor for the
+    append lifecycle: per stored centroid the vector count (empty
+    cells at 0), from one column-pruned aggregate that never touches
+    vectors.  Value-checked by a DuckDB replay of the build's cell
+    assignment grouped per cell."""
+    import hashlib
+    import os
+
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    ver = hashlib.md5(b"ivf_index:n_clusters=8:seed=11:v1").hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/scdataset_spark_annidx_{ver}_{os.getpid()}/{base}"
+    sim.build_ann_index(
+        c, path, n_clusters=8, seed=11, vectorized_assign=False
+    )
+    return sim.ann_index_stats(spark, path)
+
+
 @query("sim_ivf_ann", survey_ref="§2.14 similarity", oracle=_ivf_oracle())
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with deterministic mixer-seeded coarse centroids

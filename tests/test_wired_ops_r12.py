@@ -295,3 +295,36 @@ class TestProbeJoinFallback:
         assert sorted(map(tuple, on2.collect())) == sorted(
             map(tuple, big2.collect())
         )
+
+
+class TestAnnIndexStats:
+    def test_occupancy_tracks_appends_and_prunes_columns(self, spark, tmp_path):
+        """ann_index_stats: (a) sums to the corpus size with every
+        stored cell present, (b) reflects appends (total grows by the
+        increment under frozen centroids), (c) reads ONLY the cell
+        column — the scan's ReadSchema must not contain the vector
+        payload (the monitor must stay cheap on a 100 TB index)."""
+        from scdataset_spark.operators.similarity import (
+            ann_index_stats,
+            append_to_ann_index,
+            build_ann_index,
+        )
+
+        c = _cands(spark)
+        path = str(tmp_path / "ann")
+        build_ann_index(c.where("c_id < 400"), path, n_clusters=8, seed=11,
+                        vectorized_assign=False)
+        stats0 = ann_index_stats(spark, path)
+        rows0 = stats0.collect()
+        assert sum(r["n_vectors"] for r in rows0) == 400
+        assert {r["cell"] for r in rows0} == set(range(8))
+        append_to_ann_index(c.where("c_id >= 400"), path)
+        rows1 = ann_index_stats(spark, path).collect()
+        assert sum(r["n_vectors"] for r in rows1) == c.count()
+        plan = _plan_str(stats0)
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>.*cells", plan)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert any("cell" in s and "_v" not in s for s in schemas), plan
+        assert all("_v" not in s for s in schemas), plan
