@@ -2313,3 +2313,80 @@ def pq_index_topk(
         .where(F.col("rank") <= k)
         .select(query_id, cand_id, "adc", "cosine", "rank")
     )
+
+
+def rebuild_ann_index(
+    spark,
+    path: str,
+    out_path: str,
+    n_clusters: int | None = None,
+    seed: int = 11,
+    vectorized_assign: bool | None = None,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int | None = None,
+    pq_seed: int = 13,
+    vectorized_encode: bool | None = None,
+) -> None:
+    """Rebuild a persisted index FROM ITS OWN STORAGE with fresh,
+    corpus-right-sized geometry — the third verb of the lifecycle the
+    monitor exists for: :func:`build_ann_index`/:func:`build_pq_index`
+    freeze centroids (and codebook), :func:`append_to_ann_index`/
+    :func:`append_to_pq_index` grow lists under that frozen geometry,
+    :func:`ann_index_stats` shows the drift (hot cells, stale cells),
+    and THIS is the documented "rebuild when the increment history
+    outweighs the original build" — previously a sentence, now code.
+
+    Layout is auto-detected (a ``codebook/`` directory marks the
+    IVF-PQ shape).  The raw-vector source is the index itself — the
+    ANN layout's inverted lists carry full vectors, the PQ layout
+    keeps them in ``archive/`` — so no access to the original build
+    frame is needed.  ``n_clusters=None`` re-resolves the cell budget
+    from the CURRENT corpus size (original + every append) under the
+    ``AUTO_SCALE_ROWS`` contract: that re-resolution is the point,
+    appends that doubled the corpus get a doubled cell count instead
+    of 2× hotter cells.  For the PQ shape the codebook is RETRAINED on
+    the current corpus (``n_codes`` defaults to the stored codebook's
+    size), clearing accumulated ADC quantization drift.
+
+    Writes a complete fresh index at ``out_path`` (must differ from
+    ``path`` — the build streams FROM the old index, and Spark's lazy
+    reads forbid overwrite-what-you-read); swap paths when it lands.
+    Cost is one full build over the current corpus — identical, by
+    construction, to :func:`build_ann_index`/:func:`build_pq_index` on
+    the reconstructed corpus frame (pinned row-equal by test), so the
+    decade-measured linear build curve in BENCH_SCALE.md is this
+    operator's cost curve too."""
+    import os as _os
+
+    if _os.path.normpath(out_path) == _os.path.normpath(path):
+        raise ValueError(
+            "rebuild_ann_index must write to a fresh out_path: the build "
+            "reads lazily from the old index, so in-place overwrite would "
+            "corrupt it mid-scan"
+        )
+    from pyspark.errors import AnalysisException
+
+    try:
+        cb = spark.read.parquet(f"{path}/codebook")
+        is_pq = True
+    except AnalysisException:
+        is_pq = False
+    if is_pq:
+        corpus = spark.read.parquet(f"{path}/archive")
+        cand_id = [c for c in corpus.columns if c != "_v"][0]
+        build_pq_index(
+            corpus, out_path, n_clusters=n_clusters, dim=dim, m=m,
+            n_codes=int(n_codes) if n_codes is not None else cb.count(),
+            seed=seed, pq_seed=pq_seed, cand_id=cand_id, vec="_v",
+            vectorized_encode=vectorized_encode,
+            vectorized_assign=vectorized_assign,
+        )
+    else:
+        corpus = spark.read.parquet(f"{path}/cells").drop("cell", "cell_group")
+        cand_id = [c for c in corpus.columns if c != "_v"][0]
+        build_ann_index(
+            corpus, out_path, n_clusters=n_clusters, seed=seed,
+            cand_id=cand_id, vec="_v",
+            vectorized_assign=vectorized_assign,
+        )

@@ -48,6 +48,7 @@ _SWEEP_PRIORITY = [
     # --- new in round 12: never externally checked ---
     "tx_token_budget_per_source_bucketed",
     "sim_ivf_index_stats",
+    "sim_ivf_index_rebuild",
     # --- last externally checked in round 8 ---
     "pipe_curation",
     "ev_tumbling_window",

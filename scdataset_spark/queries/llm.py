@@ -1173,6 +1173,42 @@ def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_index_topk(spark, path, q, k=3, n_probe=2, n_queries=20)
 
 
+@query("sim_ivf_index_rebuild", survey_ref="§2.14 similarity", oracle=_ivf_oracle())
+def sim_ivf_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persisted-index lifecycle, REBUILD verb included
+    (``similarity.rebuild_ann_index``): build on half the corpus,
+    append the other half under the frozen centroids, then rebuild
+    from the index's own storage with fresh geometry and probe the
+    rebuilt index.  Because the rebuild re-runs the engine-portable
+    seeded build over the CURRENT corpus (order-independent mixer
+    pick), the probe is value-checked by the SAME full-corpus SQL
+    oracle as ``sim_ivf_ann`` — drift from the append era is fully
+    cleared, which is the operator's contract."""
+    import hashlib
+    import os
+
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    ver = hashlib.md5(b"ivf_rebuild:n_clusters=8:seed=11:v1").hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/scdataset_spark_annidx_{ver}_{os.getpid()}/{base}"
+    sim.build_ann_index(
+        c.where("c_id % 2 = 0"), path, n_clusters=8, seed=11,
+        vectorized_assign=False,
+    )
+    sim.append_to_ann_index(
+        c.where("c_id % 2 = 1"), path, vectorized_assign=False
+    )
+    sim.rebuild_ann_index(
+        spark, path, f"{path}__rebuilt", n_clusters=8, seed=11,
+        vectorized_assign=False,
+    )
+    return sim.ann_index_topk(
+        spark, f"{path}__rebuilt", q, k=3, n_probe=2, n_queries=20
+    )
+
+
 # ------------------------------------------------ product quantization
 _PQ_SEED = 13
 _PQ_M = 8

@@ -328,3 +328,126 @@ class TestAnnIndexStats:
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         assert any("cell" in s and "_v" not in s for s in schemas), plan
         assert all("_v" not in s for s in schemas), plan
+
+
+class TestRebuildIndex:
+    """rebuild_ann_index — the third lifecycle verb: a rebuild from
+    the index's OWN storage must equal a fresh build over the current
+    corpus, for both persisted layouts, and must re-resolve geometry
+    from the current (post-append) corpus size."""
+
+    def test_ann_rebuild_equals_fresh_build_on_union(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import (
+            ann_index_topk,
+            append_to_ann_index,
+            build_ann_index,
+            rebuild_ann_index,
+        )
+
+        c = _cands(spark)
+        path = str(tmp_path / "ann")
+        build_ann_index(
+            c.where("c_id % 2 = 0"), path, n_clusters=8, seed=11,
+            vectorized_assign=False,
+        )
+        append_to_ann_index(
+            c.where("c_id % 2 = 1"), path, vectorized_assign=False
+        )
+        rebuild_ann_index(
+            spark, path, f"{path}__rb", n_clusters=8, seed=11,
+            vectorized_assign=False,
+        )
+        fresh = str(tmp_path / "ann_fresh")
+        build_ann_index(c, fresh, n_clusters=8, seed=11, vectorized_assign=False)
+
+        q = c.where("c_id < 20").select(
+            F.col("c_id").alias("q_id"), "embedding"
+        )
+        got = sorted(
+            map(tuple, ann_index_topk(
+                spark, f"{path}__rb", q, k=3, n_probe=2, n_queries=20
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, ann_index_topk(
+                spark, fresh, q, k=3, n_probe=2, n_queries=20
+            ).collect())
+        )
+        assert got == want and len(got) > 0
+
+    def test_pq_rebuild_equals_fresh_build_on_union(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import (
+            append_to_pq_index,
+            build_pq_index,
+            pq_index_topk,
+            rebuild_ann_index,
+        )
+
+        c = _cands(spark)
+        path = str(tmp_path / "pq")
+        kw = dict(
+            n_clusters=8, dim=64, m=8, n_codes=16, seed=11, pq_seed=13,
+            vectorized_encode=False, vectorized_assign=False,
+        )
+        build_pq_index(c.where("c_id < 400"), path, **kw)
+        append_to_pq_index(
+            c.where("c_id >= 400"), path, dim=64, m=8,
+            vectorized_encode=False, vectorized_assign=False,
+        )
+        # n_codes defaults to the stored codebook's size (16)
+        rebuild_ann_index(
+            spark, path, f"{path}__rb", n_clusters=8, seed=11, pq_seed=13,
+            vectorized_assign=False, vectorized_encode=False,
+        )
+        fresh = str(tmp_path / "pq_fresh")
+        build_pq_index(c, fresh, **kw)
+
+        q = c.where("c_id < 20").select(
+            F.col("c_id").alias("q_id"), "embedding"
+        )
+        got = sorted(
+            map(tuple, pq_index_topk(
+                spark, f"{path}__rb", q, k=3, refine=3, n_probe=2,
+                n_queries=20,
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, pq_index_topk(
+                spark, fresh, q, k=3, refine=3, n_probe=2, n_queries=20
+            ).collect())
+        )
+        assert got == want and len(got) > 0
+
+    def test_rebuild_reresolves_cells_from_current_corpus(self, spark, tmp_path):
+        """buckets geometry is re-resolved: an index built with a
+        pinned tiny cell count rebuilds (n_clusters=None) to the
+        auto-resolved count for the CURRENT corpus — the floor of 8,
+        not the stored 2."""
+        from scdataset_spark.operators.similarity import (
+            build_ann_index,
+            rebuild_ann_index,
+        )
+
+        c = _cands(spark).where("c_id < 200")
+        path = str(tmp_path / "tiny")
+        build_ann_index(c, path, n_clusters=2, seed=11, vectorized_assign=False)
+        assert spark.read.parquet(f"{path}/centroids").count() == 2
+        rebuild_ann_index(
+            spark, path, f"{path}__rb", n_clusters=None,
+            vectorized_assign=False,
+        )
+        assert spark.read.parquet(f"{path}__rb/centroids").count() == 8
+
+    def test_rebuild_rejects_in_place_overwrite(self, spark, tmp_path):
+        import pytest
+
+        from scdataset_spark.operators.similarity import (
+            build_ann_index,
+            rebuild_ann_index,
+        )
+
+        c = _cands(spark).where("c_id < 100")
+        path = str(tmp_path / "x")
+        build_ann_index(c, path, n_clusters=2, seed=11, vectorized_assign=False)
+        with pytest.raises(ValueError, match="fresh out_path"):
+            rebuild_ann_index(spark, path, path + "/", n_clusters=2)
