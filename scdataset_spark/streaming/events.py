@@ -391,3 +391,63 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
             new.unpersist()
 
     return _gate
+
+
+def compact_unique_index(spark: SparkSession, index_dir: str,
+                         unique_cols) -> DataFrame:
+    """Offline maintenance verb for :func:`unique_gate_batches`' key
+    index: every per-batch append writes one file per bucket it
+    touches, so a long-lived gate accumulates files linearly in
+    delivery count (measured: 20 deliveries x 64 buckets = 1,280 files
+    at fixture scale — 10k deliveries would mean ~640k small files,
+    the same write-side wall the ANN layouts' grouped directories
+    exist for).  This rewrites each column's index to ONE file per
+    key-hash bucket, preserving the partition layout (probes stay
+    pruned), the key set, and the ``batch_id`` column (replay
+    semantics unchanged for batches appended after the compaction).
+
+    MUST run at a quiescent checkpoint — no in-flight delivery: the
+    swap is not transactional against a concurrent append, and a
+    crashed delivery's partial append compacted in here would no
+    longer be filtered out by its own retry's ``batch_id`` guard.
+    The rewrite goes to a sibling temp dir and lands via two renames
+    (atomic on a POSIX filesystem; on an object store run it as a
+    copy-then-switch with a manifest instead).
+
+    Returns one row per column: ``(check_name, n_keys, files_before,
+    files_after)`` — counted engine-portably via ``input_file_name``,
+    so the report works on any storage."""
+    import os
+    import shutil
+
+    rows = []
+    for col in unique_cols:
+        path = f"{index_dir}/{col}"
+        idx = spark.read.parquet(path)
+        before = idx.select(F.input_file_name()).distinct().count()
+        n_keys = idx.count()
+        tmp = f"{path}__compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            idx.repartition("_kb")
+            .write.mode("overwrite")
+            .partitionBy("_kb")
+            .parquet(tmp)
+        )
+        old = f"{path}__precompact"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        after = (
+            spark.read.parquet(path)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        rows.append((f"unique({col})", n_keys, before, after))
+    return spark.createDataFrame(
+        rows,
+        "check_name string, n_keys bigint, files_before bigint, "
+        "files_after bigint",
+    )

@@ -93,6 +93,11 @@ LIBRARY_ONLY = {
     "cross-delivery collision flip, count-minus-countDistinct "
     "additivity vs dq_constraints, and fail-fast pinned in "
     "tests/test_streaming.py",
+    "compact_unique_index": "offline maintenance verb for "
+    "unique_gate_batches' key index (one file per bucket instead of "
+    "one per append) — mutates shared gate state, so it cannot be a "
+    "rerunnable registered query; gate-semantics preservation across "
+    "the compaction boundary pinned in tests/test_streaming.py",
     "running_user_stats": "applyInPandasWithState op; rows-only check "
     "by design (stateful streaming is not SQL-expressible)",
     "capped_sessions_stateful": "stateful twin of ev_session_capped",

@@ -591,3 +591,49 @@ def test_unique_gate_index_is_partition_pruned(spark, tmp_path):
     n_full = full.select(F.input_file_name()).distinct().count()
     n_pruned = pruned.select(F.input_file_name()).distinct().count()
     assert 0 < n_pruned < n_full
+
+
+def test_compact_unique_index_preserves_gate_semantics(spark, tmp_path):
+    """Offline compaction of the gate's key index must collapse the
+    per-append small files to one file per bucket while changing
+    NOTHING the gate can observe: a post-compaction replay of an old
+    delivery's keys under a new batch_id is still fully duplicate, a
+    genuinely new delivery still passes, and the partition layout
+    (hence probe pruning) is preserved."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.streaming.events import (
+        compact_unique_index,
+        unique_gate_batches,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    idx = str(tmp_path / "key_index")
+    reports = []
+    gate = unique_gate_batches(
+        ["doc_id"], lambda df: reports.append(df.collect()), idx
+    )
+    gate(docs.where("doc_id % 3 = 0"), 0)
+    gate(docs.where("doc_id % 3 = 1"), 1)
+
+    stats = compact_unique_index(spark, idx, ["doc_id"]).collect()[0]
+    assert stats.files_after < stats.files_before
+    n_buckets = (
+        spark.read.parquet(f"{idx}/doc_id").select("_kb").distinct().count()
+    )
+    assert stats.files_after == n_buckets
+    assert stats.n_keys == docs.where("doc_id % 3 <= 1").count()
+    # layout preserved: still partitioned by _kb (directory-level check)
+    import os
+
+    assert any(
+        d.startswith("_kb=") for d in os.listdir(f"{idx}/doc_id")
+    ), "compaction must preserve the key-hash partition layout"
+
+    # semantics preserved across the compaction boundary
+    gate(docs.where("doc_id % 3 = 0"), 2)  # old keys, NEW batch_id
+    gate(docs.where("doc_id % 3 = 2"), 3)  # genuinely new keys
+    flat = {r.batch_id: r for rep in reports for r in rep}
+    assert flat[2].violations == docs.where("doc_id % 3 = 0").count()
+    assert not flat[2].passed
+    assert flat[3].passed and flat[3].violations == 0
