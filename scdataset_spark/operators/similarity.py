@@ -2390,3 +2390,36 @@ def rebuild_ann_index(
             cand_id=cand_id, vec="_v",
             vectorized_assign=vectorized_assign,
         )
+
+
+def ann_recall(
+    ann: DataFrame,
+    exact: DataFrame,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+) -> DataFrame:
+    """Recall report of an ANN result against the exact top-k — the
+    "measure, don't guess" verb for every approximate path in this
+    module (IVF, LSH buckets, projections, PQ): per query, how many of
+    the exact neighbors the approximate index actually returned.  The
+    denominator is the per-query EXACT result size (== k when the
+    corpus has at least k eligible candidates), so truncated tails
+    near tiny corpora don't inflate recall.  Both inputs are top-k
+    frames — k·|queries| rows, serving-batch-sized by construction —
+    so the joins here are trivially broadcastable; cost lives in
+    producing the inputs, not in the report.  Output:
+    ``(query_id, hits, n_exact, recall)``."""
+    a = ann.select(query_id, cand_id)
+    e = exact.select(query_id, cand_id)
+    inter = (
+        e.join(a, [query_id, cand_id], "left_semi")
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    base = e.groupBy(query_id).agg(F.count(F.lit(1)).alias("_n"))
+    return base.join(inter, query_id, "left").select(
+        query_id,
+        F.coalesce("_hits", F.lit(0)).cast("bigint").alias("hits"),
+        F.col("_n").cast("bigint").alias("n_exact"),
+        F.round(F.coalesce("_hits", F.lit(0)) / F.col("_n"), 4).alias("recall"),
+    )

@@ -49,6 +49,7 @@ _SWEEP_PRIORITY = [
     "tx_token_budget_per_source_bucketed",
     "sim_ivf_index_stats",
     "sim_ivf_index_rebuild",
+    "sim_ivf_recall",
     # --- last externally checked in round 8 ---
     "pipe_curation",
     "ev_tumbling_window",

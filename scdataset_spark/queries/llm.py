@@ -1130,6 +1130,57 @@ def sim_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_index_stats(spark, path)
 
 
+_COS_QC = (
+    "round(list_aggregate(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')"
+    " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum'))), 4)"
+)
+
+
+@query(
+    "sim_ivf_recall",
+    survey_ref="§2.14 similarity",
+    oracle=f"""
+WITH ann AS (SELECT q_id, c_id FROM ({_ivf_oracle(k=3)})),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_QC} DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 20
+  ) WHERE rank <= 3
+),
+per_q AS (
+  SELECT e.q_id, count(a.c_id) AS hits, count(*) AS n_exact
+  FROM exact e LEFT JOIN ann a ON e.q_id = a.q_id AND e.c_id = a.c_id
+  GROUP BY e.q_id
+)
+SELECT q_id, CAST(hits AS BIGINT) AS hits, CAST(n_exact AS BIGINT) AS n_exact,
+       round(hits * 1.0 / n_exact, 4) AS recall
+FROM per_q
+""",
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF probe against the brute-force exact top-3
+    (``similarity.ann_recall``) — approximation quality measured, not
+    guessed, and itself value-checked: the oracle replays BOTH sides
+    (the seeded IVF build/probe and the exact ranking) and intersects
+    them in SQL, so the reported per-query recall is pinned exactly.
+    The production use is the rebuild monitor's quality axis: run it
+    on a sampled query set after heavy appends — occupancy drift
+    (``ann_index_stats``) says the geometry is stale, recall drift
+    says it's COSTING you."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    ann = sim.ivf_seeded_topk(
+        q, c, k=3, n_clusters=8, n_probe=2, seed=11, vectorized_assign=False
+    )
+    exact = sim.brute_force_topk(q, c, k=3)
+    return sim.ann_recall(ann, exact)
+
+
 @query("sim_ivf_ann", survey_ref="§2.14 similarity", oracle=_ivf_oracle())
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with deterministic mixer-seeded coarse centroids

@@ -451,3 +451,26 @@ class TestRebuildIndex:
         build_ann_index(c, path, n_clusters=2, seed=11, vectorized_assign=False)
         with pytest.raises(ValueError, match="fresh out_path"):
             rebuild_ann_index(spark, path, path + "/", n_clusters=2)
+
+
+class TestAnnRecall:
+    def test_recall_counts_and_denominator(self, spark):
+        """hits = |ann ∩ exact| per query; denominator is the per-query
+        EXACT size (not k), and a query the ANN missed entirely still
+        reports at recall 0 (exact side drives the output rows)."""
+        from scdataset_spark.operators.similarity import ann_recall
+
+        ann = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)], "q_id int, c_id int"
+        )
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 12), (2, 21), (3, 30), (3, 31)],
+            "q_id int, c_id int",
+        )
+        rows = {r.q_id: r for r in ann_recall(ann, exact).collect()}
+        assert rows[1].hits == 1 and rows[1].n_exact == 2
+        assert abs(rows[1].recall - 0.5) < 1e-9
+        assert rows[2].hits == 0 and rows[2].n_exact == 1
+        assert rows[3].hits == 0 and rows[3].n_exact == 2
+        assert rows[3].recall == 0.0
+        assert set(rows) == {1, 2, 3}
