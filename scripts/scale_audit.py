@@ -475,6 +475,61 @@ def routing_agreement(spark) -> dict:
     }
 
 
+def probe_recall_curve(spark) -> dict:
+    """Recall@10 vs n_probe on the PERSISTED IVF index at the audit's
+    cell budget — the measured basis for choosing n_probe instead of
+    guessing it: ground truth is one brute-force exact top-10 pass
+    over the planted corpus (24 queries), then each n_probe setting is
+    timed end-to-end (route + pruned cell read + rerank) and scored
+    with similarity.ann_recall.  Reuses the index that
+    _ann_index_build_scaled left behind when present."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import (
+        ann_index_topk,
+        ann_recall,
+        brute_force_topk,
+        build_ann_index,
+    )
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, SF_DIR)
+    n = c.count()
+    cand = c.select(F.col("vec_id").alias("c_id"), F.col("v").alias("embedding"))
+    path = _ann_index_path()
+    if not _os.path.exists(f"{path}/centroids"):
+        build_ann_index(
+            cand, path, n_clusters=max(64, n // 4500),
+            vectorized_assign=True, n_rows=n,
+        )
+    q = c.where("vec_id < 20").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("embedding")
+    )
+    exact = brute_force_topk(q, cand, k=10).select("q_id", "c_id").persist()
+    exact.count()
+    k_cells = spark.read.parquet(f"{path}/centroids").count()
+    out = {"n_vectors": int(n), "n_clusters": int(k_cells)}
+    for n_probe in (1, 2, 4, 8, 16):
+        t0 = time.perf_counter()
+        ann = ann_index_topk(
+            spark, path, q, k=10, n_probe=n_probe, n_queries=24
+        )
+        row = (
+            ann_recall(ann, exact)
+            .agg(F.avg("recall").alias("r"), F.count(F.lit(1)).alias("nq"))
+            .first()
+        )
+        out[f"n_probe={n_probe}"] = {
+            "mean_recall_at_10": round(float(row["r"]), 4),
+            "probe_sec": round(time.perf_counter() - t0, 2),
+            "n_queries": int(row["nq"]),
+        }
+    exact.unpersist()
+    return out
+
+
 def run_one(spark, name: str) -> float:
     fn = REGISTRY[name].fn if name in REGISTRY else EXTRA[name]
     t0 = time.perf_counter()
@@ -556,6 +611,11 @@ def main() -> None:
         elif a == "routing":
             print(
                 json.dumps({"routing_agreement": routing_agreement(spark)}),
+                flush=True,
+            )
+        elif a == "recall":
+            print(
+                json.dumps({"probe_recall_curve": probe_recall_curve(spark)}),
                 flush=True,
             )
         elif a in GROUPS:
