@@ -515,3 +515,102 @@ def token_budget_by_source(
         .where(F.col("cum_tokens") <= budget)
         .select(*out)
     )
+
+
+def quality_rank_by_source(
+    df: DataFrame,
+    source_col: str = "lang",
+    quality_col: str = "q_int",
+    id_col: str = "doc_id",
+    buckets: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Per-source quality CALIBRATION: each document's percent-rank of
+    quality WITHIN its source (0 = source's worst, 1 = its best).  Raw
+    quality scores are source-biased — a mid-tier document from a
+    clean source outscores the best document of a noisy one — so any
+    GLOBAL threshold or budget applied to raw scores silently re-weights
+    the mixture toward clean sources.  Ranking within source first
+    makes "keep the top 20% of every source" a well-posed, mixture-
+    preserving selection (the quality-axis complement of
+    :func:`token_budget_by_source`'s volume-axis fairness).
+
+    Output: ``(id_col, source_col, quality_col, q_pct)``.
+
+    Scale shape (the ``AUTO_SCALE_ROWS`` contract, same twin discipline
+    as the budget operators): ``buckets=0`` pins the exact one-window
+    shape — ``percent_rank()`` partitioned by source — the
+    oracle-checked form, single-reducer per source.  ``buckets=k``
+    computes the IDENTICAL ranks two-level: per-(source, quality-range
+    bucket) counts (one ~|sources|·k-row shuffle), offsets within
+    source over that tiny frame, ``row_number`` within the composite
+    partition, then ``pct = (rank-1)/(n_source-1)`` — the same IEEE
+    division ``percent_rank`` evaluates (the order key is total, so
+    rank == row_number and ties cannot diverge).  ``None`` resolves
+    from the MAX per-source count.
+    """
+    from scdataset_spark.operators.similarity import AUTO_SCALE_ROWS
+
+    if buckets is None:
+        if n_rows is not None:
+            n = int(n_rows)
+        else:
+            n = (
+                df.groupBy(source_col)
+                .count()
+                .agg(F.max("count").alias("m"))
+                .collect()[0]["m"]
+                or 0
+            )
+        buckets = 64 if n >= AUTO_SCALE_ROWS else 0
+    out = [id_col, source_col, quality_col, "q_pct"]
+    if buckets == 0:
+        w = Window.partitionBy(source_col).orderBy(
+            F.col(quality_col), F.col(id_col)
+        )
+        return df.withColumn("q_pct", F.percent_rank().over(w)).select(*out)
+    stats = df.agg(
+        F.min(quality_col).alias("_lo"), F.max(quality_col).alias("_hi")
+    )
+    b = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_bucket",
+            F.least(
+                F.lit(buckets - 1),
+                (
+                    (F.col(quality_col) - F.col("_lo"))
+                    * buckets
+                    / (F.col("_hi") - F.col("_lo") + 1)
+                ).cast("bigint"),
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    counts = b.groupBy(source_col, "_bucket").count()
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).drop("count")
+    totals = (
+        b.groupBy(source_col).count().withColumnRenamed("count", "_n")
+    )
+    w_in = Window.partitionBy(source_col, "_bucket").orderBy(
+        F.col(quality_col), F.col(id_col)
+    )
+    return (
+        b.join(F.broadcast(offsets), [source_col, "_bucket"])
+        .join(F.broadcast(totals), source_col)
+        .withColumn("_rank", F.row_number().over(w_in) + F.col("_offset"))
+        .withColumn(
+            "q_pct",
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                (F.col("_rank") - 1) / (F.col("_n") - 1)
+            ),
+        )
+        .select(*out)
+    )

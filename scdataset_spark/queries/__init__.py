@@ -50,6 +50,8 @@ _SWEEP_PRIORITY = [
     "sim_ivf_index_stats",
     "sim_ivf_index_rebuild",
     "sim_ivf_recall",
+    "tx_quality_rank_by_source",
+    "tx_quality_rank_by_source_bucketed",
     # --- last externally checked in round 8 ---
     "pipe_curation",
     "ev_tumbling_window",

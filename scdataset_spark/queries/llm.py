@@ -1665,6 +1665,64 @@ def tx_token_budget_per_source_bucketed(spark: SparkSession, sf_dir: str) -> Dat
     return tx.token_budget_by_source(scored, 2000, source_col="lang", buckets=16)
 
 
+_QUALITY_RANK_ORACLE = f"""
+WITH sp_t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS sp FROM documents),
+q AS (
+  SELECT doc_id, lang, len(sp) AS n_tokens,
+         len(list_filter(sp, t -> list_contains([{STOPS}], t))) AS n_stop
+  FROM sp_t
+),
+scored AS (
+  SELECT doc_id, lang, {QDUCK} AS q_int FROM q
+)
+SELECT doc_id, lang, q_int,
+       percent_rank() OVER (PARTITION BY lang ORDER BY q_int, doc_id) AS q_pct
+FROM scored
+"""
+
+
+@query(
+    "tx_quality_rank_by_source",
+    survey_ref="§2.14 text,W5",
+    oracle=_QUALITY_RANK_ORACLE,
+)
+def tx_quality_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration
+    (``textanalysis.quality_rank_by_source``): each document's
+    percent-rank of quality WITHIN its language, making "top 20% of
+    every source" a mixture-preserving selection — raw scores are
+    source-biased, so a global threshold silently re-weights toward
+    clean sources.  ``buckets=0`` pins the exact percent_rank window
+    (partitioned by source); the two-level scale shape is the bucketed
+    twin below, checked against this SAME oracle."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    toks = tx.with_stop_counts(docs).select("doc_id", "lang", "n_tokens", "n_stop")
+    scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR)).drop(
+        "n_tokens", "n_stop"
+    )
+    return tx.quality_rank_by_source(scored, source_col="lang", buckets=0)
+
+
+@query(
+    "tx_quality_rank_by_source_bucketed",
+    survey_ref="§2.14 text,W5",
+    oracle=_QUALITY_RANK_ORACLE,
+)
+def tx_quality_rank_by_source_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE shape of the per-source quality calibration, checked
+    against the SAME oracle as the pinned-window twin: per-(source,
+    quality-bucket) counts + within-source offsets + row_number in the
+    composite partition reproduce percent_rank EXACTLY (total order
+    key, same IEEE (rank-1)/(n-1) division), while a hot source's rank
+    computation splits across 8 reducers instead of one."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    toks = tx.with_stop_counts(docs).select("doc_id", "lang", "n_tokens", "n_stop")
+    scored = toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR)).drop(
+        "n_tokens", "n_stop"
+    )
+    return tx.quality_rank_by_source(scored, source_col="lang", buckets=8)
+
+
 @query(
     "pipe_curation",
     survey_ref="§2.14 text,§2.14 dedup",

@@ -474,3 +474,67 @@ class TestAnnRecall:
         assert rows[3].hits == 0 and rows[3].n_exact == 2
         assert rows[3].recall == 0.0
         assert set(rows) == {1, 2, 3}
+
+
+class TestQualityRankBySource:
+    def _scored(self, spark):
+        from scdataset_spark.operators import textanalysis as tx
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        toks = tx.with_stop_counts(docs).select(
+            "doc_id", "lang", "n_tokens", "n_stop"
+        )
+        return toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR)).drop(
+            "n_tokens", "n_stop"
+        )
+
+    def test_bucketed_equals_percent_rank_window(self, spark):
+        """The two-level shape must reproduce percent_rank EXACTLY —
+        including the doubles: total order key, so rank == row_number,
+        and the same (rank-1)/(n-1) IEEE division."""
+        from scdataset_spark.operators.textanalysis import (
+            quality_rank_by_source,
+        )
+
+        scored = self._scored(spark)
+        exact = sorted(
+            map(tuple, quality_rank_by_source(scored, buckets=0).collect())
+        )
+        for k in (1, 3, 8):
+            got = sorted(
+                map(tuple, quality_rank_by_source(scored, buckets=k).collect())
+            )
+            assert got == exact, f"buckets={k} diverged from the window shape"
+        assert len(exact) == scored.count()
+
+    def test_auto_resolution_uses_max_source_count(self, spark):
+        """n_rows (compared as the max per-source count) past the
+        threshold flips to the bucketed shape; the rows stay equal."""
+        from scdataset_spark.operators.textanalysis import (
+            quality_rank_by_source,
+        )
+
+        scored = self._scored(spark)
+        exact = sorted(
+            map(tuple, quality_rank_by_source(scored, buckets=0).collect())
+        )
+        flipped = quality_rank_by_source(scored, n_rows=10**9)
+        assert "percent_rank" not in _plan_str(flipped).lower()
+        assert sorted(map(tuple, flipped.collect())) == exact
+
+    def test_single_row_source_ranks_zero(self, spark):
+        from scdataset_spark.operators.textanalysis import (
+            quality_rank_by_source,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)],
+            "doc_id int, lang string, q_int int",
+        )
+        for k in (0, 4):
+            rows = {
+                r.doc_id: r.q_pct
+                for r in quality_rank_by_source(df, buckets=k).collect()
+            }
+            assert rows[3] == 0.0  # singleton source
+            assert rows[1] == 0.0 and rows[2] == 1.0
