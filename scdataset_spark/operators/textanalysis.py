@@ -596,9 +596,9 @@ def quality_rank_by_source(
     offsets = counts.withColumn(
         "_offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
     ).drop("count")
-    totals = (
-        b.groupBy(source_col).count().withColumnRenamed("count", "_n")
-    )
+    # per-source totals fold out of the SAME tiny counts frame — a
+    # second full-corpus groupBy here would double the heavy shuffle
+    totals = counts.groupBy(source_col).agg(F.sum("count").alias("_n"))
     w_in = Window.partitionBy(source_col, "_bucket").orderBy(
         F.col(quality_col), F.col(id_col)
     )
