@@ -1916,6 +1916,15 @@ def ann_index_topk(
     Results are row-identical to :func:`ivf_seeded_topk` at the same
     build parameters (pinned by test + the shared SQL oracle).
 
+    ``n_probe`` sizing is measured, not guessed: under the n/4500 cell
+    budget, recall@10 at fixed ``n_probe`` is scale-invariant across a
+    corpus decade (0.95 at ``n_probe=4``, 1.0 at 16, at BOTH 533 and
+    5,333 cells — BENCH_SCALE.md r12, `scale_audit.py recall`), and
+    probe latency is flat in ``n_probe``, so a fixed small value holds
+    as the corpus grows and over-probing is cheap insurance.  Monitor
+    with :func:`ann_recall` on a sampled query set; falling recall at
+    constant ``n_probe`` is the :func:`rebuild_ann_index` signal.
+
     The probed-cell set is collected before the scan — it is at most
     ``n_clusters`` ints no matter how many queries probe (distinct of
     a queries×n_probe routing frame) — and lands in the scan as a
