@@ -382,7 +382,18 @@ def token_budget(
         )
         ranked = df.withColumn("cum_tokens", F.sum(token_col).over(w))
         return ranked.where(F.col("cum_tokens") <= budget).select(*out)
-    neg = df.withColumn("_negq", -F.col(quality_col))
+    from scdataset_spark.operators._cache import persist_bounded
+
+    # the bucketed shape branches three ways off the scored frame
+    # (stats row, per-bucket sums, final join); persist the NARROW
+    # projection once or an expensive upstream (tokenization, quality
+    # scoring) re-executes per branch — measured at sf1000d: each
+    # un-persisted branch re-ran a 30-100 s scoring pass
+    neg = persist_bounded(
+        df.select(id_col, quality_col, token_col).withColumn(
+            "_negq", -F.col(quality_col)
+        )
+    )
     stats = neg.agg(F.min("_negq").alias("_lo"), F.max("_negq").alias("_hi"))
     b = (
         neg.crossJoin(F.broadcast(stats))
@@ -478,7 +489,14 @@ def token_budget_by_source(
             .where(F.col("cum_tokens") <= budget)
             .select(*out)
         )
-    neg = df.withColumn("_negq", -F.col(quality_col))
+    from scdataset_spark.operators._cache import persist_bounded
+
+    # same three-branch persist rationale as token_budget above
+    neg = persist_bounded(
+        df.select(id_col, source_col, quality_col, token_col).withColumn(
+            "_negq", -F.col(quality_col)
+        )
+    )
     stats = neg.agg(F.min("_negq").alias("_lo"), F.max("_negq").alias("_hi"))
     b = (
         neg.crossJoin(F.broadcast(stats))
@@ -569,11 +587,15 @@ def quality_rank_by_source(
             F.col(quality_col), F.col(id_col)
         )
         return df.withColumn("q_pct", F.percent_rank().over(w)).select(*out)
-    stats = df.agg(
+    from scdataset_spark.operators._cache import persist_bounded
+
+    # same three-branch persist rationale as token_budget above
+    slim = persist_bounded(df.select(id_col, source_col, quality_col))
+    stats = slim.agg(
         F.min(quality_col).alias("_lo"), F.max(quality_col).alias("_hi")
     )
     b = (
-        df.crossJoin(F.broadcast(stats))
+        slim.crossJoin(F.broadcast(stats))
         .withColumn(
             "_bucket",
             F.least(

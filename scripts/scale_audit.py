@@ -408,6 +408,57 @@ def _unique_gate_scaled(spark, sf_dir):
     )
 
 
+def _scored_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators import textanalysis as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tx.with_stop_counts(docs).select(
+        "doc_id", "lang", "n_tokens", "n_stop"
+    )
+    return toks.withColumn("q_int", F.expr(tx.Q_INT_EXPR))
+
+
+def _quality_rank_window_scaled(spark, sf_dir):
+    """Hot-source A/B, window side: percent_rank partitioned by lang —
+    at sf1000d the 'en' source (41% of 5 M docs) funnels 2.06 M rows
+    through ONE reducer's sort."""
+    from scdataset_spark.operators import textanalysis as tx
+
+    return tx.quality_rank_by_source(
+        _scored_docs(spark, sf_dir), source_col="lang", buckets=0
+    )
+
+
+def _quality_rank_bucketed_scaled(spark, sf_dir):
+    """Hot-source A/B, bucketed side: identical rows, the hot source's
+    rank computation split across 64 composite-key partitions."""
+    from scdataset_spark.operators import textanalysis as tx
+
+    return tx.quality_rank_by_source(
+        _scored_docs(spark, sf_dir), source_col="lang", buckets=64
+    )
+
+
+def _budget_source_window_scaled(spark, sf_dir):
+    """Per-source token budget, window side of the same A/B (budget
+    sized so most rows survive — the cutoff must not hide the sort)."""
+    from scdataset_spark.operators import textanalysis as tx
+
+    return tx.token_budget_by_source(
+        _scored_docs(spark, sf_dir), 50_000_000, source_col="lang", buckets=0
+    )
+
+
+def _budget_source_bucketed_scaled(spark, sf_dir):
+    from scdataset_spark.operators import textanalysis as tx
+
+    return tx.token_budget_by_source(
+        _scored_docs(spark, sf_dir), 50_000_000, source_col="lang", buckets=64
+    )
+
+
 # audit-only measurement paths (operator called with scale-sized
 # parameters); registry names always win on collision
 EXTRA = {
@@ -416,6 +467,10 @@ EXTRA = {
     "ann_index_build_scaled": _ann_index_build_scaled,
     "ann_index_probe_scaled": _ann_index_probe_scaled,
     "unique_gate_scaled": _unique_gate_scaled,
+    "quality_rank_window_scaled": _quality_rank_window_scaled,
+    "quality_rank_bucketed_scaled": _quality_rank_bucketed_scaled,
+    "budget_source_window_scaled": _budget_source_window_scaled,
+    "budget_source_bucketed_scaled": _budget_source_bucketed_scaled,
     "constraints_scaled": _constraints_scaled,
     "semantic_dedup_scaled": _semantic_dedup_scaled,
     "interleave_scaled": _interleave_scaled,
