@@ -26,14 +26,14 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-12 priority (VERDICT r11 task 1, rotated as the FIRST
+# cosmetics.  Round-13 priority (VERDICT r12 task 1, rotated as the FIRST
 # commit of the round): (a) queries NEW this round (never externally
-# checked) lead, then (b) the 10 entries whose most recent external
-# check is round 8 (three rounds stale — the r11 spillover), then
-# (c) the 50-query round-9 cohort, then the round-10 cohort, then the
-# round-11-checked cohort last (freshest).  Head = new + 10 + r9
-# cohort; with new entries the tail of the r9 cohort may spill one
-# round and must lead round 13's rotation.
+# checked) lead, then (b) the 16 entries whose most recent external
+# check is round 9 (at the three-round staleness floor — the r12
+# spillover: o13/o15/o16, 12 TPC-H q* patterns, w5_running_revenue),
+# then (c) the round-10 cohort, then round-11, then the round-12
+# cohort last (freshest).  Head = new + 16 + r10 cohort; any spillover
+# must lead round 14's rotation.
 #
 # Staleness floor (codified per VERDICT r10 task 7): with 157+ entries
 # and a ~50-slot external sweep, the worst-case age of any entry's
@@ -45,59 +45,8 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # latency, not untested surface.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 12: never externally checked ---
-    "tx_token_budget_per_source_bucketed",
-    "sim_ivf_index_stats",
-    "sim_ivf_index_rebuild",
-    "sim_ivf_recall",
-    "tx_quality_rank_by_source",
-    "tx_quality_rank_by_source_bucketed",
-    # --- last externally checked in round 8 ---
-    "pipe_curation",
-    "ev_tumbling_window",
-    "dd_components_star",
-    "o18_fetch_shuffle",
-    "dd_incremental_novel",
-    "t_hook_pipeline",
-    "src_custom_datasource",
-    "s4_sparse_densify",
-    "s3_anndata_ingest",
-    "ml_label_encode",
-    # --- last externally checked in round 9 ---
-    "dq_foreign_key",
-    "dq_constraints",
-    "dd_remove_spans",
-    "o24_mixture_plan",
-    "tx_chunk_documents",
-    "sim_random_projection",
-    "sim_projected_ann",
-    "dq_volume_anomalies",
-    "ml_tfidf",
-    "mm_binary_decode",
-    "mm_feature_extract",
-    "ev_sliding_window",
-    "ev_session_window",
-    "ev_stream_stream_join",
-    "ev_first_event_dedup",
-    "g5_sample_size_estimate",
-    "g6_batch_normalize",
-    "g7_cube",
-    "g7_grouping_sets",
-    "sq_scalar_subquery",
-    "sq_in_subquery",
-    "dt_date_functions",
-    "str_functions",
-    "arr_functions",
-    "dd_ngram_jaccard",
-    "dd_lsh_verified",
-    "dd_simhash",
-    "o2_buffer_shuffle",
-    "o4_weighted_noreplace",
-    "o5_subset_weighted",
-    "o6_class_balanced",
-    "o7_smoothed_weights",
-    "o10_batch_plan",
-    "o11_drop_last_batches",
+    # --- new in round 13: never externally checked (prepended as added) ---
+    # --- last externally checked in round 9 (3-round floor; MUST lead r13) ---
     "o13_ddp_partition",
     "o15_block_shuffle_droplast",
     "o16_mixture_sample",
@@ -216,6 +165,57 @@ _SWEEP_PRIORITY = [
     "mm_multimodal_zip",
     "tx_normalize",
     "tx_pii_scrub",
+    # --- last externally checked in round 12 (freshest) ---
+    "tx_token_budget_per_source_bucketed",
+    "sim_ivf_index_stats",
+    "sim_ivf_index_rebuild",
+    "sim_ivf_recall",
+    "tx_quality_rank_by_source",
+    "tx_quality_rank_by_source_bucketed",
+    "pipe_curation",
+    "ev_tumbling_window",
+    "dd_components_star",
+    "o18_fetch_shuffle",
+    "dd_incremental_novel",
+    "t_hook_pipeline",
+    "src_custom_datasource",
+    "s4_sparse_densify",
+    "s3_anndata_ingest",
+    "ml_label_encode",
+    "dq_foreign_key",
+    "dq_constraints",
+    "dd_remove_spans",
+    "o24_mixture_plan",
+    "tx_chunk_documents",
+    "sim_random_projection",
+    "sim_projected_ann",
+    "dq_volume_anomalies",
+    "ml_tfidf",
+    "mm_binary_decode",
+    "mm_feature_extract",
+    "ev_sliding_window",
+    "ev_session_window",
+    "ev_stream_stream_join",
+    "ev_first_event_dedup",
+    "g5_sample_size_estimate",
+    "g6_batch_normalize",
+    "g7_cube",
+    "g7_grouping_sets",
+    "sq_scalar_subquery",
+    "sq_in_subquery",
+    "dt_date_functions",
+    "str_functions",
+    "arr_functions",
+    "dd_ngram_jaccard",
+    "dd_lsh_verified",
+    "dd_simhash",
+    "o2_buffer_shuffle",
+    "o4_weighted_noreplace",
+    "o5_subset_weighted",
+    "o6_class_balanced",
+    "o7_smoothed_weights",
+    "o10_batch_plan",
+    "o11_drop_last_batches",
 ]
 
 def _apply_sweep_priority() -> None:
