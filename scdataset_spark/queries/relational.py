@@ -25,12 +25,75 @@ from scdataset_spark.queries.registry import query
 
 
 def dsum(expr: str, alias: str) -> str:
-    """Order-independent double sum (identical SQL in both dialects)."""
+    """Order-independent double sum (identical SQL in both dialects).
+
+    Correct but decimal-buffered: Spark's sum over DECIMAL(24,8)
+    promotes the accumulator past the long-backed precision limit, so
+    every update serializes a BigDecimal through the aggregation hash
+    map — measured ~0.25 s per aggregated column per 600 k rows.  Fine
+    for small/post-join aggregates; hot large-table aggregates should
+    use the ``lsum_*`` limb form below (same order-independence, pure
+    long arithmetic, measured 0.99 s → 0.35 s on the q1 aggregate)."""
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(24,8))) AS DOUBLE) AS {alias}"
 
 
 def dsum_col(expr) -> F.Column:
     return F.sum(expr.cast("decimal(24,8)")).cast("double")
+
+
+# --- limb sums: exact order-independent sums without decimal buffers ---
+# Each row's value is fixed-pointed at 1e-8 — v = FLOOR(x*1e8 + 0.5),
+# the same two IEEE double ops in Spark and DuckDB, so v is identical
+# bit-for-bit on both sides even where the fixed point saturates double
+# precision (|x| ≳ 9e7).  v is split into three 1e6-wide limbs and each
+# limb summed as BIGINT: |limb| ≤ 1e6 keeps the sum overflow-safe to
+# ~9.2e12 rows per group — 100 TB headroom with no BigDecimal anywhere
+# in the per-row path (the whole aggregate stays in whole-stage
+# codegen's long registers).  Recombination uses only truncated DIV/%
+# (verified identical for negative operands in both engines: -7 DIV 2 =
+# -3, -7 % 2 = -1 in Spark and DuckDB), then one deterministic two-op
+# IEEE expression to double — value-identical across engines by
+# construction, which is what the oracle gate checks.
+def _lsum_v(expr: str) -> str:
+    return f"CAST(FLOOR(({expr}) * 100000000.0 + 0.5) AS BIGINT)"
+
+
+def lsum_inner(expr: str, tag: str, div: str = "DIV") -> str:
+    """The three limb-sum aggregate columns (SQL fragment).  ``div`` is
+    the dialect's integer-division operator: ``DIV`` (Spark), ``//``
+    (DuckDB)."""
+    v = _lsum_v(expr)
+    return (
+        f"sum(({v}) % 1000000) AS {tag}_l0, "
+        f"sum((({v}) {div} 1000000) % 1000000) AS {tag}_l1, "
+        f"sum(({v}) {div} 1000000000000) AS {tag}_l2"
+    )
+
+
+def lsum_cols(expr: str, tag: str) -> list:
+    """Spark side of :func:`lsum_inner` for use in ``.agg(*...)``.
+    Catalyst CSEs the shared scaled subexpression across the three
+    sums (measured: inline within 12% of a hand-projected variant)."""
+    v = _lsum_v(expr)
+    return [
+        F.expr(f"sum(({v}) % 1000000)").alias(f"{tag}_l0"),
+        F.expr(f"sum((({v}) DIV 1000000) % 1000000)").alias(f"{tag}_l1"),
+        F.expr(f"sum(({v}) DIV 1000000000000)").alias(f"{tag}_l2"),
+    ]
+
+
+def lsum_out(tag: str, alias: str, div: str = "DIV") -> str:
+    """Recombine the three limb sums into the final double ``alias``.
+    total = l2*1e12 + l1*1e6 + l0 is split into intpart/frac with
+    overflow-safe long arithmetic (l1*1e6 would overflow directly), and
+    the double is intpart + frac/1e8 — the identical op sequence in
+    both dialects."""
+    f0 = f"(({tag}_l1 % 100) * 1000000 + {tag}_l0)"
+    ip = f"({tag}_l2 * 10000 + ({tag}_l1 {div} 100) + ({f0} {div} 100000000))"
+    return (
+        f"CAST({ip} AS DOUBLE) + CAST(({f0} % 100000000) AS DOUBLE)"
+        f" / 100000000.0 AS {alias}"
+    )
 
 
 # ------------------------------------------------------------- G7 / P4
@@ -40,31 +103,48 @@ def dsum_col(expr) -> F.Column:
     headline=True,
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {dsum('l_quantity', 'sum_qty')},
-       {dsum('l_extendedprice', 'sum_base_price')},
-       {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+       {lsum_out('sq', 'sum_qty', '//')},
+       {lsum_out('sbp', 'sum_base_price', '//')},
+       {lsum_out('sdp', 'sum_disc_price', '//')},
+       {lsum_out('sc', 'sum_charge', '//')},
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         {lsum_inner('l_quantity', 'sq', '//')},
+         {lsum_inner('l_extendedprice', 'sbp', '//')},
+         {lsum_inner('l_extendedprice * (1 - l_discount)', 'sdp', '//')},
+         {lsum_inner('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sc', '//')},
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus) g
 """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 analogue: scan + filter + hash aggregate.  The filter
-    and the 7-column projection push down into the parquet scan."""
+    and the 7-column projection push down into the parquet scan; the
+    four exact sums use the limb form (pure long accumulators, see
+    ``lsum_inner``) so the whole aggregate stays in codegen — measured
+    0.99 s → 0.35 s warm at sf0.1 vs the decimal-buffered dsum."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum_col(F.col("l_quantity")).alias("sum_qty"),
-            dsum_col(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            dsum_col(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
+            *lsum_cols("l_quantity", "sq"),
+            *lsum_cols("l_extendedprice", "sbp"),
+            *lsum_cols("l_extendedprice * (1 - l_discount)", "sdp"),
+            *lsum_cols("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            lsum_out("sq", "sum_qty"),
+            lsum_out("sbp", "sum_base_price"),
+            lsum_out("sdp", "sum_disc_price"),
+            lsum_out("sc", "sum_charge"),
+            "count_order",
         )
     )
 
@@ -74,17 +154,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="P4,G7",
     headline=True,
     oracle=f"""
-SELECT {dsum('l_extendedprice * l_discount', 'revenue')}
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-  AND l_discount >= 0.03 AND l_discount <= 0.07
-  AND l_quantity < 24
+SELECT {lsum_out('r', 'revenue', '//')}
+FROM (
+  SELECT {lsum_inner('l_extendedprice * l_discount', 'r', '//')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND l_discount >= 0.03 AND l_discount <= 0.07
+    AND l_quantity < 24) g
 """,
 )
 def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 analogue: pure scan-filter-agg; every predicate is
-    parquet-pushable, the scan reads 4 columns of 11."""
+    parquet-pushable, the scan reads 4 columns of 11.  Limb-form exact
+    sum (``lsum_inner``) keeps the global aggregate codegen-only."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     return (
         li.where(
@@ -94,7 +177,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(dsum_col(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(*lsum_cols("l_extendedprice * l_discount", "r"))
+        .selectExpr(lsum_out("r", "revenue"))
     )
 
 
@@ -104,16 +188,17 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="J3,G7,W4",
     headline=True,
     oracle=f"""
-SELECT l.l_orderkey,
-       {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
-       o.o_orderdate
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-GROUP BY l.l_orderkey, o.o_orderdate
+SELECT l_orderkey, {lsum_out('r', 'revenue', '//')}, o_orderdate
+FROM (
+  SELECT l.l_orderkey AS l_orderkey, o.o_orderdate AS o_orderdate,
+         {lsum_inner('l.l_extendedprice * (1 - l.l_discount)', 'r', '//')}
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate) g
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
@@ -140,7 +225,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderdate") < cutoff)
         .join(l.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_custkey")
-        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
+        .selectExpr("l_orderkey", "o_orderdate", "o_custkey", lsum_out("r", "revenue"))
     )
     return (
         per_order.join(
@@ -159,18 +245,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="J3,G7",
     headline=True,
     oracle=f"""
-SELECT n.n_name,
-       {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY n.n_name
+SELECT n_name, {lsum_out('r', 'revenue', '//')}
+FROM (
+  SELECT n.n_name AS n_name,
+         {lsum_inner('l.l_extendedprice * (1 - l.l_discount)', 'r', '//')}
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY n.n_name) g
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,7 +289,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
+        .selectExpr("n_name", lsum_out("r", "revenue"))
     )
 
 
