@@ -333,11 +333,26 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
     from pyspark.errors import AnalysisException
 
     def _gate(batch_df, batch_id):
+        import os
+
         spark = batch_df.sparkSession
         rows = []
         pending = []  # (path, persisted new-keys frame) — append AFTER the verdict
         for col in unique_cols:
             path = f"{index_dir}/{col}"
+            # A leftover backup dir means a compact_unique_index swap
+            # died between its two renames — `path` may be missing or
+            # half-written, and silently treating that as "first
+            # delivery" would forget the entire uniqueness history and
+            # wave cross-delivery duplicates through with violations=0.
+            # Refuse loudly; the backup holds the authoritative index.
+            if os.path.exists(f"{path}__precompact"):
+                raise RuntimeError(
+                    f"unique index at {path} has a leftover __precompact "
+                    "backup from an interrupted compaction; restore it "
+                    "(rename the backup over the index path) before "
+                    "resuming the gate"
+                )
             keys = (
                 batch_df.select(F.col(col).alias("_k"))
                 .where(F.col("_k").isNotNull())
@@ -384,6 +399,16 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
             (
                 new.withColumn("batch_id", F.lit(int(batch_id)))
                 .repartition("_kb")
+                # sort keys inside each bucket file so its parquet
+                # min/max key stats are tight — the next delivery's
+                # anti-join probe can then skip whole row groups, which
+                # is what keeps a uniform-hash delivery's probe sublinear
+                # in key history instead of reading every bucket in full.
+                # _kb leads the sort: partitionBy's writer requires rows
+                # ordered by the partition column and would insert its
+                # own (_k-destroying) sort if ours didn't already
+                # satisfy it
+                .sortWithinPartitions("_kb", "_k")
                 .write.mode("append")
                 .partitionBy("_kb")
                 .parquet(path)
@@ -412,7 +437,15 @@ def compact_unique_index(spark: SparkSession, index_dir: str,
     longer be filtered out by its own retry's ``batch_id`` guard.
     The rewrite goes to a sibling temp dir and lands via two renames
     (atomic on a POSIX filesystem; on an object store run it as a
-    copy-then-switch with a manifest instead).
+    copy-then-switch with a manifest instead).  Crash recovery: the
+    pre-swap index is kept at ``{path}__precompact`` until the swapped
+    index has been read back and its key count verified; a crash
+    between the renames therefore always leaves the backup on disk,
+    the gate refuses to run while it exists, and restoring is one
+    rename of the backup over the (possibly missing) index path.
+
+    Each bucket file is rewritten sorted by key so its parquet min/max
+    stats are tight and gate probes can skip row groups.
 
     Returns one row per column: ``(check_name, n_keys, files_before,
     files_after)`` — counted engine-portably via ``input_file_name``,
@@ -430,21 +463,35 @@ def compact_unique_index(spark: SparkSession, index_dir: str,
         shutil.rmtree(tmp, ignore_errors=True)
         (
             idx.repartition("_kb")
+            .sortWithinPartitions("_kb", "_k")
             .write.mode("overwrite")
             .partitionBy("_kb")
             .parquet(tmp)
         )
         old = f"{path}__precompact"
-        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(old):
+            raise RuntimeError(
+                f"leftover backup at {old} from an earlier interrupted "
+                "compaction; restore or remove it before compacting again"
+            )
         os.rename(path, old)
         os.rename(tmp, path)
-        shutil.rmtree(old)
+        # verify the swapped index BEFORE dropping the only backup: a
+        # truncated/corrupt rewrite must fail here, with recovery still
+        # one rename away
         after = (
             spark.read.parquet(path)
             .select(F.input_file_name())
             .distinct()
             .count()
         )
+        n_after = spark.read.parquet(path).count()
+        if n_after != n_keys:
+            raise RuntimeError(
+                f"compacted index at {path} has {n_after} rows, expected "
+                f"{n_keys}; pre-compaction index preserved at {old}"
+            )
+        shutil.rmtree(old)
         rows.append((f"unique({col})", n_keys, before, after))
     return spark.createDataFrame(
         rows,

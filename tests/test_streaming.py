@@ -637,3 +637,90 @@ def test_compact_unique_index_preserves_gate_semantics(spark, tmp_path):
     assert flat[2].violations == docs.where("doc_id % 3 = 0").count()
     assert not flat[2].passed
     assert flat[3].passed and flat[3].violations == 0
+
+
+def test_unique_gate_refuses_leftover_precompact_backup(spark, tmp_path):
+    """A compaction swap that died between its two renames leaves the
+    ``__precompact`` backup on disk and the index path missing or
+    half-written.  The gate must refuse to probe in that state — the
+    AnalysisException fallback would otherwise read it as "first
+    delivery" and silently forget the whole uniqueness history — and
+    must work again once the backup is restored over the index path."""
+    import os
+
+    import pytest
+
+    from scdataset_spark.streaming.events import unique_gate_batches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    idx = str(tmp_path / "key_index")
+    reports = []
+    gate = unique_gate_batches(
+        ["doc_id"], lambda df: reports.append(df.collect()), idx
+    )
+    gate(docs.where("doc_id % 2 = 0"), 0)
+
+    # simulate the crash window: index renamed away, new index not landed
+    os.rename(f"{idx}/doc_id", f"{idx}/doc_id__precompact")
+    with pytest.raises(RuntimeError, match="__precompact"):
+        gate(docs.where("doc_id % 2 = 1"), 1)
+
+    # recovery is one rename; afterwards history is intact — replaying
+    # delivery 0's keys under a new batch_id is still fully duplicate
+    os.rename(f"{idx}/doc_id__precompact", f"{idx}/doc_id")
+    gate(docs.where("doc_id % 2 = 0"), 2)
+    flat = {r.batch_id: r for rep in reports for r in rep}
+    assert flat[2].violations == docs.where("doc_id % 2 = 0").count()
+    assert not flat[2].passed
+
+
+def test_compact_unique_index_refuses_leftover_backup(spark, tmp_path):
+    """Compaction must not destroy an existing ``__precompact`` backup:
+    it is the only copy of the index if the previous swap half-landed."""
+    import os
+
+    import pytest
+
+    from scdataset_spark.streaming.events import (
+        compact_unique_index,
+        unique_gate_batches,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    idx = str(tmp_path / "key_index")
+    gate = unique_gate_batches(["doc_id"], lambda df: None, idx)
+    gate(docs.where("doc_id % 2 = 0"), 0)
+    os.makedirs(f"{idx}/doc_id__precompact")
+    with pytest.raises(RuntimeError, match="leftover backup"):
+        compact_unique_index(spark, idx, ["doc_id"])
+
+
+def test_gate_index_files_are_key_sorted(spark, tmp_path):
+    """Both the per-delivery append and the compaction rewrite sort keys
+    within each bucket file, so the files' parquet min/max key stats are
+    tight enough for the probe anti-join to skip row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from scdataset_spark.streaming.events import (
+        compact_unique_index,
+        unique_gate_batches,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    idx = str(tmp_path / "key_index")
+    gate = unique_gate_batches(["doc_id"], lambda df: None, idx)
+    gate(docs.where("doc_id % 3 = 0"), 0)
+    gate(docs.where("doc_id % 3 = 1"), 1)
+
+    def assert_sorted_files():
+        files = glob.glob(f"{idx}/doc_id/_kb=*/part-*.parquet")
+        assert files
+        for f in files:
+            ks = pq.read_table(f, columns=["_k"]).column("_k").to_pylist()
+            assert ks == sorted(ks), f"unsorted keys in {f}"
+
+    assert_sorted_files()  # append path
+    compact_unique_index(spark, idx, ["doc_id"])
+    assert_sorted_files()  # compaction path
