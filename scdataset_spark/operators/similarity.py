@@ -1846,6 +1846,28 @@ def _cell_group_size(n_clusters: int, max_dirs: int = 1024) -> int:
     return max(1, math.ceil(n_clusters / max_dirs))
 
 
+def _check_no_precompact(path: str) -> None:
+    """Refuse to touch an index whose last :func:`compact_ann_index`
+    swap died between its renames: the ``__precompact`` backup is then
+    the only authoritative copy, and probing the (missing or
+    half-written) index path would silently serve wrong neighbors.
+    Recovery is one rename of the backup over the index component."""
+    import glob as _glob
+    import os as _os
+
+    left = [
+        p
+        for p in _glob.glob(_os.path.join(path, "*__precompact"))
+        if _os.path.isdir(p)
+    ]
+    if left:
+        raise RuntimeError(
+            f"index at {path} has leftover __precompact backup(s) from an "
+            f"interrupted compaction: {sorted(left)}; restore them (rename "
+            "each backup over its component dir) before probing"
+        )
+
+
 def build_ann_index(
     candidates: DataFrame,
     path: str,
@@ -1938,6 +1960,7 @@ def ann_index_topk(
     essentially every cell anyway, so pruning is moot and the right
     plan is a shuffle join on the cell key.  Output:
     ``(query_id, cell, cand_id, cosine, rank)``."""
+    _check_no_precompact(path)
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
     q_cells = (
@@ -2209,6 +2232,102 @@ def append_to_pq_index(
     )
 
 
+def compact_ann_index(spark, path: str) -> DataFrame:
+    """Layout-preserving small-file compaction for a persisted ANN or
+    PQ index — the cheap maintenance verb between appends and a full
+    :func:`rebuild_ann_index`: every :func:`append_to_ann_index` /
+    :func:`append_to_pq_index` call writes one file per touched
+    ``cell_group`` (plus, for PQ, per-append archive range files), so a
+    frequently-appended index accumulates files linearly in append
+    count, and the file LISTING becomes the measured cold-probe driver
+    (the same write-side wall ``compact_unique_index`` closes for the
+    gate's key index).  This rewrites ``cells/`` to one file per
+    ``cell_group`` (sorted by ``cell``, so per-cell row-group pruning
+    via min/max stats is preserved) and, on the PQ layout, rewrites
+    ``archive/`` to the build's global range layout sorted by id
+    (restoring whole-file id pruning that per-append range files only
+    approximate).  Centroids and codebook are untouched: routing
+    geometry, probe semantics, and results are identical before and
+    after (pinned by test on both layouts).
+
+    MUST run quiescent (no concurrent append/probe).  Crash safety
+    mirrors :func:`compact_unique_index`: each component is rewritten
+    to a sibling temp dir and lands via two renames; the pre-swap
+    component is kept at ``<component>__precompact`` until the swapped
+    copy has been read back and row-count-verified, probes refuse to
+    run while such a backup exists (:func:`_check_no_precompact`), and
+    recovery is one rename.
+
+    Returns one report row per rewritten component:
+    ``(component, n_rows, files_before, files_after)``."""
+    import os
+    import shutil
+
+    _check_no_precompact(path)  # before the layout check: a half-swapped
+    # index has no cells/ but DOES have the backup, and that diagnosis wins
+    if not os.path.isdir(os.path.join(path, "cells")):
+        raise ValueError(
+            f"no persisted index at {path}: expected a cells/ directory "
+            "(build_ann_index / build_pq_index layout)"
+        )
+    is_pq = os.path.isdir(os.path.join(path, "codebook"))
+
+    def _swap(component: str, rewrite) -> tuple[str, int, int, int]:
+        cpath = os.path.join(path, component)
+        df = spark.read.parquet(cpath)
+        before = df.select(F.input_file_name()).distinct().count()
+        n_rows = df.count()
+        tmp = f"{cpath}__compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        rewrite(df, tmp)
+        old = f"{cpath}__precompact"
+        os.rename(cpath, old)
+        os.rename(tmp, cpath)
+        # verify BEFORE dropping the only backup
+        re = spark.read.parquet(cpath)
+        after = re.select(F.input_file_name()).distinct().count()
+        n_after = re.count()
+        if n_after != n_rows:
+            raise RuntimeError(
+                f"compacted {cpath} has {n_after} rows, expected {n_rows}; "
+                f"pre-compaction component preserved at {old}"
+            )
+        shutil.rmtree(old)
+        return component, n_rows, before, after
+
+    def _rewrite_cells(df, out):
+        (
+            df.repartition("cell_group")
+            .sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell_group")
+            .parquet(out)
+        )
+
+    rows = [_swap("cells", _rewrite_cells)]
+    if is_pq:
+        id_col = [
+            c
+            for c in spark.read.parquet(f"{path}/archive").columns
+            if c != "_v"
+        ][0]
+
+        def _rewrite_archive(df, out):
+            (
+                df.repartitionByRange(32, F.col(id_col))
+                .sortWithinPartitions(id_col)
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+
+        rows.append(_swap("archive", _rewrite_archive))
+    return spark.createDataFrame(
+        rows,
+        "component string, n_rows bigint, files_before bigint, "
+        "files_after bigint",
+    )
+
+
 def pq_index_topk(
     spark,
     path: str,
@@ -2243,6 +2362,7 @@ def pq_index_topk(
     driver lists, no broadcast of the corpus-sized routing frame, the
     archive fetch becomes a shuffle equi-join on the id.  Output:
     ``(query_id, cand_id, adc, cosine, rank)``."""
+    _check_no_precompact(path)
     cent = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
     q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
@@ -2331,8 +2451,8 @@ def rebuild_ann_index(
     n_clusters: int | None = None,
     seed: int = 11,
     vectorized_assign: bool | None = None,
-    dim: int = 64,
-    m: int = 8,
+    dim: int | None = None,
+    m: int | None = None,
     n_codes: int | None = None,
     pq_seed: int = 13,
     vectorized_encode: bool | None = None,
@@ -2365,27 +2485,53 @@ def rebuild_ann_index(
     construction, to :func:`build_ann_index`/:func:`build_pq_index` on
     the reconstructed corpus frame (pinned row-equal by test), so the
     decade-measured linear build curve in BENCH_SCALE.md is this
-    operator's cost curve too."""
+    operator's cost curve too.
+
+    PQ geometry (``dim``/``m``/``n_codes``) defaults to what the STORED
+    layout actually uses — ``m`` from the length of a stored code list,
+    ``dim`` from a stored archive vector, ``n_codes`` from the codebook
+    — and an explicitly passed value that contradicts the storage
+    raises instead of silently re-encoding with different quantization
+    geometry (a valid-looking index whose ADC behavior no longer
+    matches the build contract)."""
     import os as _os
 
-    if _os.path.normpath(out_path) == _os.path.normpath(path):
+    if _os.path.realpath(out_path) == _os.path.realpath(path):
         raise ValueError(
             "rebuild_ann_index must write to a fresh out_path: the build "
             "reads lazily from the old index, so in-place overwrite would "
             "corrupt it mid-scan"
         )
-    from pyspark.errors import AnalysisException
-
-    try:
-        cb = spark.read.parquet(f"{path}/codebook")
-        is_pq = True
-    except AnalysisException:
-        is_pq = False
+    _check_no_precompact(path)
+    if not _os.path.isdir(_os.path.join(path, "cells")):
+        raise ValueError(
+            f"no persisted index at {path}: expected a cells/ directory "
+            "(build_ann_index / build_pq_index layout)"
+        )
+    is_pq = _os.path.isdir(_os.path.join(path, "codebook"))
     if is_pq:
+        cb = spark.read.parquet(f"{path}/codebook")
         corpus = spark.read.parquet(f"{path}/archive")
         cand_id = [c for c in corpus.columns if c != "_v"][0]
+        stored_m = int(
+            spark.read.parquet(f"{path}/cells")
+            .select(F.size("_codes").alias("_m"))
+            .first()["_m"]
+        )
+        stored_dim = int(corpus.select(F.size("_v").alias("_d")).first()["_d"])
+        if m is not None and int(m) != stored_m:
+            raise ValueError(
+                f"m={m} contradicts the stored layout (code lists are "
+                f"{stored_m} long); rebuild with m=None to inherit it"
+            )
+        if dim is not None and int(dim) != stored_dim:
+            raise ValueError(
+                f"dim={dim} contradicts the stored layout (archive vectors "
+                f"are {stored_dim}-dimensional); rebuild with dim=None"
+            )
         build_pq_index(
-            corpus, out_path, n_clusters=n_clusters, dim=dim, m=m,
+            corpus, out_path, n_clusters=n_clusters, dim=stored_dim,
+            m=stored_m,
             n_codes=int(n_codes) if n_codes is not None else cb.count(),
             seed=seed, pq_seed=pq_seed, cand_id=cand_id, vec="_v",
             vectorized_encode=vectorized_encode,
@@ -2431,4 +2577,110 @@ def ann_recall(
         F.coalesce("_hits", F.lit(0)).cast("bigint").alias("hits"),
         F.col("_n").cast("bigint").alias("n_exact"),
         F.round(F.coalesce("_hits", F.lit(0)) / F.col("_n"), 4).alias("recall"),
+    )
+
+
+def pq_adc_agreement(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    refine: int = 3,
+    n_probe: int = 2,
+    query_id: str = "q_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Quantization-drift monitor for a persisted :func:`build_pq_index`
+    layout: per query, does the ADC (PQ-reconstruction) ranking still
+    surface the TRUE nearest neighbors of the cells it probes?
+    :func:`ann_recall` measures END-TO-END recall, which conflates
+    routing error (wrong cells probed — an :func:`ann_index_stats` /
+    geometry problem) with quantization error (right cells, wrong
+    order — a codebook problem).  This isolates the latter by comparing
+    ADC's top ``refine·k`` against the EXACT cosine top-k computed on
+    the SAME probed cells: agreement 1.0 means every true neighbor the
+    probe could have returned survived the ADC cut, so falling
+    agreement at stable occupancy is specifically the "codebook
+    trained on a distribution the appends have drifted away from"
+    signal — the rebuild trigger :func:`append_to_pq_index`'s drift
+    caveat prescribes.
+
+    Run it on a SAMPLED query set: the exact side fetches raw vectors
+    for every candidate in the probed cells (that is the point — it
+    must see neighbors ADC dropped), so cost is
+    |queries|·n_probe·avg-cell-occupancy archive rows, fine for a
+    monitoring sample, not for a corpus-sized batch.  Output:
+    ``(query_id, adc_hits, n_exact, agreement)``."""
+    _check_no_precompact(path)
+    cent = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
+    q_cells = persist_bounded(
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_dist", F.expr(_DIST_SQL.format(a="_qv", b="centroid")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy("_dist", "cell")
+            ),
+        )
+        .where(F.col("_rk") <= n_probe)
+        .select(query_id, "_qv", F.col("cell").alias("_cell"))
+    )
+    probed = [int(r[0]) for r in q_cells.select("_cell").distinct().collect()]
+    g = _cell_group_size(cent.count())
+    groups = sorted({c // g for c in probed})
+    lists = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell_group").isin(groups) & F.col("cell").isin(probed))
+        .drop("cell_group")
+    )
+    cand_id = [c for c in lists.columns if c not in ("_codes", "cell")][0]
+    dim_row = (
+        spark.read.parquet(f"{path}/archive")
+        .select(F.size("_v").alias("_d"))
+        .first()
+    )
+    m_row = lists.select(F.size("_codes").alias("_m")).first()
+    if dim_row is None or m_row is None:
+        raise ValueError(f"index at {path} is empty")
+    sub_dim = int(dim_row["_d"]) // int(m_row["_m"])
+    cb_arr = cb.agg(F.collect_list(F.struct("code", "codevec")).alias("_cb"))
+    recon = (
+        "flatten(transform(_codes, (cd, s) -> "
+        f"slice(filter(_cb, c -> c.code = cd)[0].codevec, s * {sub_dim} + 1, {sub_dim})))"
+    )
+    archive = spark.read.parquet(f"{path}/archive")
+    scored = (
+        lists.crossJoin(F.broadcast(cb_arr))
+        .withColumn("_rv", F.expr(recon))
+        .join(archive, cand_id)  # true vectors for the SAME candidates
+        .join(F.broadcast(q_cells), F.col("cell") == F.col("_cell"))
+        .where(F.col(query_id) != F.col(cand_id))
+        .withColumn("adc", F.expr(_DIST_SQL.format(a="_qv", b="_rv")))
+        .withColumn("cosine", cosine_expr("_qv", "_v"))
+    )
+    w_adc = Window.partitionBy(query_id).orderBy(F.col("adc"), F.col(cand_id))
+    w_cos = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(cand_id)
+    )
+    # two downstream branches (ADC cut, exact cut) — persist the shared
+    # sample-sized ranking or each branch re-runs the scoring subplan
+    # (the multi-branch persist rule, textanalysis.py:387)
+    ranked = persist_bounded(
+        scored.select(
+            query_id,
+            cand_id,
+            F.row_number().over(w_adc).alias("_ark"),
+            F.row_number().over(w_cos).alias("_xrk"),
+        )
+    )
+    adc_top = ranked.where(F.col("_ark") <= refine * k).select(query_id, cand_id)
+    exact_top = ranked.where(F.col("_xrk") <= k).select(query_id, cand_id)
+    rep = ann_recall(adc_top, exact_top, query_id=query_id, cand_id=cand_id)
+    return rep.select(
+        query_id,
+        F.col("hits").alias("adc_hits"),
+        "n_exact",
+        F.col("recall").alias("agreement"),
     )

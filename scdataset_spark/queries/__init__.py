@@ -46,6 +46,8 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new in round 13: never externally checked (prepended as added) ---
+    "sim_ivf_index_compacted",
+    "sim_pq_adc_agreement",
     # --- last externally checked in round 9 (3-round floor; MUST lead r13) ---
     "o13_ddp_partition",
     "o15_block_shuffle_droplast",

@@ -1024,9 +1024,14 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(q, c, k=3, planes=6)
 
 
-def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3, seed: int = 11) -> str:
+def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3, seed: int = 11,
+                cent_where: str = "") -> str:
     """Replays ivf_seeded_topk: mixer-picked centroids, rounded-argmin
-    cell assignment, n_probe probing, exact cosine re-rank."""
+    cell assignment, n_probe probing, exact cosine re-rank.
+
+    ``cent_where`` restricts the centroid-candidate pool (e.g. to the
+    initial-build slice of an appended index, whose routing geometry is
+    frozen at build time) without touching the assigned/probed corpus."""
     dist = (
         "round(list_aggregate(list_transform(range(1, 65), "
         "i -> ({a}[i]::DOUBLE - centroid[i]::DOUBLE) * ({a}[i]::DOUBLE - centroid[i]::DOUBLE)), 'sum'), 6)"
@@ -1041,7 +1046,7 @@ WITH cent AS (
   SELECT rk - 1 AS cell, centroid FROM (
     SELECT embedding AS centroid,
            row_number() OVER (ORDER BY {mix_sql('vec_id', seed, 'duckdb')}, vec_id) AS rk
-    FROM embeddings
+    FROM embeddings {cent_where}
   ) WHERE rk <= {n_clusters}
 ),
 assigned AS (
@@ -1453,6 +1458,156 @@ def sim_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, q, k=3, refine=3, n_probe=2, dim=64, m=_PQ_M,
         n_queries=20,
     )
+
+
+@query(
+    "sim_ivf_index_compacted",
+    survey_ref="§2.14 similarity",
+    oracle=_ivf_oracle(cent_where="WHERE vec_id % 4 = 0"),
+)
+def sim_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance verb between appends and a full rebuild
+    (``similarity.compact_ann_index``): build on a quarter of the
+    corpus, append the other three quarters in separate increments
+    (each append writes one file per touched cell group — the linear
+    small-file accumulation), compact the lists back to one file per
+    group, and probe.  Compaction preserves layout, routing geometry,
+    and results by contract, so the probe is value-checked by the SQL
+    oracle replaying the same build: centroids mixer-picked from the
+    initial quarter (append-frozen geometry), the whole corpus assigned
+    and probed — and the probe-equal pinned tests cover the PQ layout's
+    archive rewrite too."""
+    import hashlib
+    import os
+
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    ver = hashlib.md5(b"ivf_compact:n_clusters=8:seed=11:v1").hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/scdataset_spark_annidx_{ver}_{os.getpid()}/{base}"
+    sim.build_ann_index(
+        c.where("c_id % 4 = 0"), path, n_clusters=8, seed=11,
+        vectorized_assign=False,
+    )
+    for r in (1, 2, 3):
+        sim.append_to_ann_index(
+            c.where(f"c_id % 4 = {r}"), path, vectorized_assign=False
+        )
+    sim.compact_ann_index(spark, path)
+    return sim.ann_index_topk(spark, path, q, k=3, n_probe=2, n_queries=20)
+
+
+def _pq_adc_agreement_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3, refine: int = 3, seed: int = 11) -> str:
+    dist = (
+        "round(list_aggregate(list_transform(range(1, 65), "
+        "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), 'sum'), 6)"
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), 'sum'))), 4)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT rk - 1 AS cell, centroid FROM (
+    SELECT embedding AS centroid,
+           row_number() OVER (ORDER BY {mix_sql('vec_id', seed, 'duckdb')}, vec_id) AS rk
+    FROM embeddings
+  ) WHERE rk <= {n_clusters}
+),
+{_pq_codebook_sql().lstrip()},
+{_pq_codes_sql('c_id').lstrip()},
+recon AS (
+  SELECT c_id,
+         flatten(list(list_slice(cb.codevec, subspace * {_PQ_SUB} + 1,
+                                 subspace * {_PQ_SUB} + {_PQ_SUB})
+                      ORDER BY subspace)) AS rv
+  FROM codes JOIN cb USING (code)
+  GROUP BY c_id
+),
+assigned AS (
+  SELECT c_id, cv, cell FROM (
+    SELECT e.vec_id AS c_id, e.embedding AS cv, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.embedding', b='cent.centroid')}, cent.cell) AS ark
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE ark = 1
+),
+probed AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT e.vec_id AS q_id, e.embedding AS qv, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.embedding', b='cent.centroid')}, cent.cell) AS prk
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < 20
+  ) WHERE prk <= {n_probe}
+),
+scored AS (
+  SELECT q_id, qv, a.c_id AS c_id, cv,
+         {dist.format(a='qv', b='r.rv')} AS adc
+  FROM assigned a
+  JOIN probed p ON a.cell = p.cell AND p.q_id <> a.c_id
+  JOIN recon r ON r.c_id = a.c_id
+),
+adc_top AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS ark
+    FROM scored
+  ) WHERE ark <= {refine * k}
+),
+exact_top AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY {cos} DESC, c_id) AS xrk
+    FROM scored
+  ) WHERE xrk <= {k}
+),
+per_q AS (
+  SELECT e.q_id, count(a.c_id) AS adc_hits, count(*) AS n_exact
+  FROM exact_top e LEFT JOIN adc_top a ON e.q_id = a.q_id AND e.c_id = a.c_id
+  GROUP BY e.q_id
+)
+SELECT q_id, CAST(adc_hits AS BIGINT) AS adc_hits,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(adc_hits * 1.0 / n_exact, 4) AS agreement
+FROM per_q
+"""
+
+
+@query(
+    "sim_pq_adc_agreement",
+    survey_ref="§2.14 similarity",
+    oracle=_pq_adc_agreement_oracle(),
+)
+def sim_pq_adc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC-vs-exact rank agreement on the persisted PQ layout
+    (``similarity.pq_adc_agreement``) — the codebook-drift monitor the
+    append lifecycle prescribes: per sampled query, the overlap between
+    ADC's top refine·k and the exact cosine top-k computed on the SAME
+    probed cells.  Unlike end-to-end recall (``sim_ivf_recall``) this
+    isolates quantization error from routing error, so falling
+    agreement at stable cell occupancy is specifically the
+    retrain-the-codebook (rebuild) signal.  The oracle replays the
+    whole pipeline — seeded centroids, codebook, codes, ADC and exact
+    rankings — and intersects them in SQL, pinning every per-query
+    agreement value."""
+    import hashlib
+    import os
+
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    ver = hashlib.md5(b"pq_adc_agree:n_clusters=8:seed=11:pq13:v1").hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/scdataset_spark_pqidx_{ver}_{os.getpid()}/{base}"
+    sim.build_pq_index(
+        c, path, n_clusters=8, dim=64, m=_PQ_M, n_codes=_PQ_CODES,
+        seed=11, pq_seed=_PQ_SEED,
+        vectorized_encode=False, vectorized_assign=False,
+    )
+    return sim.pq_adc_agreement(spark, path, q, k=3, refine=3, n_probe=2)
 
 
 # --------------------------------------------------- multimodal (M1-M5)

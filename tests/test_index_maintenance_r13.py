@@ -1,0 +1,223 @@
+"""Round-13 index maintenance verbs: compact_ann_index (layout-
+preserving small-file compaction for appended ANN/PQ indexes, the gate
+compaction's sibling), crash-safe swap guards, rebuild geometry
+validation, and the ADC-vs-exact agreement monitor."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _cands(spark):
+    from scdataset_spark.catalog import load_table
+
+    e = load_table(spark, "embeddings", SF_DIR, with_row_id=False)
+    return e.select(F.col("vec_id").alias("c_id"), "embedding")
+
+
+def _queries(spark):
+    return _cands(spark).where("c_id < 20").select(
+        F.col("c_id").alias("q_id"), "embedding"
+    )
+
+
+class TestCompactAnnIndex:
+    def test_ann_probe_identical_and_files_collapse(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import (
+            ann_index_topk,
+            append_to_ann_index,
+            build_ann_index,
+            compact_ann_index,
+        )
+
+        c = _cands(spark)
+        path = str(tmp_path / "ann")
+        build_ann_index(
+            c.where("c_id % 4 = 0"), path, n_clusters=8, seed=11,
+            vectorized_assign=False,
+        )
+        for r in (1, 2, 3):  # three appends -> per-append small files
+            append_to_ann_index(
+                c.where(f"c_id % 4 = {r}"), path, vectorized_assign=False
+            )
+        q = _queries(spark)
+        before = sorted(map(tuple, ann_index_topk(
+            spark, path, q, k=3, n_probe=2, n_queries=20
+        ).collect()))
+        files_before = len(glob.glob(f"{path}/cells/cell_group=*/part-*.parquet"))
+
+        rep = {r.component: r for r in compact_ann_index(spark, path).collect()}
+        assert rep["cells"].files_after < rep["cells"].files_before
+        assert rep["cells"].n_rows == c.count()
+        files_after = len(glob.glob(f"{path}/cells/cell_group=*/part-*.parquet"))
+        assert files_after == rep["cells"].files_after < files_before
+        # no backup left behind after a successful compaction
+        assert not glob.glob(f"{path}/*__precompact")
+
+        after = sorted(map(tuple, ann_index_topk(
+            spark, path, q, k=3, n_probe=2, n_queries=20
+        ).collect()))
+        assert after == before and len(after) > 0
+
+    def test_pq_probe_identical_and_archive_compacts(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import (
+            append_to_pq_index,
+            build_pq_index,
+            compact_ann_index,
+            pq_index_topk,
+        )
+
+        c = _cands(spark)
+        path = str(tmp_path / "pq")
+        build_pq_index(
+            c.where("c_id % 3 = 0"), path, n_clusters=8, dim=64, m=8,
+            n_codes=16, seed=11, pq_seed=13,
+            vectorized_encode=False, vectorized_assign=False,
+        )
+        for r in (1, 2):
+            append_to_pq_index(
+                c.where(f"c_id % 3 = {r}"), path, dim=64, m=8,
+                vectorized_encode=False, vectorized_assign=False,
+            )
+        q = _queries(spark)
+        before = sorted(map(tuple, pq_index_topk(
+            spark, path, q, k=3, refine=3, n_probe=2, n_queries=20
+        ).collect()))
+
+        rep = {r.component: r for r in compact_ann_index(spark, path).collect()}
+        assert set(rep) == {"cells", "archive"}
+        assert rep["archive"].files_after < rep["archive"].files_before
+        assert rep["archive"].n_rows == c.count()
+
+        after = sorted(map(tuple, pq_index_topk(
+            spark, path, q, k=3, refine=3, n_probe=2, n_queries=20
+        ).collect()))
+        assert after == before and len(after) > 0
+
+    def test_compacted_cells_stay_cell_sorted(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from scdataset_spark.operators.similarity import (
+            append_to_ann_index,
+            build_ann_index,
+            compact_ann_index,
+        )
+
+        c = _cands(spark)
+        path = str(tmp_path / "ann")
+        build_ann_index(
+            c.where("c_id % 2 = 0"), path, n_clusters=8, seed=11,
+            vectorized_assign=False,
+        )
+        append_to_ann_index(
+            c.where("c_id % 2 = 1"), path, vectorized_assign=False
+        )
+        compact_ann_index(spark, path)
+        files = glob.glob(f"{path}/cells/cell_group=*/part-*.parquet")
+        assert files
+        for f in files:
+            cells = pq.read_table(f, columns=["cell"]).column("cell").to_pylist()
+            assert cells == sorted(cells), f"unsorted cells in {f}"
+
+    def test_refuses_missing_index_and_leftover_backup(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import (
+            ann_index_topk,
+            build_ann_index,
+            compact_ann_index,
+        )
+
+        with pytest.raises(ValueError, match="no persisted index"):
+            compact_ann_index(spark, str(tmp_path / "nope"))
+
+        c = _cands(spark).where("c_id < 200")
+        path = str(tmp_path / "ann")
+        build_ann_index(c, path, n_clusters=4, seed=11, vectorized_assign=False)
+        # simulate a swap that died between its two renames
+        os.rename(f"{path}/cells", f"{path}/cells__precompact")
+        q = _queries(spark)
+        with pytest.raises(RuntimeError, match="__precompact"):
+            ann_index_topk(spark, path, q, k=3, n_probe=2, n_queries=20)
+        with pytest.raises(RuntimeError, match="__precompact"):
+            compact_ann_index(spark, path)
+        # recovery is one rename; probe works again
+        os.rename(f"{path}/cells__precompact", f"{path}/cells")
+        got = ann_index_topk(
+            spark, path, q, k=3, n_probe=2, n_queries=20
+        ).collect()
+        assert len(got) > 0
+
+
+class TestRebuildGeometryValidation:
+    def test_rejects_mismatched_m_and_dim(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import (
+            build_pq_index,
+            rebuild_ann_index,
+        )
+
+        c = _cands(spark).where("c_id < 400")
+        path = str(tmp_path / "pq")
+        build_pq_index(
+            c, path, n_clusters=4, dim=64, m=8, n_codes=16, seed=11,
+            pq_seed=13, vectorized_encode=False, vectorized_assign=False,
+        )
+        with pytest.raises(ValueError, match="contradicts the stored layout"):
+            rebuild_ann_index(spark, path, f"{path}__rb", m=4)
+        with pytest.raises(ValueError, match="contradicts the stored layout"):
+            rebuild_ann_index(spark, path, f"{path}__rb", dim=32)
+
+    def test_rejects_missing_path_with_clear_error(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import rebuild_ann_index
+
+        with pytest.raises(ValueError, match="no persisted index"):
+            rebuild_ann_index(spark, str(tmp_path / "typo"), str(tmp_path / "o"))
+
+    def test_rejects_symlinked_in_place_alias(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import (
+            build_ann_index,
+            rebuild_ann_index,
+        )
+
+        c = _cands(spark).where("c_id < 100")
+        path = str(tmp_path / "real")
+        build_ann_index(c, path, n_clusters=2, seed=11, vectorized_assign=False)
+        alias = str(tmp_path / "alias")
+        os.symlink(path, alias)
+        with pytest.raises(ValueError, match="fresh out_path"):
+            rebuild_ann_index(spark, path, alias, n_clusters=2)
+
+
+class TestPqAdcAgreement:
+    def test_agreement_bounds_and_self_consistency(self, spark, tmp_path):
+        """Agreement is in [0, 1] per query, the denominator is the
+        exact-on-probed-cells top-k size, and with refine·k covering
+        every probed candidate the ADC cut can drop nothing, so
+        agreement is exactly 1.0."""
+        from scdataset_spark.operators.similarity import (
+            build_pq_index,
+            pq_adc_agreement,
+        )
+
+        c = _cands(spark)
+        path = str(tmp_path / "pq")
+        build_pq_index(
+            c, path, n_clusters=8, dim=64, m=8, n_codes=16, seed=11,
+            pq_seed=13, vectorized_encode=False, vectorized_assign=False,
+        )
+        q = _queries(spark)
+        rep = pq_adc_agreement(
+            spark, path, q, k=3, refine=3, n_probe=2
+        ).collect()
+        assert len(rep) == 20
+        for r in rep:
+            assert 0.0 <= r.agreement <= 1.0
+            assert r.n_exact <= 3 and r.adc_hits <= r.n_exact
+        # a refine window as large as the probed candidate pool keeps
+        # every exact neighbor: agreement == 1.0 for every query
+        wide = pq_adc_agreement(
+            spark, path, q, k=3, refine=100000, n_probe=2
+        ).collect()
+        assert all(r.agreement == 1.0 for r in wide)
