@@ -463,14 +463,33 @@ def token_budget_by_source(
     ``None`` resolves from the MAX per-source row count (``n_rows``
     skips the probe and is compared as that max).
     """
+    from scdataset_spark.operators._cache import persist_bounded
     from scdataset_spark.operators.similarity import AUTO_SCALE_ROWS
+
+    # Build the slim persisted projection BEFORE any buckets=None probe:
+    # the per-source count probe otherwise executes the expensive
+    # upstream (tokenization, quality scoring — measured 30-100 s at
+    # sf1000d) one extra time on the unpersisted frame, the exact pass
+    # the persist exists to avoid.  The probe then WARMS the same cache
+    # every downstream branch reuses.
+    neg = None
+
+    def _neg():
+        nonlocal neg
+        if neg is None:
+            neg = persist_bounded(
+                df.select(id_col, source_col, quality_col, token_col)
+                .withColumn("_negq", -F.col(quality_col))
+            )
+        return neg
 
     if buckets is None:
         if n_rows is not None:
             n = int(n_rows)
         else:
             n = (
-                df.groupBy(source_col)
+                _neg()
+                .groupBy(source_col)
                 .count()
                 .agg(F.max("count").alias("m"))
                 .collect()[0]["m"]
@@ -479,24 +498,21 @@ def token_budget_by_source(
         buckets = 64 if n >= AUTO_SCALE_ROWS else 0
     out = [id_col, source_col, token_col, "cum_tokens"]
     if buckets == 0:
+        # reuse the warmed projection when the probe built it; with an
+        # explicit buckets=0 nothing was persisted and df is used as-is
+        src = neg if neg is not None else df
         w = (
             Window.partitionBy(source_col)
             .orderBy(F.col(quality_col).desc(), F.col(id_col))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         return (
-            df.withColumn("cum_tokens", F.sum(token_col).over(w))
+            src.withColumn("cum_tokens", F.sum(token_col).over(w))
             .where(F.col("cum_tokens") <= budget)
             .select(*out)
         )
-    from scdataset_spark.operators._cache import persist_bounded
-
     # same three-branch persist rationale as token_budget above
-    neg = persist_bounded(
-        df.select(id_col, source_col, quality_col, token_col).withColumn(
-            "_negq", -F.col(quality_col)
-        )
-    )
+    neg = _neg()
     stats = neg.agg(F.min("_negq").alias("_lo"), F.max("_negq").alias("_hi"))
     b = (
         neg.crossJoin(F.broadcast(stats))
@@ -567,14 +583,28 @@ def quality_rank_by_source(
     rank == row_number and ties cannot diverge).  ``None`` resolves
     from the MAX per-source count.
     """
+    from scdataset_spark.operators._cache import persist_bounded
     from scdataset_spark.operators.similarity import AUTO_SCALE_ROWS
+
+    # slim persisted projection FIRST, so a buckets=None probe warms the
+    # same cache the ranking branches reuse instead of re-running the
+    # expensive scoring upstream once extra (same rationale as
+    # token_budget_by_source)
+    slim = None
+
+    def _slim():
+        nonlocal slim
+        if slim is None:
+            slim = persist_bounded(df.select(id_col, source_col, quality_col))
+        return slim
 
     if buckets is None:
         if n_rows is not None:
             n = int(n_rows)
         else:
             n = (
-                df.groupBy(source_col)
+                _slim()
+                .groupBy(source_col)
                 .count()
                 .agg(F.max("count").alias("m"))
                 .collect()[0]["m"]
@@ -583,14 +613,12 @@ def quality_rank_by_source(
         buckets = 64 if n >= AUTO_SCALE_ROWS else 0
     out = [id_col, source_col, quality_col, "q_pct"]
     if buckets == 0:
+        src = slim if slim is not None else df
         w = Window.partitionBy(source_col).orderBy(
             F.col(quality_col), F.col(id_col)
         )
-        return df.withColumn("q_pct", F.percent_rank().over(w)).select(*out)
-    from scdataset_spark.operators._cache import persist_bounded
-
-    # same three-branch persist rationale as token_budget above
-    slim = persist_bounded(df.select(id_col, source_col, quality_col))
+        return src.withColumn("q_pct", F.percent_rank().over(w)).select(*out)
+    slim = _slim()
     stats = slim.agg(
         F.min(quality_col).alias("_lo"), F.max(quality_col).alias("_hi")
     )

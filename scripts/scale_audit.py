@@ -554,7 +554,26 @@ def probe_recall_curve(spark) -> dict:
     n = c.count()
     cand = c.select(F.col("vec_id").alias("c_id"), F.col("v").alias("embedding"))
     path = _ann_index_path()
-    if not _os.path.exists(f"{path}/centroids"):
+    # The cached index path is keyed only by the SF_DIR basename, and
+    # make_table_sf.py makes fixture regeneration routine — verify the
+    # stored index actually matches the CURRENT corpus (row count and
+    # the auto-resolved centroid count) before reusing it, else a stale
+    # /tmp index silently poisons the recall curve that ann_index_topk's
+    # docstring cites as the measured basis for n_probe sizing.
+    reuse = False
+    if _os.path.exists(f"{path}/centroids"):
+        stored_n = spark.read.parquet(f"{path}/cells").count()
+        stored_k = spark.read.parquet(f"{path}/centroids").count()
+        reuse = stored_n == n and stored_k == max(64, n // 4500)
+        if not reuse:
+            import shutil as _shutil
+
+            print(
+                f"[recall] stale index at {path} (stored n={stored_n}, "
+                f"k={stored_k}; corpus n={n}) — rebuilding"
+            )
+            _shutil.rmtree(path)
+    if not reuse:
         build_ann_index(
             cand, path, n_clusters=max(64, n // 4500),
             vectorized_assign=True, n_rows=n,

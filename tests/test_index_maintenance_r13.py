@@ -221,3 +221,40 @@ class TestPqAdcAgreement:
             spark, path, q, k=3, refine=100000, n_probe=2
         ).collect()
         assert all(r.agreement == 1.0 for r in wide)
+
+
+class TestLifecycleExample:
+    def test_example_runs_end_to_end_at_sf001(self, spark, tmp_path):
+        """The lifecycle example (build -> probe -> append -> compact ->
+        monitor -> decide -> rebuild) runs end-to-end at sf0.01 in CI
+        time, uses a >=100-query seeded sample for the recall monitor,
+        and the rebuild restores recall to at least the appended index's
+        level (fresh geometry can only help at fixed n_probe)."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "index_lifecycle",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "examples",
+                "index_lifecycle.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        out = mod.run(spark, SF_DIR, str(tmp_path), verbose=False)
+        assert out["n_queries"] >= 100
+        assert out["files_after"] < out["files_before"]
+        assert 0.0 <= out["current_recall"] <= 1.0
+        assert out["rebuild_reason"] in ("occupancy", "recall", "none")
+        assert out["rebuild_needed"] == (
+            out["occ_ratio"] > mod.OCC_HOT_RATIO
+            or out["recall_drop"] > mod.RECALL_DROP
+        )
+        # at fixture scale the cell budget re-resolves to the same floor
+        # (64 cells for 500 vectors), so the rebuild resamples geometry
+        # rather than right-sizing it — recall must not crater, but a
+        # small fixture-noise move either way is expected
+        assert out["rebuilt_recall"] >= out["current_recall"] - 0.1
