@@ -51,12 +51,23 @@ def main() -> None:
     # Interference control (r12 postmortem): 13/14 warm queries drifted
     # up together in one round with none of their code touched — a
     # session-level slowdown is indistinguishable from a regression
-    # unless the bench itself measures the session.  This probe times a
-    # FIXED reference plan (pure JVM scan+agg, no Python, no shuffle of
-    # note) at the start and again at the end of the run; the ratio is
-    # reported so a drifted round can be attributed (noise_ratio >> 1)
-    # or ruled out (noise_ratio ~ 1 ⇒ the query delta is real).
-    def noise_probe() -> float:
+    # unless the bench itself measures the session.  Two probes with
+    # distinct jobs:
+    #
+    # - cpu_probe: a GIL-bound pure-Python loop (one core, no JIT
+    #   tiering, no BLAS/IO) run at the START and END — its drift is
+    #   real machine noise (neighbor VMs, frequency), because Python
+    #   has no warmup curve to confound it.  Measured within-run ratio
+    #   on a quiet box: ~1.0x.
+    # - jvm_probe: a FIXED reference plan (pure JVM scan+agg) run once
+    #   at the END, when C2 tiering has converged — a steady-state
+    #   machine constant to compare ACROSS rounds.  (Running it at the
+    #   start too was tried and reads ~1.7-1.9x slower purely from JVM
+    #   tiering, so a start/end JVM ratio flags every session as noisy.)
+    #
+    # /proc/stat CPU-steal over the run completes the attribution: high
+    # steal = the hypervisor took the CPU, not a plan regression.
+    def jvm_probe() -> float:
         def once() -> float:
             t0 = time.perf_counter()
             spark.range(0, 200_000_000, 1, CPUS).selectExpr(
@@ -66,11 +77,6 @@ def main() -> None:
 
         return round(min(once() for _ in range(3)), 3)
 
-    # Machine fingerprint, JVM-free: a GIL-bound pure-Python loop (one
-    # core, no BLAS/JIT/IO) and the kernel's CPU-steal counter.  Rounds
-    # run on freshly-placed VMs, so "same code, ±25% wall" across
-    # rounds is only attributable if each BENCH_r{N}.json records how
-    # fast THIS box was and how much CPU the hypervisor took back.
     def cpu_probe() -> float:
         def once() -> float:
             t0 = time.perf_counter()
@@ -87,14 +93,12 @@ def main() -> None:
         vals = [int(x) for x in parts]
         return vals[7] if len(vals) > 7 else 0, sum(vals)  # steal, total
 
-    cpu_probe_sec = cpu_probe()
+    cpu_probe_start = cpu_probe()
     steal0, stat_total0 = read_stat()
 
     # warm the JVM / codegen / parquet footers before timing anything
     run_one(spark, REGISTRY["tx_token_stats"].fn, SF_DIR)
     run_one(spark, REGISTRY["q6_revenue_forecast"].fn, SF_DIR)
-    noise_probe()  # untimed: compile/JIT the probe plan itself
-    noise_start = noise_probe()
     # ... and the Python worker pool: the FIRST Arrow/Pandas stage of a
     # session forks one CPython worker per core and imports
     # pandas+pyarrow in each (~3s wall on 32 cores — measured: a trivial
@@ -255,8 +259,13 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
 
     b1024_sps, b1024_sps_spread = timed_sps(_b1024_run)
-    noise_end = noise_probe()
-    noise_ratio = round(max(noise_start, noise_end) / min(noise_start, noise_end), 3)
+    jvm_probe_sec = jvm_probe()
+    cpu_probe_end = cpu_probe()
+    noise_ratio = round(
+        max(cpu_probe_start, cpu_probe_end)
+        / min(cpu_probe_start, cpu_probe_end),
+        3,
+    )
     steal1, stat_total1 = read_stat()
     steal_pct = round(100.0 * (steal1 - steal0) / max(1, stat_total1 - stat_total0), 3)
     b1024_counts = _b1024_plan().groupBy("batch_id", "l_returnflag").agg(
@@ -292,13 +301,16 @@ def main() -> None:
                 # fixed-plan session-noise control: >1 means the box got
                 # slower/faster between the start and end of this run;
                 # compare rounds only when both runs report ~1.0
-                "noise_probe_start_sec": noise_start,
-                "noise_probe_end_sec": noise_end,
+                # single-core pure-Python loop at start and end: its
+                # drift is REAL machine noise (no JIT warmup to confound)
+                "cpu_probe_start_sec": cpu_probe_start,
+                "cpu_probe_end_sec": cpu_probe_end,
                 "noise_probe_ratio": noise_ratio,
                 "noisy_session": noise_ratio > 1.25,
-                # single-core pure-Python loop: machine-speed constant
-                # for cross-round comparison (JVM- and cache-free)
-                "cpu_probe_sec": cpu_probe_sec,
+                # fixed JVM plan at steady state: cross-ROUND machine
+                # constant (start-side JVM probes read ~1.8x slower from
+                # C2 tiering alone, so only the end value is comparable)
+                "jvm_probe_sec": jvm_probe_sec,
                 # % of CPU time the hypervisor took from this VM during
                 # the run (neighbor interference, /proc/stat steal)
                 "cpu_steal_pct": steal_pct,

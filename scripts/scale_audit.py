@@ -611,6 +611,88 @@ def run_one(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def compaction_audit(spark, n_appends: int = 7) -> dict:
+    """compact_ann_index's BENCH_SCALE row: build the persisted IVF
+    index on 1/(n_appends+1) of the corpus, append the other slices one
+    at a time (each append writes one file per touched cell group — the
+    linear small-file accumulation this verb exists for), then measure
+    the probe before and after compaction.  Every probe here re-lists
+    the cells/ directory (``spark.read.parquet`` builds a fresh
+    FileIndex per call), so the listing cost — the measured cold-probe
+    driver — is captured in both numbers; min-of-3 suppresses scheduler
+    noise per the audit's standard discipline."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import (
+        ann_index_topk,
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+    )
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, SF_DIR)
+    n = c.count()
+    cand = c.select(F.col("vec_id").alias("c_id"), F.col("v").alias("embedding"))
+    path = _ann_index_path() + "_compaction"
+    _shutil.rmtree(path, ignore_errors=True)
+    k_slices = n_appends + 1
+    t0 = time.perf_counter()
+    build_ann_index(
+        cand.where(f"vec_id % {k_slices} = 0"), path,
+        n_clusters=max(64, n // 4500), vectorized_assign=True,
+        n_rows=n // k_slices,
+    )
+    build_sec = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    for r in range(1, k_slices):
+        append_to_ann_index(
+            cand.where(f"vec_id % {k_slices} = {r}"), path,
+            vectorized_assign=True, n_rows=n // k_slices,
+        )
+    append_sec = round(time.perf_counter() - t0, 1)
+
+    q = c.where("vec_id < 20").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("embedding")
+    )
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        ann_index_topk(
+            spark, path, q, k=10, n_probe=4, n_queries=24
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def n_files() -> int:
+        return len(_glob.glob(f"{path}/cells/cell_group=*/part-*.parquet"))
+
+    files_before = n_files()
+    probes_before = [probe() for _ in range(3)]
+    t0 = time.perf_counter()
+    rep = {r.component: r for r in compact_ann_index(spark, path).collect()}
+    compact_sec = round(time.perf_counter() - t0, 1)
+    files_after = n_files()
+    probes_after = [probe() for _ in range(3)]
+    _shutil.rmtree(path, ignore_errors=True)
+    return {
+        "n_vectors": int(n),
+        "n_appends": n_appends,
+        "build_sec": build_sec,
+        "append_total_sec": append_sec,
+        "files_before": files_before,
+        "files_after": files_after,
+        "probe_before_first_sec": round(probes_before[0], 2),
+        "probe_before_min_sec": round(min(probes_before), 2),
+        "probe_after_first_sec": round(probes_after[0], 2),
+        "probe_after_min_sec": round(min(probes_after), 2),
+        "compact_sec": compact_sec,
+        "report_rows": int(rep["cells"].n_rows),
+    }
+
+
 def fixture_health(spark) -> dict:
     """Flat-across-scale metrics: if cross-replica content leaks, avg
     shingle df inflates superlinearly (the r6 cipher-leak signature)."""
@@ -690,6 +772,11 @@ def main() -> None:
         elif a == "recall":
             print(
                 json.dumps({"probe_recall_curve": probe_recall_curve(spark)}),
+                flush=True,
+            )
+        elif a == "compaction":
+            print(
+                json.dumps({"compaction_audit": compaction_audit(spark)}),
                 flush=True,
             )
         elif a in GROUPS:
