@@ -2232,6 +2232,134 @@ def append_to_pq_index(
     )
 
 
+ANN_INGEST_ID_BUCKETS = 64
+
+
+def ann_ingest_batches(
+    path: str,
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    on_report=None,
+):
+    """STREAMING twin of :func:`append_to_ann_index` /
+    :func:`append_to_pq_index` — the index-maintenance verb as a
+    ``foreachBatch`` callback, closing the lifecycle into Structured
+    Streaming the same way ``novel_documents``' foreachBatch twin does
+    for incremental dedup: embeddings arrive as micro-batch deliveries
+    and each delivery is appended under the index's FROZEN stored
+    geometry, O(delivery) per batch.  Layout auto-detected (``codebook/``
+    marks the PQ shape; ``dim``/``m`` are ignored for the raw-vector
+    layout and validated against storage by the append itself for PQ).
+
+    Cross-delivery idempotence: an ``_ingested_ids/`` sidecar
+    (key-hash-partitioned and key-sorted exactly like
+    ``unique_gate_batches``' index, so the per-delivery anti-join is
+    partition-pruned and row-group-skippable) records every ingested
+    id; a delivery's ids already present — from earlier deliveries OR
+    from a completed earlier attempt of the SAME batch — are skipped,
+    so overlapping deliveries and replays of fully-committed batches
+    append nothing twice.  The one non-atomic window: a crash BETWEEN
+    the cells append and the sidecar append replays that delivery's
+    vectors into the lists twice (plain parquet has no cross-directory
+    transaction; on Delta/Iceberg make the two appends one commit).
+    :func:`ann_ingest_consistency` detects exactly that window —
+    cells ids exceeding sidecar ids — and :func:`rebuild_ann_index`
+    clears it.
+
+    ``on_report(batch_id, n_batch, n_new)`` observes each delivery."""
+    import os
+
+    def _ingest(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _check_no_precompact(path)
+        is_pq = os.path.isdir(os.path.join(path, "codebook"))
+        ids = (
+            batch_df.select(F.col(cand_id))
+            .where(F.col(cand_id).isNotNull())
+            .distinct()
+            .withColumn(
+                "_kb", F.pmod(F.hash(cand_id), F.lit(ANN_INGEST_ID_BUCKETS))
+            )
+        )
+        n_batch = ids.count()
+        side = f"{path}/_ingested_ids"
+        if os.path.exists(side):
+            buckets = [int(r[0]) for r in ids.select("_kb").distinct().collect()]
+            seen = spark.read.parquet(side).where(F.col("_kb").isin(buckets))
+            new_ids = ids.join(
+                seen, ids[cand_id] == seen["_k"], "left_anti"
+            )
+        else:
+            new_ids = ids
+        # plain persist, NOT persist_bounded: the registry dedupes by
+        # canonicalized plan, which compares parquet relations by ROOT
+        # PATH — a later delivery (or a rerun against a recreated index
+        # at the same path) would be handed a frame whose resolved file
+        # listing predates this append and read deleted files
+        new_ids = new_ids.select(cand_id, "_kb").persist()
+        n_new = new_ids.count()
+        if n_new:
+            new_vecs = batch_df.select(cand_id, vec).join(
+                new_ids.select(cand_id), cand_id, "left_semi"
+            )
+            if is_pq:
+                append_to_pq_index(
+                    new_vecs, path, dim=dim, m=m, cand_id=cand_id, vec=vec,
+                    n_rows=n_new,
+                )
+            else:
+                append_to_ann_index(
+                    new_vecs, path, cand_id=cand_id, vec=vec, n_rows=n_new
+                )
+            # sidecar LAST: its presence certifies the cells append
+            # committed, so replays skip exactly the committed ids
+            (
+                new_ids.select(
+                    F.col(cand_id).alias("_k"),
+                    "_kb",
+                )
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .repartition("_kb")
+                .sortWithinPartitions("_kb", "_k")
+                .write.mode("append")
+                .partitionBy("_kb")
+                .parquet(side)
+            )
+        new_ids.unpersist()
+        if on_report is not None:
+            on_report(int(batch_id), int(n_batch), int(n_new))
+
+    return _ingest
+
+
+def ann_ingest_consistency(spark, path: str) -> DataFrame:
+    """One-row health report for a stream-ingested index: distinct ids
+    in the inverted lists vs ids in the ``_ingested_ids`` sidecar.
+    ``duplicate_ids > 0`` is the signature of the documented
+    crash-between-appends window (a delivery's vectors landed twice);
+    ``unrecorded_ids > 0`` means rows reached the lists outside the
+    streaming path (direct ``append_to_ann_index`` calls — fine, just
+    invisible to ingest dedup).  Repair for duplicates is
+    :func:`rebuild_ann_index`, which deduplicates by id when it
+    reconstructs the corpus from the index's own storage."""
+    cells = spark.read.parquet(f"{path}/cells")
+    cid = [c for c in cells.columns if c not in ("_v", "_codes", "cell", "cell_group")][0]
+    n_rows = cells.count()
+    n_ids = cells.select(cid).distinct().count()
+    try:
+        side = spark.read.parquet(f"{path}/_ingested_ids")
+        n_side = side.select("_k").distinct().count()
+    except Exception:
+        n_side = 0
+    return spark.createDataFrame(
+        [(n_rows, n_ids, n_side, n_rows - n_ids, max(0, n_ids - n_side))],
+        "list_rows bigint, distinct_ids bigint, sidecar_ids bigint, "
+        "duplicate_ids bigint, unrecorded_ids bigint",
+    )
+
+
 def compact_ann_index(spark, path: str) -> DataFrame:
     """Layout-preserving small-file compaction for a persisted ANN or
     PQ index — the cheap maintenance verb between appends and a full
@@ -2321,6 +2449,19 @@ def compact_ann_index(spark, path: str) -> DataFrame:
             )
 
         rows.append(_swap("archive", _rewrite_archive))
+    if os.path.isdir(os.path.join(path, "_ingested_ids")):
+        # stream-ingested indexes also accumulate one sidecar file per
+        # touched bucket per delivery — same rewrite as the gate index
+        def _rewrite_side(df, out):
+            (
+                df.repartition("_kb")
+                .sortWithinPartitions("_kb", "_k")
+                .write.mode("overwrite")
+                .partitionBy("_kb")
+                .parquet(out)
+            )
+
+        rows.append(_swap("_ingested_ids", _rewrite_side))
     return spark.createDataFrame(
         rows,
         "component string, n_rows bigint, files_before bigint, "
@@ -2511,8 +2652,14 @@ def rebuild_ann_index(
     is_pq = _os.path.isdir(_os.path.join(path, "codebook"))
     if is_pq:
         cb = spark.read.parquet(f"{path}/codebook")
+        # dropDuplicates: a crash between ann_ingest_batches' two appends
+        # can land a delivery's rows twice (ann_ingest_consistency is the
+        # detector); the rebuild is the documented repair, so it must
+        # read each id ONCE.  Duplicate rows carry identical vectors (a
+        # re-appended delivery), so the arbitrary pick is value-stable.
         corpus = spark.read.parquet(f"{path}/archive")
         cand_id = [c for c in corpus.columns if c != "_v"][0]
+        corpus = corpus.dropDuplicates([cand_id])
         stored_m = int(
             spark.read.parquet(f"{path}/cells")
             .select(F.size("_codes").alias("_m"))
@@ -2540,6 +2687,8 @@ def rebuild_ann_index(
     else:
         corpus = spark.read.parquet(f"{path}/cells").drop("cell", "cell_group")
         cand_id = [c for c in corpus.columns if c != "_v"][0]
+        # same crash-window dedup as the PQ branch
+        corpus = corpus.dropDuplicates([cand_id])
         build_ann_index(
             corpus, out_path, n_clusters=n_clusters, seed=seed,
             cand_id=cand_id, vec="_v",

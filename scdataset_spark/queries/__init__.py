@@ -48,6 +48,7 @@ _SWEEP_PRIORITY = [
     # --- new in round 13: never externally checked (prepended as added) ---
     "sim_ivf_index_compacted",
     "sim_pq_adc_agreement",
+    "sim_ann_ingest_consistency",
     # --- last externally checked in round 9 (3-round floor; MUST lead r13) ---
     "o13_ddp_partition",
     "o15_block_shuffle_droplast",

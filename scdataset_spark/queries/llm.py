@@ -1576,6 +1576,63 @@ FROM per_q
 """
 
 
+_ANN_INGEST_RUN = 0
+
+
+@query(
+    "sim_ann_ingest_consistency",
+    survey_ref="§2.14 similarity, §2.11",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS list_rows,
+       CAST(count(*) AS BIGINT) AS distinct_ids,
+       CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS sidecar_ids,
+       CAST(0 AS BIGINT) AS duplicate_ids,
+       CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS unrecorded_ids
+FROM embeddings
+""",
+)
+def sim_ann_ingest_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance, health-checked
+    (``similarity.ann_ingest_batches`` + ``ann_ingest_consistency``):
+    build on the even ids, ingest the odd ids through the foreachBatch
+    callback in two overlapping deliveries (the id sidecar makes
+    re-delivered ids append-once), then report list rows vs distinct
+    ids vs sidecar ids.  Exactly-once ingest makes every count
+    SQL-predictable: all ids present once (duplicate_ids = 0), the
+    sidecar holds exactly the streamed half, and the built half is
+    "unrecorded" (it predates the stream — the documented meaning of
+    that column)."""
+    import hashlib
+    import os
+
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    ver = hashlib.md5(b"ann_ingest:n_clusters=8:seed=11:v1").hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    # fresh UNIQUE path per run (not an rmtree of a shared one): the
+    # sidecar survives build_ann_index's overwrite, a stale one would
+    # make a rerun skip every id, and recreating files under a path an
+    # earlier run's plans resolved leaves deleted-file listings in any
+    # still-referenced frame — a unique dir sidesteps all three
+    global _ANN_INGEST_RUN
+    _ANN_INGEST_RUN += 1
+    path = (
+        f"/tmp/scdataset_spark_annidx_{ver}_{os.getpid()}"
+        f"/run{_ANN_INGEST_RUN}/{base}"
+    )
+    sim.build_ann_index(
+        c.where("c_id % 2 = 0"), path, n_clusters=8, seed=11,
+        vectorized_assign=False,
+    )
+    ingest = sim.ann_ingest_batches(path)
+    # two deliveries with overlap: ids % 4 == 1 arrive twice and must
+    # append once (deterministic direct calls — the availableNow twin
+    # runs in tests/test_index_maintenance_r13.py)
+    ingest(c.where("c_id % 4 in (1, 3)"), 0)
+    ingest(c.where("c_id % 4 = 1"), 1)
+    return sim.ann_ingest_consistency(spark, path)
+
+
 @query(
     "sim_pq_adc_agreement",
     survey_ref="§2.14 similarity",

@@ -429,30 +429,45 @@ def w5_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w5_running_revenue",
     survey_ref="W2,W5",
-    oracle="""
-SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8)))
-            OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
-                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
-FROM lineitem
+    oracle=f"""
+SELECT l_suppkey, l_orderkey, l_linenumber, {lsum_out('r', 'running_rev', '//')}
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         sum(v % 1000000) OVER w AS r_l0,
+         sum((v // 1000000) % 1000000) OVER w AS r_l1,
+         sum(v // 1000000000000) OVER w AS r_l2
+  FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               {_lsum_v('l_extendedprice')} AS v
+        FROM lineitem)
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)
+) g
 """,
 )
 def w5_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running cumulative revenue per supplier (the same running-sum
-    machinery the inverse-CDF sampler uses, W2) — decimal-exact so the
-    prefix sums match the oracle bitwise."""
+    machinery the inverse-CDF sampler uses, W2) — exact prefix sums in
+    the limb form (``lsum_inner``): three long window accumulators over
+    the 1e-8 fixed-point value instead of one BigDecimal-backed decimal
+    buffer, identical in both engines per-row (measured 0.78 → 0.63 s
+    warm at sf0.1; windows amortize less than hash aggregates because
+    the partition sort dominates)."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     w = (
         Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).over(w).cast("double").alias("running_rev"),
+    return (
+        li.withColumn("_v", F.expr(_lsum_v("l_extendedprice")))
+        .withColumn("r_l0", F.sum(F.expr("_v % 1000000")).over(w))
+        .withColumn("r_l1", F.sum(F.expr("(_v DIV 1000000) % 1000000")).over(w))
+        .withColumn("r_l2", F.sum(F.expr("_v DIV 1000000000000")).over(w))
+        .selectExpr(
+            "l_suppkey", "l_orderkey", "l_linenumber",
+            lsum_out("r", "running_rev"),
+        )
     )
 
 

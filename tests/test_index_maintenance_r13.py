@@ -258,3 +258,125 @@ class TestLifecycleExample:
         # rather than right-sizing it — recall must not crater, but a
         # small fixture-noise move either way is expected
         assert out["rebuilt_recall"] >= out["current_recall"] - 0.1
+
+
+class TestAnnIngestBatches:
+    def _build(self, spark, tmp_path, frac="c_id % 4 = 0"):
+        from scdataset_spark.operators.similarity import build_ann_index
+
+        c = _cands(spark)
+        path = str(tmp_path / "ann")
+        build_ann_index(c.where(frac), path, n_clusters=8, seed=11,
+                        vectorized_assign=False)
+        return c, path
+
+    def test_streamed_ingest_equals_one_shot_append(self, spark, tmp_path):
+        """availableNow deliveries through the foreachBatch ingest (with
+        OVERLAPPING ids across deliveries) must leave the index
+        probe-identical to a single append of the distinct union, and
+        the per-batch reports must show the overlap being skipped."""
+        from scdataset_spark.operators.similarity import (
+            ann_index_topk,
+            ann_ingest_batches,
+            append_to_ann_index,
+        )
+
+        c, path = self._build(spark, tmp_path)
+        incoming = c.where("c_id % 4 != 0")
+        src = str(tmp_path / "increments")
+        # delivery overlap: ids % 4 == 1 appear in BOTH files
+        incoming.where("c_id % 4 in (1, 2)").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        incoming.where("c_id % 4 in (1, 3)").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        reports = []
+        q = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)  # two real deliveries
+            .parquet(src)
+            .writeStream.foreachBatch(
+                ann_ingest_batches(
+                    path, on_report=lambda b, n, new: reports.append((b, n, new))
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+        total_new = sum(new for _, _, new in reports)
+        assert total_new == incoming.count()  # every id exactly once
+        assert sum(n for _, n, _ in reports) > total_new  # overlap skipped
+
+        # reference: same corpus via one batch append
+        from scdataset_spark.operators.similarity import build_ann_index
+
+        ref = str(tmp_path / "ref")
+        build_ann_index(c.where("c_id % 4 = 0"), ref, n_clusters=8, seed=11,
+                        vectorized_assign=False)
+        append_to_ann_index(incoming, ref, vectorized_assign=False)
+        qf = _queries(spark)
+        got = sorted(map(tuple, ann_index_topk(
+            spark, path, qf, k=3, n_probe=2, n_queries=20).collect()))
+        want = sorted(map(tuple, ann_index_topk(
+            spark, ref, qf, k=3, n_probe=2, n_queries=20).collect()))
+        assert got == want and len(got) > 0
+
+    def test_replay_of_committed_batch_appends_nothing(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import ann_ingest_batches
+
+        c, path = self._build(spark, tmp_path)
+        batch = c.where("c_id % 4 = 1")
+        reports = []
+        ingest = ann_ingest_batches(
+            path, on_report=lambda b, n, new: reports.append((b, n, new))
+        )
+        ingest(batch, 7)
+        ingest(batch, 7)  # replay of the SAME fully-committed batch
+        assert reports[0][2] == batch.count()
+        assert reports[1][2] == 0
+
+    def test_consistency_detects_crash_window_and_rebuild_repairs(
+        self, spark, tmp_path
+    ):
+        from scdataset_spark.operators.similarity import (
+            ann_ingest_batches,
+            ann_ingest_consistency,
+            append_to_ann_index,
+            rebuild_ann_index,
+        )
+
+        c, path = self._build(spark, tmp_path)
+        batch = c.where("c_id % 4 = 1")
+        ann_ingest_batches(path)(batch, 0)
+        clean = ann_ingest_consistency(spark, path).first()
+        assert clean.duplicate_ids == 0
+
+        # simulate the crash window: the delivery's cells append landed,
+        # the sidecar append didn't, and the replay re-appended
+        append_to_ann_index(batch, path, vectorized_assign=False)
+        dirty = ann_ingest_consistency(spark, path).first()
+        assert dirty.duplicate_ids == batch.count()
+
+        rebuild_ann_index(spark, path, f"{path}__rb", n_clusters=8, seed=11,
+                          vectorized_assign=False)
+        rebuilt = spark.read.parquet(f"{path}__rb/cells")
+        assert rebuilt.count() == rebuilt.select("c_id").distinct().count()
+
+    def test_compaction_covers_the_sidecar(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import (
+            ann_ingest_batches,
+            compact_ann_index,
+        )
+
+        c, path = self._build(spark, tmp_path)
+        ingest = ann_ingest_batches(path)
+        ingest(c.where("c_id % 4 = 1"), 0)
+        ingest(c.where("c_id % 4 = 2"), 1)
+        rep = {r.component: r for r in compact_ann_index(spark, path).collect()}
+        assert "_ingested_ids" in rep
+        assert rep["_ingested_ids"].files_after <= rep["_ingested_ids"].files_before
