@@ -81,6 +81,22 @@ def persist_bounded(df: DataFrame) -> DataFrame:
             except Exception:  # e.g. session of `old` already stopped
                 continue
             if same:
+                # an entry that is no longer cached (bytes-pressure
+                # sweep, external unpersist) must NOT be handed back:
+                # its plan was resolved when it was registered, and for
+                # parquet relations canonicalization compares only the
+                # ROOT PATH — files rewritten at that path since then
+                # (compaction swaps, rebuilt indexes, regenerated
+                # fixtures) leave the stale object reading deleted
+                # files.  Treat it as a miss: drop it and register the
+                # caller's freshly-resolved frame instead.
+                try:
+                    still_cached = old.storageLevel.useMemory or old.storageLevel.useDisk
+                except Exception:
+                    still_cached = False
+                if not still_cached:
+                    _CACHE.pop(i)
+                    break
                 _CACHE.append(_CACHE.pop(i))
                 if old.columns == df.columns:
                     return old

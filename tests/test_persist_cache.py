@@ -177,3 +177,23 @@ def test_bytes_probe_none_keeps_count_bound_only(spark, monkeypatch):
         _cache.persist_bounded(spark.range(40 + i).selectExpr(f"id + {i} AS w"))
     assert len(_cache._CACHE) == 3
     _fresh()
+
+
+def test_unpersisted_entry_is_a_miss_not_a_stale_hit(spark):
+    """An entry that lost its cached storage (external unpersist or the
+    bytes-pressure sweep) must be treated as a MISS: for parquet
+    relations, plan canonicalization compares only the root path, so a
+    stale registry object can hold a file listing that predates a
+    rewrite at that path (compaction swap, rebuilt index) and would
+    read deleted files.  The registry drops it and registers the
+    caller's freshly-resolved frame instead."""
+    from scdataset_spark.operators._cache import _CACHE, persist_bounded
+
+    a = persist_bounded(spark.range(123).selectExpr("id * 7 AS x"))
+    assert a in _CACHE
+    a.unpersist()  # external unpersist — entry is now storage-less
+    b = persist_bounded(spark.range(123).selectExpr("id * 7 AS x"))
+    assert b is not a, "stale storage-less entry must not be handed back"
+    assert a not in _CACHE and b in _CACHE
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk
+    assert [r.x for r in b.collect()] == [i * 7 for i in range(123)]
