@@ -335,15 +335,16 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     survey_ref="J3,G7,W4",
     oracle=f"""
-SELECT c.c_custkey, c.c_name,
-       {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
-       n.n_name
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE l.l_returnflag = 'R'
-GROUP BY c.c_custkey, c.c_name, n.n_name
+SELECT c_custkey, c_name, {lsum_out('r', 'revenue', '//')}, n_name
+FROM (
+  SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+         {lsum_inner('l.l_extendedprice * (1 - l.l_discount)', 'r', '//')}
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name) g
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
@@ -359,8 +360,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l.where(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
+        .selectExpr("c_custkey", "c_name", lsum_out("r", "revenue"), "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -563,17 +564,25 @@ def setops_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g7_rollup_lineitem",
     survey_ref="G7",
     oracle=f"""
-SELECT l_returnflag, l_linestatus,
-       count(*) AS n,
-       {dsum('l_quantity', 'sum_qty')}
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, n, {lsum_out('sq', 'sum_qty', '//')}
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n,
+         {lsum_inner('l_quantity', 'sq', '//')}
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)) g
 """,
 )
 def g7_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP composes with the limb sums unchanged: every grouping set
+    gets its three long accumulators, recombined per output row."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum_col(F.col("l_quantity")).alias("sum_qty")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), *lsum_cols("l_quantity", "sq"))
+        .selectExpr(
+            "l_returnflag", "l_linestatus", "n", lsum_out("sq", "sum_qty")
+        )
     )
 
 
@@ -658,35 +667,36 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="J3,G7",
     oracle=f"""
 SELECT CAST(
-         100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(24,8))) AS DOUBLE)
-         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE)
+         100.0 * ({lsum_out('pm', 'x', '//').replace(' AS x', '')})
+         / ({lsum_out('rv', 'x', '//').replace(' AS x', '')})
        AS DOUBLE) AS promo_share
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+FROM (
+  SELECT {lsum_inner("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 'pm', '//')},
+         {lsum_inner('l_extendedprice * (1 - l_discount)', 'rv', '//')}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00') g
 """,
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 analogue: promo revenue share (LIKE-prefixed CASE over
-    a join; both sums decimal-exact, division once)."""
+    a join; both sums limb-exact, division once after recombination)."""
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     p = load_table(spark, "part", sf_dir, with_row_id=False)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    rev = "l_extendedprice * (1 - l_discount)"
+    promo = f"CASE WHEN p_type LIKE 'PROMO%' THEN {rev} ELSE 0 END"
+    ratio = (
+        f"CAST(100.0 * ({lsum_out('pm', 'x').replace(' AS x', '')})"
+        f" / ({lsum_out('rv', 'x').replace(' AS x', '')}) AS DOUBLE) AS promo_share"
+    )
     return (
         l.where(
             (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
         )
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            (
-                F.lit(100.0)
-                * F.sum(promo.cast("decimal(24,8)")).cast("double")
-                / F.sum(rev.cast("decimal(24,8)")).cast("double")
-            ).alias("promo_share")
-        )
+        .agg(*lsum_cols(promo, "pm"), *lsum_cols(rev, "rv"))
+        .selectExpr(ratio)
     )
 
 
@@ -694,11 +704,13 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_disjunctive_predicates",
     survey_ref="P4,J3",
     oracle=f"""
-SELECT {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}, count(*) AS n
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
-   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
-   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+SELECT {lsum_out('r', 'revenue', '//')}, n
+FROM (
+  SELECT {lsum_inner('l_extendedprice * (1 - l_discount)', 'r', '//')}, count(*) AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+     OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+     OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)) g
 """,
 )
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,9 +723,13 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
     )
-    return joined.where(cond).agg(
-        dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        joined.where(cond)
+        .agg(
+            *lsum_cols("l_extendedprice * (1 - l_discount)", "r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(lsum_out("r", "revenue"), "n")
     )
 
 
@@ -1022,7 +1038,7 @@ def sq_correlated_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     survey_ref="J3,G7,§2.10",
-    oracle="""
+    oracle=f"""
 WITH flows AS (
   SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -1035,9 +1051,11 @@ WITH flows AS (
   JOIN nation nc ON nc.n_nationkey = c.c_nationkey
   WHERE ns.n_nationkey <> nc.n_nationkey
 )
-SELECT supp_nation, cust_nation, l_year,
-       CAST(sum(CAST(volume AS DECIMAL(24,8))) AS DOUBLE) AS revenue
-FROM flows GROUP BY supp_nation, cust_nation, l_year
+SELECT supp_nation, cust_nation, l_year, {lsum_out('r', 'revenue', '//')}
+FROM (
+  SELECT supp_nation, cust_nation, l_year,
+         {lsum_inner('volume', 'r', '//')}
+  FROM flows GROUP BY supp_nation, cust_nation, l_year) g
 """,
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,17 +1078,20 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("_nc_key"))
         .where(F.col("_ns_key") != F.col("_nc_key"))
     )
-    return flows.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
-    ).agg(
-        dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    return (
+        flows.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
+        .selectExpr("supp_nation", "cust_nation", "l_year", lsum_out("r", "revenue"))
     )
 
 
 @query(
     "q8_market_share",
     survey_ref="J3,G7",
-    oracle="""
+    oracle=f"""
 WITH all_flows AS (
   SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -1082,10 +1103,13 @@ WITH all_flows AS (
   JOIN region r ON r.r_regionkey = n.n_regionkey
 )
 SELECT o_year,
-       CAST(CAST(sum(CASE WHEN supp_region = 'ASIA' THEN CAST(volume AS DECIMAL(24,8))
-                          ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
-            / CAST(sum(CAST(volume AS DECIMAL(24,8))) AS DOUBLE) AS DOUBLE) AS mkt_share
-FROM all_flows GROUP BY o_year
+       CAST(({lsum_out('a', 'asia_rev', '//').replace(' AS asia_rev', '')})
+            / ({lsum_out('t', 'total_rev', '//').replace(' AS total_rev', '')}) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT o_year,
+         {lsum_inner("CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0 END", 'a', '//')},
+         {lsum_inner('volume', 't', '//')}
+  FROM all_flows GROUP BY o_year) g
 """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,19 +1122,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, "supplier", sf_dir, with_row_id=False)
     n = load_table(spark, "nation", sf_dir, with_row_id=False)
     r = load_table(spark, "region", sf_dir, with_row_id=False)
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
-    zero = F.lit(0).cast("decimal(24,8)")
+    vol = "l_extendedprice * (1 - l_discount)"
     flows = (
         li.join(o, o.o_orderkey == li.l_orderkey)
         .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
     )
-    return flows.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
-        (
-            F.sum(F.when(F.col("r_name") == "ASIA", vol).otherwise(zero)).cast("double")
-            / F.sum(vol).cast("double")
-        ).cast("double").alias("mkt_share")
+    asia = f"CASE WHEN r_name = 'ASIA' THEN {vol} ELSE 0 END"
+    ratio = (
+        f"CAST(({lsum_out('a', 'x').replace(' AS x', '')})"
+        f" / ({lsum_out('t', 'x').replace(' AS x', '')}) AS DOUBLE) AS mkt_share"
+    )
+    return (
+        flows.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(*lsum_cols(asia, "a"), *lsum_cols(vol, "t"))
+        .selectExpr("o_year", ratio)
     )
 
 
@@ -1119,12 +1146,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="J3,G7,W4",
     oracle=f"""
 WITH revenue AS (
-  SELECT l_suppkey AS supplier_no,
-         {dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-  GROUP BY l_suppkey
+  SELECT supplier_no, {lsum_out('r', 'total_revenue', '//')}
+  FROM (
+    SELECT l_suppkey AS supplier_no,
+           {lsum_inner('l_extendedprice * (1 - l_discount)', 'r', '//')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey) g
 )
 SELECT s.s_suppkey, s.s_name, r.total_revenue
 FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
@@ -1133,7 +1162,7 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 analogue: a revenue CTE consumed twice (join side +
-    scalar-max subquery).  The decimal-exact revenue makes the equality
+    scalar-max subquery).  The limb-exact revenue makes the equality
     against max() engine-safe — with raw double sums the winner could
     differ by partial-agg order."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
@@ -1144,11 +1173,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
-        )
+        .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
+        .selectExpr("supplier_no", lsum_out("r", "total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("_m"))
     return (
@@ -1257,22 +1283,27 @@ WITH profit AS (
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   WHERE p.p_name LIKE '%a%'
 )
-SELECT nation, o_year, {dsum('amount', 'sum_profit')}
-FROM profit GROUP BY nation, o_year
+SELECT nation, o_year, {lsum_out('pr', 'sum_profit', '//')}
+FROM (
+  SELECT nation, o_year, {lsum_inner('amount', 'pr', '//')}
+  FROM profit GROUP BY nation, o_year) g
 """,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 analogue (partsupp-free: supply cost proxied at 10% of
     retail price): profit rollup by supplier nation and order year over
-    a four-dimension join with a LIKE filter pushed to the part scan."""
+    a four-dimension join with a LIKE filter pushed to the part scan.
+    The profit sum uses the limb form — amounts here go NEGATIVE
+    (supply cost can exceed the discounted price), exercising the
+    truncated-DIV/% sign guarantees ``lsum_inner`` documents."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     p = load_table(spark, "part", sf_dir, with_row_id=False)
     s = load_table(spark, "supplier", sf_dir, with_row_id=False)
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     n = load_table(spark, "nation", sf_dir, with_row_id=False)
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * 0.1
+    amount = (
+        "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1"
+    )
     return (
         li.join(p.where(F.col("p_name").like("%a%")), p.p_partkey == li.l_partkey)
         .join(s, s.s_suppkey == li.l_suppkey)
@@ -1282,7 +1313,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(dsum_col(amount).alias("sum_profit"))
+        .agg(*lsum_cols(amount, "pr"))
+        .selectExpr("nation", "o_year", lsum_out("pr", "sum_profit"))
     )
 
 
@@ -1512,16 +1544,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q20_potential_promotion",
     survey_ref="J3",
-    oracle="""
+    oracle=f"""
 WITH agg AS (
-  SELECT l.l_partkey, l.l_suppkey,
-         CAST(sum(CAST(l.l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS qty
-  FROM lineitem l
-  JOIN part p ON p.p_partkey = l.l_partkey
-  WHERE p.p_name LIKE 'small%'
-    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l.l_shipdate < TIMESTAMP '1997-01-01'
-  GROUP BY 1, 2
+  SELECT l_partkey, l_suppkey, {lsum_out('q', 'qty', '//')}
+  FROM (
+    SELECT l.l_partkey AS l_partkey, l.l_suppkey AS l_suppkey,
+           {lsum_inner('l.l_quantity', 'q', '//')}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2) g
 ),
 tot AS (SELECT l_partkey, sum(qty) AS part_total FROM agg GROUP BY 1),
 qual AS (
@@ -1555,7 +1589,8 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(pf, li.l_partkey == pf.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(dsum_col(F.col("l_quantity")).alias("qty"))
+        .agg(*lsum_cols("l_quantity", "q"))
+        .selectExpr("l_partkey", "l_suppkey", lsum_out("q", "qty"))
     )
     tot = agg.groupBy("l_partkey").agg(F.sum("qty").alias("part_total"))
     qual = (
@@ -1614,13 +1649,18 @@ def j_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g7_unpivot_flag_metrics",
     survey_ref="G7,§2.10",
-    oracle="""
+    oracle=f"""
 WITH a AS (
   SELECT l_returnflag,
-         CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS total_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) AS total_price,
-         CAST(count(*) AS DOUBLE) AS n_rows
-  FROM lineitem GROUP BY 1
+         {lsum_out('tq', 'total_qty', '//')},
+         {lsum_out('tp', 'total_price', '//')},
+         CAST(n AS DOUBLE) AS n_rows
+  FROM (
+    SELECT l_returnflag,
+           {lsum_inner('l_quantity', 'tq', '//')},
+           {lsum_inner('l_extendedprice', 'tp', '//')},
+           count(*) AS n
+    FROM lineitem GROUP BY 1) g
 )
 SELECT l_returnflag, metric, value
 FROM a UNPIVOT (value FOR metric IN (total_qty, total_price, n_rows))
@@ -1630,12 +1670,22 @@ def g7_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt (the inverse of g7's pivot): wide per-flag aggregate
     columns reshaped to (flag, metric, value) rows — `DataFrame.unpivot`
     on the Spark side, `UNPIVOT` in the oracle.  Runs on a 3-row
-    aggregate, so the reshape is metadata-cheap at any scale."""
+    aggregate, so the reshape is metadata-cheap at any scale; the two
+    exact sums use the limb form (``lsum_inner``)."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
-    a = li.groupBy("l_returnflag").agg(
-        dsum_col(F.col("l_quantity")).alias("total_qty"),
-        dsum_col(F.col("l_extendedprice")).alias("total_price"),
-        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    a = (
+        li.groupBy("l_returnflag")
+        .agg(
+            *lsum_cols("l_quantity", "tq"),
+            *lsum_cols("l_extendedprice", "tp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            lsum_out("tq", "total_qty"),
+            lsum_out("tp", "total_price"),
+            "CAST(n AS DOUBLE) AS n_rows",
+        )
     )
     return a.unpivot(
         ids=["l_returnflag"],
