@@ -2283,11 +2283,21 @@ def ann_ingest_batches(
                 "_kb", F.pmod(F.hash(cand_id), F.lit(ANN_INGEST_ID_BUCKETS))
             )
         )
-        n_batch = ids.count()
+        stats = ids.agg(
+            F.count(cand_id).alias("_n"),
+            F.min(cand_id).alias("_lo"),
+            F.max(cand_id).alias("_hi"),
+        ).first()
+        n_batch = int(stats["_n"])
         side = f"{path}/_ingested_ids"
-        if os.path.exists(side):
+        if os.path.exists(side) and n_batch:
             buckets = [int(r[0]) for r in ids.select("_kb").distinct().collect()]
-            seen = spark.read.parquet(side).where(F.col("_kb").isin(buckets))
+            # the delivery's id range is a sound pushed filter on the
+            # key-sorted sidecar (ids outside it cannot be re-deliveries)
+            seen = spark.read.parquet(side).where(
+                F.col("_kb").isin(buckets)
+                & F.col("_k").between(stats["_lo"], stats["_hi"])
+            )
             new_ids = ids.join(
                 seen, ids[cand_id] == seen["_k"], "left_anti"
             )

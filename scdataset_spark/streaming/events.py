@@ -361,7 +361,15 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
                     F.pmod(F.hash("_k"), F.lit(UNIQUE_INDEX_BUCKETS)),
                 )
             )
-            nonnull = keys.count()
+            # one agg yields the gate count AND the delivery's key range
+            # (vs the previous separate count job); the range becomes a
+            # PUSHED predicate on the index read below
+            stats = keys.agg(
+                F.count("_k").alias("_n"),
+                F.min("_k").alias("_lo"),
+                F.max("_k").alias("_hi"),
+            ).first()
+            nonnull = int(stats["_n"])
             dist = keys.distinct()
             try:
                 buckets = [
@@ -372,6 +380,18 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
                     F.col("_kb").isin(buckets)
                     & (F.col("batch_id") != int(batch_id))
                 )
+                if nonnull:
+                    # keys outside [batch min, batch max] cannot collide
+                    # with this delivery, so the range is a SOUND filter
+                    # — and because append/compaction keep each bucket
+                    # file sorted by _k, it reaches the parquet scan as
+                    # a PushedFilter whose row-group min/max stats are
+                    # tight: a key-range-localized delivery (the common
+                    # monotone-id ingest) skips most of the key history
+                    # physically, not just logically
+                    idx = idx.where(
+                        F.col("_k").between(stats["_lo"], stats["_hi"])
+                    )
                 new = dist.join(idx, dist["_k"] == idx["_k"], "left_anti")
             except AnalysisException:  # first delivery: no index yet
                 new = dist

@@ -724,3 +724,38 @@ def test_gate_index_files_are_key_sorted(spark, tmp_path):
     assert_sorted_files()  # append path
     compact_unique_index(spark, idx, ["doc_id"])
     assert_sorted_files()  # compaction path
+
+
+def test_gate_probe_pushes_key_range_into_index_scan(spark, tmp_path):
+    """The delivery's [min, max] key range is a sound filter on the
+    index read (out-of-range keys cannot collide) and must reach the
+    parquet scan as a PushedFilter — with key-sorted bucket files this
+    is physical row-group skipping for key-range-localized deliveries
+    (the common monotone-id ingest), not just a logical predicate.
+    Also pins correctness: a range-localized second delivery still
+    detects its duplicates exactly."""
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.streaming.events import unique_gate_batches
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    idx = str(tmp_path / "key_index")
+    reports = []
+    gate = unique_gate_batches(
+        ["doc_id"], lambda df: reports.append(df.collect()), idx
+    )
+    gate(docs.where("doc_id < 300"), 0)
+    # second delivery: half new ids, half replays, all range-localized
+    gate(docs.where("doc_id >= 200 AND doc_id < 400"), 1)
+    flat = {r.batch_id: r for rep in reports for r in rep}
+    n_dup = docs.where("doc_id >= 200 AND doc_id < 300").count()
+    assert flat[1].violations == n_dup
+
+    # the plan the gate builds for delivery 1's probe side: bucket
+    # partition filter + pushed key range
+    probe = spark.read.parquet(f"{idx}/doc_id").where(
+        F.col("_kb").isin([0, 1]) & F.col("_k").between(200, 399)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(_k,200)" in plan and "LessThanOrEqual(_k,399)" in plan
