@@ -306,7 +306,12 @@ def main() -> None:
                 "cpu_probe_start_sec": cpu_probe_start,
                 "cpu_probe_end_sec": cpu_probe_end,
                 "noise_probe_ratio": noise_ratio,
-                "noisy_session": noise_ratio > 1.25,
+                # noisy when the single-core probe drifted OR the
+                # hypervisor stole real CPU during the run (steal hits
+                # 32-wide stages long before a lone Python thread
+                # notices: measured cold 19 → 41 s at steal 7.5% with
+                # the single-core ratio still 1.02)
+                "noisy_session": noise_ratio > 1.25 or steal_pct > 1.0,
                 # fixed JVM plan at steady state: cross-ROUND machine
                 # constant (start-side JVM probes read ~1.8x slower from
                 # C2 tiering alone, so only the end value is comparable)
