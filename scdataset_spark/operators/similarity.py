@@ -2358,10 +2358,12 @@ def ann_ingest_consistency(spark, path: str) -> DataFrame:
     cid = [c for c in cells.columns if c not in ("_v", "_codes", "cell", "cell_group")][0]
     n_rows = cells.count()
     n_ids = cells.select(cid).distinct().count()
+    from pyspark.errors import AnalysisException
+
     try:
         side = spark.read.parquet(f"{path}/_ingested_ids")
         n_side = side.select("_k").distinct().count()
-    except Exception:
+    except AnalysisException:  # no sidecar: never stream-ingested
         n_side = 0
     return spark.createDataFrame(
         [(n_rows, n_ids, n_side, n_rows - n_ids, max(0, n_ids - n_side))],
