@@ -132,7 +132,8 @@ def unigram_logprob(
     Engine-portable determinism: each token's log-prob is a pure
     function of (count, N, V) rounded to 8 digits BEFORE the per-doc
     sum (so libm ulp differences between engines vanish), the sum runs
-    in DECIMAL(24,8) (order-independent), and the mean rounds to 6.
+    in the limb form (``plans/exact.py`` — order-independent, pure
+    long accumulators), and the mean rounds to 6.
 
     Scale shape: one token explode feeding BOTH aggregations — the
     vocabulary count (groupBy term, map-side combined) and the per-doc
@@ -148,24 +149,20 @@ def unigram_logprob(
     stats = vocab.agg(
         F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
     )
-    lp = F.round(
-        F.log(
-            (F.col("cnt") + F.lit(alpha))
-            / (F.col("_n") + F.lit(alpha) * F.col("_v"))
-        ),
-        8,
-    )
+    from scdataset_spark.plans.exact import lsum_cols, lsum_out
+
+    lp = f"round(ln((cnt + {alpha}) / (_n + {alpha} * _v)), 8)"
     return (
         toks.join(vocab, "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(lp.cast("decimal(24,8)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_logprob"),
+        .agg(F.count(F.lit(1)).alias("n_tokens"), *lsum_cols(lp, "lp"))
+        .selectExpr(
+            id_col,
+            "n_tokens",
+            "round(("
+            + lsum_out("lp", "x").replace(" AS x", "")
+            + ") / n_tokens, 6) AS avg_logprob",
         )
     )
 

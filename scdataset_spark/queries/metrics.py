@@ -136,8 +136,8 @@ b AS (SELECT row_id, l_quantity, pos // 32 AS batch_id FROM p),
 s AS (
   SELECT batch_id,
          count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS s1,
-         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS s2
+         sum(l_quantity) AS s1,
+         sum(l_quantity * l_quantity) AS s2
   FROM b GROUP BY batch_id
 )
 SELECT b.row_id, b.batch_id,
@@ -148,14 +148,16 @@ WHERE s.n = 32
 )
 def g6_batch_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch z-score normalization (reference README batch_transform
-    example) from decimal-exact batch sums — mean/std identical across
-    engines; partial trailing batch excluded (n-1 denominator)."""
+    example).  The batch sums are PLAIN double sums and still exact:
+    l_quantity is integral (1-50) and a 32-row group's partial sums
+    stay far below 2^53, so every addition is exact in any order —
+    no decimal (or limb) machinery needed at this group size."""
     li = load_table(spark, "lineitem", sf_dir)
     plan = Streaming(assume_dense=True).plan(li, seed=SEED).withColumn("batch_id", F.expr("pos div 32"))
     stats = plan.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double").alias("s1"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(24,8)")).cast("double").alias("s2"),
+        F.sum("l_quantity").alias("s1"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
     )
     return (
         plan.join(stats, "batch_id")

@@ -22,6 +22,7 @@ from scdataset_spark.operators.quality import (
 )
 from scdataset_spark.operators.skew import interleave_groups, per_group_top_k
 from scdataset_spark.plans.seeds import mix_sql
+from scdataset_spark.plans.exact import lsum_inner, lsum_out
 from scdataset_spark.queries.registry import query
 
 SEED = 42
@@ -298,16 +299,20 @@ def o23_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tx_unigram_logprob",
     survey_ref="§2.14 text",
-    oracle="""
+    oracle=f"""
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
-stats AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab)
-SELECT doc_id, count(*) AS n_tokens,
-       round(CAST(sum(CAST(round(ln((cnt + 0.5) / (n + 0.5 * v)), 8)
-                          AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6)
+stats AS (SELECT sum(cnt) AS _n, count(*) AS _v FROM vocab),
+g AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         {lsum_inner('round(ln((cnt + 0.5) / (_n + 0.5 * _v)), 8)', 'lp', '//')}
+  FROM toks JOIN vocab USING (term), stats
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(({lsum_out('lp', 'x', '//').replace(' AS x', '')}) / n_tokens, 6)
          AS avg_logprob
-FROM toks JOIN vocab USING (term), stats
-GROUP BY doc_id
+FROM g
 """,
 )
 def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,7 +320,7 @@ def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-0.5-smoothed unigram LM (``ml.unigram_logprob``) — the
     CCNet-style perplexity filter: docs improbable under the corpus
     distribution are boilerplate/noise/wrong-language candidates.
-    Token log-probs round to 8 before an order-independent DECIMAL
+    Token log-probs round to 8 before an order-independent limb
     sum, so the oracle checks exact values, not just shapes."""
     docs = load_table(spark, "documents", sf_dir, with_row_id=False)
     return unigram_logprob(docs)

@@ -41,59 +41,16 @@ def dsum_col(expr) -> F.Column:
     return F.sum(expr.cast("decimal(24,8)")).cast("double")
 
 
-# --- limb sums: exact order-independent sums without decimal buffers ---
-# Each row's value is fixed-pointed at 1e-8 — v = FLOOR(x*1e8 + 0.5),
-# the same two IEEE double ops in Spark and DuckDB, so v is identical
-# bit-for-bit on both sides even where the fixed point saturates double
-# precision (|x| ≳ 9e7).  v is split into three 1e6-wide limbs and each
-# limb summed as BIGINT: |limb| ≤ 1e6 keeps the sum overflow-safe to
-# ~9.2e12 rows per group — 100 TB headroom with no BigDecimal anywhere
-# in the per-row path (the whole aggregate stays in whole-stage
-# codegen's long registers).  Recombination uses only truncated DIV/%
-# (verified identical for negative operands in both engines: -7 DIV 2 =
-# -3, -7 % 2 = -1 in Spark and DuckDB), then one deterministic two-op
-# IEEE expression to double — value-identical across engines by
-# construction, which is what the oracle gate checks.
-def _lsum_v(expr: str) -> str:
-    return f"CAST(FLOOR(({expr}) * 100000000.0 + 0.5) AS BIGINT)"
-
-
-def lsum_inner(expr: str, tag: str, div: str = "DIV") -> str:
-    """The three limb-sum aggregate columns (SQL fragment).  ``div`` is
-    the dialect's integer-division operator: ``DIV`` (Spark), ``//``
-    (DuckDB)."""
-    v = _lsum_v(expr)
-    return (
-        f"sum(({v}) % 1000000) AS {tag}_l0, "
-        f"sum((({v}) {div} 1000000) % 1000000) AS {tag}_l1, "
-        f"sum(({v}) {div} 1000000000000) AS {tag}_l2"
-    )
-
-
-def lsum_cols(expr: str, tag: str) -> list:
-    """Spark side of :func:`lsum_inner` for use in ``.agg(*...)``.
-    Catalyst CSEs the shared scaled subexpression across the three
-    sums (measured: inline within 12% of a hand-projected variant)."""
-    v = _lsum_v(expr)
-    return [
-        F.expr(f"sum(({v}) % 1000000)").alias(f"{tag}_l0"),
-        F.expr(f"sum((({v}) DIV 1000000) % 1000000)").alias(f"{tag}_l1"),
-        F.expr(f"sum(({v}) DIV 1000000000000)").alias(f"{tag}_l2"),
-    ]
-
-
-def lsum_out(tag: str, alias: str, div: str = "DIV") -> str:
-    """Recombine the three limb sums into the final double ``alias``.
-    total = l2*1e12 + l1*1e6 + l0 is split into intpart/frac with
-    overflow-safe long arithmetic (l1*1e6 would overflow directly), and
-    the double is intpart + frac/1e8 — the identical op sequence in
-    both dialects."""
-    f0 = f"(({tag}_l1 % 100) * 1000000 + {tag}_l0)"
-    ip = f"({tag}_l2 * 10000 + ({tag}_l1 {div} 100) + ({f0} {div} 100000000))"
-    return (
-        f"CAST({ip} AS DOUBLE) + CAST(({f0} % 100000000) AS DOUBLE)"
-        f" / 100000000.0 AS {alias}"
-    )
+# limb sums (exact order-independent sums without decimal buffers) live
+# in plans/exact.py so the streaming layer can use them without a
+# query-layer import; re-exported here for the TPC-H pattern set and
+# the oracle f-strings below.
+from scdataset_spark.plans.exact import (  # noqa: E402,F401
+    _lsum_v,
+    lsum_cols,
+    lsum_inner,
+    lsum_out,
+)
 
 
 # ------------------------------------------------------------- G7 / P4
@@ -805,16 +762,23 @@ def g7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "g7_correlation",
     survey_ref="G7,G4",
-    oracle="""
-WITH s AS (
+    oracle=f"""
+WITH g AS (
   SELECT l_returnflag,
          count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy,
-         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+         {lsum_inner('l_quantity', 'x', '//')},
+         {lsum_inner('l_extendedprice', 'y', '//')},
+         {lsum_inner('l_quantity * l_quantity', 'xx', '//')},
+         {lsum_inner('l_extendedprice * l_extendedprice', 'yy', '//')},
+         {lsum_inner('l_quantity * l_extendedprice', 'xy', '//')}
   FROM lineitem GROUP BY l_returnflag
+),
+s AS (
+  SELECT l_returnflag, n,
+         {lsum_out('x', 'sx', '//')}, {lsum_out('y', 'sy', '//')},
+         {lsum_out('xx', 'sxx', '//')}, {lsum_out('yy', 'syy', '//')},
+         {lsum_out('xy', 'sxy', '//')}
+  FROM g
 )
 SELECT l_returnflag,
        round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
@@ -822,17 +786,31 @@ FROM s
 """,
 )
 def g7_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from decimal-exact moment sums (the built-in
+    """Pearson correlation from limb-exact moment sums (the built-in
     corr() accumulates doubles in partition order — engine-unstable;
-    the explicit formula over exact sums is bit-deterministic)."""
+    the explicit formula over order-independent sums is
+    bit-deterministic).  The squared-term fixed point saturates double
+    precision (extendedprice² ~ 1e10 > 2^53/1e8), which degrades
+    absolute precision but NOT portability: both engines floor the
+    identical IEEE product, so the sums — and the 6-dp-rounded
+    correlation — still match bitwise."""
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
-    s = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double").alias("sx"),
-        F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double").alias("sy"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,8)")).cast("double").alias("sxx"),
-        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,8)")).cast("double").alias("syy"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,8)")).cast("double").alias("sxy"),
+    s = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *lsum_cols("l_quantity", "x"),
+            *lsum_cols("l_extendedprice", "y"),
+            *lsum_cols("l_quantity * l_quantity", "xx"),
+            *lsum_cols("l_extendedprice * l_extendedprice", "yy"),
+            *lsum_cols("l_quantity * l_extendedprice", "xy"),
+        )
+        .selectExpr(
+            "l_returnflag", "n",
+            lsum_out("x", "sx"), lsum_out("y", "sy"),
+            lsum_out("xx", "sxx"), lsum_out("yy", "syy"),
+            lsum_out("xy", "sxy"),
+        )
     )
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scdataset_spark.catalog import load_table
+from scdataset_spark.plans.exact import lsum_inner, lsum_out
 from scdataset_spark.queries.registry import query
 from scdataset_spark.streaming.events import (
     click_to_purchase_join,
@@ -26,13 +27,15 @@ from scdataset_spark.streaming.events import (
     "ev_tumbling_window",
     survey_ref="§2.11",
     headline=True,
-    oracle="""
-SELECT CAST(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS TIMESTAMP) AS win_start,
-       event_type,
-       count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sum_value
-FROM events
-GROUP BY 1, 2
+    oracle=f"""
+SELECT win_start, event_type, n, {lsum_out('sv', 'sum_value', '//')}
+FROM (
+  SELECT CAST(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS TIMESTAMP) AS win_start,
+         event_type,
+         count(*) AS n,
+         {lsum_inner('value', 'sv', '//')}
+  FROM events
+  GROUP BY 1, 2) g
 """,
 )
 def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,13 +299,15 @@ def ev_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_gap_fill",
     survey_ref="§2.11,W5",
-    oracle="""
+    oracle=f"""
 WITH b AS (
   SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS hr, event_type,
-         sum(CAST(value AS DECIMAL(24,8))) AS s, count(*) AS n
+         {lsum_inner('value', 'sv', '//')}, count(*) AS n
   FROM events GROUP BY 1, 2
 ),
-h AS (SELECT hr, event_type, round(CAST(s AS DOUBLE) / n, 6) AS v FROM b),
+h AS (SELECT hr, event_type,
+             round(({lsum_out('sv', 'x', '//').replace(' AS x', '')}) / n, 6) AS v
+      FROM b),
 bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
 spine AS (
   SELECT t.event_type, g.hr

@@ -54,14 +54,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     """Tumbling event-time window: count + exact sum(value) per
-    (window, event_type)."""
+    (window, event_type).  The sum uses the limb form (three BIGINT
+    accumulators, ``plans/exact.py``) — in streaming this is the state
+    schema, so every arriving row updates three longs in the state
+    store instead of deserializing a BigDecimal."""
+    from scdataset_spark.plans.exact import lsum_cols, lsum_out
+
     return (
         events.groupBy(F.window("ts", width).alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(24,8)")).cast("double").alias("sum_value"),
+        .agg(F.count(F.lit(1)).alias("n"), *lsum_cols("value", "sv"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            F.expr(lsum_out("sv", "sum_value")),
         )
-        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
     )
 
 
@@ -186,21 +193,24 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
     exploding ``sequence()`` over a broadcast 1-row bounds aggregate,
     never by scanning the big side again.  The forward-fill window
     partitions by event_type over the SPINE (bounded rows), not the
-    raw events.  Averages are decimal-exact sums divided by counts,
+    raw events.  Averages are limb-exact sums divided by counts,
     rounded before the fill so the carried value is engine-portable.
     """
+    from scdataset_spark.plans.exact import lsum_cols, lsum_out
+
     hourly = (
         events.groupBy(
             F.window("ts", "1 hour").alias("win"), "event_type"
         )
-        .agg(
-            F.sum(F.col("value").cast("decimal(24,8)")).alias("_s"),
-            F.count(F.lit(1)).alias("_n"),
-        )
+        .agg(*lsum_cols("value", "sv"), F.count(F.lit(1)).alias("_n"))
         .select(
             F.col("win.start").alias("hr"),
             "event_type",
-            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias("v"),
+            F.expr(
+                "round(("
+                + lsum_out("sv", "x").replace(" AS x", "")
+                + ") / _n, 6) AS v"
+            ),
         )
     )
     bounds = hourly.agg(F.min("hr").alias("_lo"), F.max("hr").alias("_hi"))
