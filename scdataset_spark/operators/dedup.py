@@ -304,6 +304,196 @@ def novel_documents(
     return incoming.select(id_col).join(collided, id_col, "left_anti")
 
 
+# band-hash partition count for the PERSISTED band index: same sizing
+# rationale as the unique gate's key index (streaming/events.py) — a
+# delivery's probe prunes to its own buckets, appends never explode into
+# per-band small files
+NOVEL_INDEX_BUCKETS = 64
+
+
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> None:
+    """One-time build of the PERSISTED banded LSH index for the
+    incremental-dedup ingest loop: ``lsh_bands`` rows partitioned by
+    ``_bb = pmod(hash(band_sig), NOVEL_INDEX_BUCKETS)`` and sorted by
+    signature within each bucket file (tight parquet stats), with a
+    ``batch_id`` column (-1 for the initial corpus) so streaming
+    replays can be distinguished from real history.  Probe it with
+    :func:`novel_ingest_batches`; maintain with
+    :func:`compact_band_index`."""
+    b = lsh_bands(
+        with_minhash(
+            with_shingles(docs, text_col=text_col), num_hashes=num_hashes
+        ),
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    (
+        b.withColumn(
+            "_bb", F.pmod(F.hash("band_sig"), F.lit(NOVEL_INDEX_BUCKETS))
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .repartition("_bb")
+        .sortWithinPartitions("_bb", "band_sig")
+        .write.mode("overwrite")
+        .partitionBy("_bb")
+        .parquet(path)
+    )
+
+
+def novel_ingest_batches(
+    index_dir: str,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+):
+    """Dedup-on-ingest as a ``foreachBatch`` callback — the band-index
+    member of the ingest-index trilogy (the unique gate's key index,
+    ``similarity.ann_ingest_batches``' id sidecar, and this): each
+    delivery is screened against the PERSISTED band index — which holds
+    the initial corpus AND every previously-ingested novel document —
+    then the novel docs' bands are appended so later deliveries dedup
+    against them too.  This is the semantics :func:`novel_documents`
+    alone cannot give a stream: against a static index, delivery 2
+    cannot see delivery 1's documents.
+
+    Per delivery: band the batch, anti-join its ids against band
+    collisions with the index (probe pruned to the batch's ``_bb``
+    buckets; the delivery's own ``batch_id`` rows are EXCLUDED so a
+    replayed batch never collides with its own earlier partial append),
+    hand ``sink`` the novel ``(id, batch_id)`` frame, and only after
+    the sink returns append the novel docs' bands (a failed/aborted
+    delivery therefore leaves no phantom bands that would silently
+    discard future near-dups of documents that were never kept).
+    Replay is fully safe here — duplicate band rows from a re-run
+    delivery cannot change any later probe, because the probe is a
+    semi-join.  Cost per delivery: O(batch banding + pruned probe +
+    novel append) — never O(corpus)."""
+
+    def _ingest(batch_df, batch_id):
+        import os
+
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
+        if os.path.exists(f"{index_dir}__precompact"):
+            raise RuntimeError(
+                f"band index at {index_dir} has a leftover __precompact "
+                "backup from an interrupted compaction; restore it before "
+                "resuming ingest"
+            )
+        inc_bands = lsh_bands(
+            with_minhash(
+                with_shingles(batch_df, text_col=text_col),
+                num_hashes=num_hashes,
+            ),
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+        ).withColumn(
+            "_bb", F.pmod(F.hash("band_sig"), F.lit(NOVEL_INDEX_BUCKETS))
+        )
+        inc_bands = inc_bands.persist()
+        try:
+            buckets = [
+                int(r[0]) for r in inc_bands.select("_bb").distinct().collect()
+            ]
+            idx = spark.read.parquet(index_dir).where(
+                F.col("_bb").isin(buckets)
+                & (F.col("batch_id") != int(batch_id))
+            )
+            collided = (
+                inc_bands.join(
+                    idx.select("band_id", "band_sig"),
+                    ["band_id", "band_sig"],
+                    "left_semi",
+                )
+                .select(id_col)
+                .distinct()
+            )
+        except AnalysisException:
+            raise ValueError(
+                f"no band index at {index_dir}: build it once with "
+                "write_band_index before ingesting"
+            )
+        novel = (
+            batch_df.select(id_col)
+            .distinct()
+            .join(collided, id_col, "left_anti")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .persist()
+        )
+        novel.count()
+        sink(novel)
+        # append AFTER the sink: bands of docs the pipeline never kept
+        # must not poison future novelty decisions
+        (
+            inc_bands.join(novel.select(id_col), id_col, "left_semi")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition("_bb")
+            .sortWithinPartitions("_bb", "band_sig")
+            .write.mode("append")
+            .partitionBy("_bb")
+            .parquet(index_dir)
+        )
+        inc_bands.unpersist()
+        novel.unpersist()
+
+    return _ingest
+
+
+def compact_band_index(spark, path: str) -> DataFrame:
+    """Small-file compaction for the persisted band index — one file
+    per ``_bb`` bucket, signature-sorted, same crash-safe verified swap
+    as the gate and ANN compactions (backup kept until the rewrite is
+    read back and row-count-verified).  Returns one report row:
+    ``(n_rows, files_before, files_after)``."""
+    import os
+    import shutil
+
+    if os.path.exists(f"{path}__precompact"):
+        raise RuntimeError(
+            f"leftover backup at {path}__precompact from an interrupted "
+            "compaction; restore or remove it before compacting again"
+        )
+    idx = spark.read.parquet(path)
+    before = idx.select(F.input_file_name()).distinct().count()
+    n_rows = idx.count()
+    tmp = f"{path}__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        idx.repartition("_bb")
+        .sortWithinPartitions("_bb", "band_sig")
+        .write.mode("overwrite")
+        .partitionBy("_bb")
+        .parquet(tmp)
+    )
+    old = f"{path}__precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    re = spark.read.parquet(path)
+    after = re.select(F.input_file_name()).distinct().count()
+    if re.count() != n_rows:
+        raise RuntimeError(
+            f"compacted band index at {path} row count changed; "
+            f"pre-compaction index preserved at {old}"
+        )
+    shutil.rmtree(old)
+    return spark.createDataFrame(
+        [(n_rows, before, after)],
+        "n_rows bigint, files_before bigint, files_after bigint",
+    )
+
+
 def novel_documents_verified(
     incoming: DataFrame,
     existing: DataFrame | None = None,

@@ -404,6 +404,68 @@ def dd_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_incremental_ingest",
+    survey_ref="§2.14 dedup, §2.1 incremental, §2.11",
+    oracle=f"""
+{_minhash_bands_cte()},
+n1 AS (
+  SELECT DISTINCT doc_id FROM banded
+  WHERE doc_id % 10 = 8 AND doc_id NOT IN (
+    SELECT i.doc_id FROM banded i JOIN banded e
+      ON i.band_id = e.band_id AND i.band_sig = e.band_sig
+     WHERE i.doc_id % 10 = 8 AND e.doc_id % 10 < 8)
+),
+n2 AS (
+  SELECT DISTINCT doc_id FROM banded
+  WHERE doc_id % 10 = 9 AND doc_id NOT IN (
+    SELECT i.doc_id FROM banded i JOIN banded e
+      ON i.band_id = e.band_id AND i.band_sig = e.band_sig
+     WHERE i.doc_id % 10 = 9
+       AND (e.doc_id % 10 < 8 OR e.doc_id IN (SELECT doc_id FROM n1)))
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM n1
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM n2
+""",
+)
+def dd_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest with a GROWING band index
+    (``dedup.write_band_index`` + ``novel_ingest_batches``): the
+    persisted index is built on the base corpus, then two deliveries
+    are screened and appended in turn — so delivery 2 is deduped
+    against the corpus AND delivery 1's kept documents, the cumulative
+    semantics a static ``novel_documents`` index cannot give a stream.
+    The oracle replays both rounds exactly: n2's collision set includes
+    n1's novel ids, pinning the cross-delivery dedup path, not just the
+    static-corpus one."""
+    import hashlib
+    import os
+    import shutil
+
+    c = corpus(spark, sf_dir)
+    ver = hashlib.md5(b"novel_ingest:v1").hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    global _NOVEL_INGEST_RUN
+    _NOVEL_INGEST_RUN += 1
+    path = (
+        f"/tmp/scdataset_spark_bandidx_{ver}_{os.getpid()}"
+        f"/run{_NOVEL_INGEST_RUN}/{base}"
+    )
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    dd.write_band_index(c.where("doc_id % 10 < 8"), path)
+    rows: list[tuple[int, int]] = []
+    ingest = dd.novel_ingest_batches(
+        path, sink=lambda df: rows.extend((r.doc_id, r.batch_id) for r in df.collect())
+    )
+    ingest(c.where("doc_id % 10 = 8"), 0)
+    ingest(c.where("doc_id % 10 = 9"), 1)
+    return spark.createDataFrame(rows, "doc_id bigint, batch_id bigint")
+
+
+_NOVEL_INGEST_RUN = 0
+
+
+@query(
     "dd_incremental_verified",
     survey_ref="§2.14 dedup, §2.1 incremental",
     oracle=f"""

@@ -380,3 +380,149 @@ class TestAnnIngestBatches:
         rep = {r.component: r for r in compact_ann_index(spark, path).collect()}
         assert "_ingested_ids" in rep
         assert rep["_ingested_ids"].files_after <= rep["_ingested_ids"].files_before
+
+
+class TestNovelIngestBatches:
+    BASE = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet white black gray",
+    ]
+    NOVEL1 = [
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "quick brown fox jumps over the lazy dog again and again",
+    ]
+
+    def _docs(self, spark, texts, start_id):
+        return spark.createDataFrame(
+            [(start_id + i, t) for i, t in enumerate(texts)],
+            ["doc_id", "text"],
+        )
+
+    def test_delivery2_deduped_against_delivery1_novels(self, spark, tmp_path):
+        """The cumulative property a static novel_documents index cannot
+        give a stream: delivery 2 contains near-copies of delivery 1's
+        (kept) documents with NO counterpart in the base corpus — the
+        growing index rejects them, the static index would admit them."""
+        from scdataset_spark.operators.dedup import (
+            lsh_bands,
+            novel_documents,
+            novel_ingest_batches,
+            with_minhash,
+            with_shingles,
+            write_band_index,
+        )
+
+        base = self._docs(spark, self.BASE, 0)
+        d1 = self._docs(spark, self.NOVEL1, 100)
+        # near-copies of d1 (one trailing token changed) + one new doc
+        d2 = self._docs(
+            spark,
+            [t.rsplit(" ", 1)[0] + " changed" for t in self.NOVEL1]
+            + ["completely fresh content with entirely different tokens here now"],
+            200,
+        )
+        path = str(tmp_path / "bands")
+        write_band_index(base, path)
+        got = {}
+        ingest = novel_ingest_batches(
+            path, sink=lambda df: got.update({r.doc_id: r.batch_id for r in df.collect()})
+        )
+        ingest(d1, 0)
+        ingest(d2, 1)
+        assert {k for k, v in got.items() if v == 0} == {100, 101}
+        # near-copies of d1 rejected; only the fresh doc admitted
+        assert {k for k, v in got.items() if v == 1} == {202}
+
+        # the static index admits the near-copies — the exact gap the
+        # growing index closes
+        static = novel_documents(d2, existing=base)
+        assert {r.doc_id for r in static.collect()} == {200, 201, 202}
+
+    def test_stream_equals_direct_calls(self, spark, tmp_path):
+        from scdataset_spark.operators.dedup import (
+            novel_ingest_batches,
+            write_band_index,
+        )
+        from scdataset_spark.queries.llm import corpus
+
+        c = corpus(spark, SF_DIR)
+        path = str(tmp_path / "bands")
+        write_band_index(c.where("doc_id % 10 < 8"), path)
+        incoming = c.where("doc_id % 10 >= 8")
+        src = str(tmp_path / "increments")
+        incoming.where("doc_id % 10 = 8").coalesce(1).write.mode("overwrite").parquet(src)
+        incoming.where("doc_id % 10 = 9").coalesce(1).write.mode("append").parquet(src)
+
+        got = set()
+        q = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                novel_ingest_batches(
+                    path, sink=lambda df: got.update(r.doc_id for r in df.collect())
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+        ref = str(tmp_path / "bands_ref")
+        write_band_index(c.where("doc_id % 10 < 8"), ref)
+        want = set()
+        ingest = novel_ingest_batches(
+            ref, sink=lambda df: want.update(r.doc_id for r in df.collect())
+        )
+        # stream file order == write order for the parquet source
+        ingest(incoming.where("doc_id % 10 = 8"), 0)
+        ingest(incoming.where("doc_id % 10 = 9"), 1)
+        assert got == want and 0 < len(got) < incoming.count()
+
+    def test_replay_reports_same_novel_set(self, spark, tmp_path):
+        from scdataset_spark.operators.dedup import (
+            novel_ingest_batches,
+            write_band_index,
+        )
+        from scdataset_spark.queries.llm import corpus
+
+        c = corpus(spark, SF_DIR)
+        path = str(tmp_path / "bands")
+        write_band_index(c.where("doc_id % 10 < 8"), path)
+        batch = c.where("doc_id % 10 = 8")
+        runs = []
+        ingest = novel_ingest_batches(
+            path, sink=lambda df: runs.append({r.doc_id for r in df.collect()})
+        )
+        ingest(batch, 0)
+        ingest(batch, 0)  # replay: own earlier bands excluded by batch_id
+        assert runs[0] == runs[1] and len(runs[0]) > 0
+
+    def test_compact_band_index_preserves_decisions(self, spark, tmp_path):
+        import glob
+
+        from scdataset_spark.operators.dedup import (
+            compact_band_index,
+            novel_ingest_batches,
+            write_band_index,
+        )
+        from scdataset_spark.queries.llm import corpus
+
+        c = corpus(spark, SF_DIR)
+        path = str(tmp_path / "bands")
+        write_band_index(c.where("doc_id % 10 < 7"), path)
+        got = []
+        ingest = novel_ingest_batches(
+            path, sink=lambda df: got.append({r.doc_id for r in df.collect()})
+        )
+        ingest(c.where("doc_id % 10 = 7"), 0)
+        rep = compact_band_index(spark, path).first()
+        assert rep.files_after <= rep.files_before
+        assert not glob.glob(f"{path}__precompact")
+        # a replay across the compaction boundary reaches the same verdicts
+        ingest(c.where("doc_id % 10 = 7"), 1)  # pure replay, new batch_id
+        assert got[1] == set()  # everything now duplicate
+        ingest(c.where("doc_id % 10 = 8"), 2)
+        assert len(got[2]) > 0

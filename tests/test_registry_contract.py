@@ -98,6 +98,12 @@ LIBRARY_ONLY = {
     "one per append) — mutates shared gate state, so it cannot be a "
     "rerunnable registered query; gate-semantics preservation across "
     "the compaction boundary pinned in tests/test_streaming.py",
+    "compact_band_index": "offline maintenance verb for the persisted "
+    "band index (novel_ingest_batches) — mutates shared ingest state "
+    "like its gate/ANN siblings, so it cannot be a rerunnable "
+    "registered query; decision preservation across the compaction "
+    "boundary + crash-safe swap pinned in "
+    "tests/test_index_maintenance_r13.py::TestNovelIngestBatches",
     "running_user_stats": "applyInPandasWithState op; rows-only check "
     "by design (stateful streaming is not SQL-expressible)",
     "capped_sessions_stateful": "stateful twin of ev_session_capped",
