@@ -43,6 +43,13 @@ rebuild well before serving quality is user-visible.
 Run: python examples/index_lifecycle.py   (defaults to sf0.01; CI runs
 ``tests/test_index_maintenance_r13.py::TestLifecycleExample`` which
 executes this exact loop end-to-end at sf0.01)
+
+Streaming entry points to the same loop: ``similarity.ann_ingest_batches``
+appends each foreachBatch delivery under the frozen geometry with an
+exactly-once id sidecar (health-checked by ``ann_ingest_consistency``),
+and ``dedup.novel_ingest_batches`` is the dedup-on-ingest sibling over a
+growing band index — both compactable, both covered by the same
+monitor → decide → rebuild discipline this example walks.
 """
 
 from __future__ import annotations
