@@ -482,3 +482,51 @@ def check_foreign_key(
         (F.col("violations") == 0).alias("passed"),
         F.lit(False).alias("approx"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots — the row-level
+    sibling of :func:`profile_drift` (which compares aggregate metrics):
+    per id, is it ``added`` (only in ``new``), ``removed`` (only in
+    ``old``), or ``modified`` (present in both, content hash changed)?
+    Unchanged rows are NOT emitted — at 100 TB the diff output is the
+    CHANGE set, not a copy of the corpus.  This is the "what actually
+    changed between dataset v1 and v2" audit every training-data
+    release wants next to the metric-level drift report.
+
+    Content equality is an md5 over the ``content_cols`` concatenation
+    (NULLs hashed distinctly from empty strings via a length prefix),
+    so the join carries (id, 32-byte hash) — never the payload.
+
+    Scale shape: two narrow (id, hash) projections, one full outer join
+    on the id (a single co-partitioned shuffle; with both snapshots
+    bucketed on the id it collapses to a zero-exchange merge), and a
+    three-way CASE.  Output: ``(id_col, status)``."""
+    def _sig(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in content_cols:
+            parts.append(F.coalesce(F.length(F.col(c)).cast("string"), F.lit("-")))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        return df.select(
+            F.col(id_col), F.md5(F.concat_ws("\x1f", *parts)).alias("_sig")
+        )
+
+    o = _sig(old).withColumnRenamed("_sig", "_old")
+    n = _sig(new).withColumnRenamed("_sig", "_new")
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("_old").isNull(), F.lit("added"))
+            .when(F.col("_new").isNull(), F.lit("removed"))
+            .when(F.col("_old") != F.col("_new"), F.lit("modified"))
+            .otherwise(F.lit(None)),
+        )
+        .where(F.col("status").isNotNull())
+        .select(id_col, "status")
+    )

@@ -50,6 +50,7 @@ _SWEEP_PRIORITY = [
     "sim_pq_adc_agreement",
     "sim_ann_ingest_consistency",
     "dd_incremental_ingest",
+    "dq_snapshot_diff",
     # --- last externally checked in round 9 (3-round floor; MUST lead r13) ---
     "o13_ddp_partition",
     "o15_block_shuffle_droplast",

@@ -295,6 +295,50 @@ def o23_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "rn", "pos")
 
 
+# ------------------------------------------------- snapshot diff
+@query(
+    "dq_snapshot_diff",
+    survey_ref="§2.14 quality",
+    oracle="""
+WITH oldd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0)
+SELECT doc_id, status FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'modified' END AS status
+  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id) d
+WHERE status IS NOT NULL
+""",
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two corpus snapshots
+    (``quality.snapshot_diff``) — the row-level sibling of
+    ``dq_profile_drift``: which ids were added, removed, or content-
+    modified between dataset v1 and v2, emitted as the CHANGE SET only
+    (never a corpus copy).  The fixture derives both versions from the
+    documents table (v1 drops the %13 ids and carries ' v1' text on
+    the %11 ids; v2 drops the %17 ids), so every status arm is
+    exercised and the oracle recomputes the same diff from raw text
+    equality — pinning that the operator's hash compare equals content
+    compare."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    old = docs.where("doc_id % 13 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v1"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.where("doc_id % 17 != 0")
+    from scdataset_spark.operators.quality import snapshot_diff
+
+    return snapshot_diff(old, new)
+
+
 # ------------------------------------------------- unigram LM scoring
 @query(
     "tx_unigram_logprob",

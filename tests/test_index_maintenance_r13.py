@@ -526,3 +526,37 @@ class TestNovelIngestBatches:
         assert got[1] == set()  # everything now duplicate
         ingest(c.where("doc_id % 10 = 8"), 2)
         assert len(got[2]) > 0
+
+
+class TestSnapshotDiff:
+    def test_null_and_empty_content_are_distinct(self, spark):
+        """The hash must not conflate NULL text with empty text (the
+        length prefix disambiguates), and multi-column content joins
+        must not collide across column boundaries."""
+        from scdataset_spark.operators.quality import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, None, "b"), (2, "", "b"), (3, "a", "b"), (4, "ab", "")],
+            ["doc_id", "t1", "t2"],
+        )
+        new = spark.createDataFrame(
+            [(1, "", "b"), (2, "", "b"), (3, "a", "b"), (4, "a", "b")],
+            ["doc_id", "t1", "t2"],
+        )
+        got = {
+            r.doc_id: r.status
+            for r in snapshot_diff(
+                old, new, content_cols=("t1", "t2")
+            ).collect()
+        }
+        # 1: NULL -> "" is a modification; 2,3 unchanged (absent);
+        # 4: ("ab","") vs ("a","b") must NOT hash equal
+        assert got == {1: "modified", 4: "modified"}
+
+    def test_change_set_only(self, spark):
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.quality import snapshot_diff
+
+        docs = load_table(spark, "documents", SF_DIR, with_row_id=False)
+        out = snapshot_diff(docs, docs)
+        assert out.count() == 0  # identical snapshots diff to nothing
