@@ -26,18 +26,17 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-13 priority (VERDICT r12 task 1, rotated as the FIRST
-# commit of the round): (a) queries NEW this round (never externally
-# checked) lead, then (b) the 16 entries whose most recent external
-# check is round 9 (at the three-round staleness floor — the r12
-# spillover: o13/o15/o16, 12 TPC-H q* patterns, w5_running_revenue),
-# then (c) the round-10 cohort, then round-11, then the round-12
-# cohort last (freshest).  Head = new + 16 + r10 cohort; any spillover
-# must lead round 14's rotation.
+# cosmetics.  Round-14 priority (VERDICT r13 task 2, rotated as the FIRST
+# commit of the round): (a) queries NEW this round lead (never externally
+# checked), then (b) the 10 queries whose Spark+oracle SQL was rewritten
+# to limb form in r13 AFTER their last external check at r11 (local DuckDB
+# parity covers them, but the external gate is the hard signal), then
+# (c) the 21 entries whose most recent external check is round 10 (at the
+# three-round staleness floor), then rounds 11/12/13 by staleness.
 #
-# Staleness floor (codified per VERDICT r10 task 7): with 157+ entries
+# Staleness floor (codified per VERDICT r10 task 7): with 171+ entries
 # and a ~50-slot external sweep, the worst-case age of any entry's
-# latest check is ceil(157/50) = 4 rounds — i.e. "≤3 rounds stale" is
+# latest check is ceil(171/50) = 4 rounds — i.e. "≤3 rounds stale" is
 # the steady-state bound this rotation maintains, and one extra round
 # for spillover when a round adds new entries.  Every entry still runs
 # LOCALLY every round via tests/test_oracle_parity.py (the full
@@ -45,59 +44,20 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # latency, not untested surface.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 13: never externally checked (prepended as added) ---
-    "sim_ivf_index_compacted",
-    "sim_pq_adc_agreement",
-    "sim_ann_ingest_consistency",
-    "dd_incremental_ingest",
-    "dq_snapshot_diff",
-    # --- last externally checked in round 9 (3-round floor; MUST lead r13) ---
-    "o13_ddp_partition",
-    "o15_block_shuffle_droplast",
-    "o16_mixture_sample",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_wealthy_customers",
-    "w5_running_revenue",
-    # --- last externally checked in round 10 ---
-    "pipe_curation_gated",
-    "sim_pq_encode",
-    "sim_pq_ann",
-    "dd_edit_verified",
-    "o22_component_split",
-    "dq_profile_drift",
-    "dd_contamination_report",
-    "dq_profile",
-    "dq_outliers",
-    "ts_gap_fill",
-    "w5_distribution",
-    "o20_per_source_cap",
-    "tx_bm25",
-    "dd_duplicate_spans",
-    "dd_semantic_dedup",
-    "o19_stratified_sample",
-    "dd_incremental_verified",
-    "o5_positional_weights",
-    "w5_top3_orders_per_customer",
-    "w5_lag_lead_gaps",
-    "w5_range_frame",
-    "g3_batch_entropy",
-    "g7_rollup_lineitem",
-    "g7_pivot_status_by_flag",
-    "g7_distinct_aggregates",
-    "g7_percentiles",
-    "g7_correlation",
-    "j_semi_active_customers",
-    "j_anti_customers_without_orders",
+    # --- new in round 14: never externally checked (prepend as added) ---
+    # (none yet)
+    # --- limb-SQL changed in r13 AFTER their last external check (r11) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "g7_unpivot_flag_metrics",
+    "tx_unigram_logprob",
+    "ev_user_stats",
+    # --- last externally checked in round 10 (3-round floor; MUST lead r14) ---
     "setops_union_distinct",
     "setops_repeat_customers",
     "setops_lapsed_customers",
@@ -124,8 +84,6 @@ _SWEEP_PRIORITY = [
     "sim_pq_index",
     "tx_token_budget_per_source",
     "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
     "tx_repetition",
     "emb_quantize",
     "dd_embed_exact",
@@ -136,24 +94,16 @@ _SWEEP_PRIORITY = [
     "o21_split_assign",
     "dq_drift",
     "o23_interleave",
-    "tx_unigram_logprob",
     "dd_ngram_decontam",
-    "ev_user_stats",
     "j_full_outer_nation_activity",
-    "g7_unpivot_flag_metrics",
     "tx_length_buckets",
     "s1_streaming_scan",
     "s2_subset_split",
     "o9_epoch_reshuffle",
     "o12_exact_len",
-    "q3_shipping_priority",
-    "q6_revenue_forecast",
     "o1_block_shuffle",
     "o3_weighted_replace",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
     "g7_approx_sketches",
-    "q9_product_profit",
     "q21_waiting_supplier",
     "tx_quality_score",
     "dd_exact_groups",
@@ -170,7 +120,7 @@ _SWEEP_PRIORITY = [
     "mm_multimodal_zip",
     "tx_normalize",
     "tx_pii_scrub",
-    # --- last externally checked in round 12 (freshest) ---
+    # --- last externally checked in round 12 ---
     "tx_token_budget_per_source_bucketed",
     "sim_ivf_index_stats",
     "sim_ivf_index_rebuild",
@@ -221,6 +171,57 @@ _SWEEP_PRIORITY = [
     "o7_smoothed_weights",
     "o10_batch_plan",
     "o11_drop_last_batches",
+    # --- last externally checked in round 13 (freshest) ---
+    "sim_ivf_index_compacted",
+    "sim_pq_adc_agreement",
+    "sim_ann_ingest_consistency",
+    "dd_incremental_ingest",
+    "dq_snapshot_diff",
+    "o13_ddp_partition",
+    "o15_block_shuffle_droplast",
+    "o16_mixture_sample",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_wealthy_customers",
+    "w5_running_revenue",
+    "pipe_curation_gated",
+    "sim_pq_encode",
+    "sim_pq_ann",
+    "dd_edit_verified",
+    "o22_component_split",
+    "dq_profile_drift",
+    "dd_contamination_report",
+    "dq_profile",
+    "dq_outliers",
+    "ts_gap_fill",
+    "w5_distribution",
+    "o20_per_source_cap",
+    "tx_bm25",
+    "dd_duplicate_spans",
+    "dd_semantic_dedup",
+    "o19_stratified_sample",
+    "dd_incremental_verified",
+    "o5_positional_weights",
+    "w5_top3_orders_per_customer",
+    "w5_lag_lead_gaps",
+    "w5_range_frame",
+    "g3_batch_entropy",
+    "g7_rollup_lineitem",
+    "g7_pivot_status_by_flag",
+    "g7_distinct_aggregates",
+    "g7_percentiles",
+    "g7_correlation",
+    "j_semi_active_customers",
+    "j_anti_customers_without_orders",
 ]
 
 def _apply_sweep_priority() -> None:
