@@ -116,34 +116,37 @@ def main() -> None:
         _ident, "id bigint"
     ).write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    warm_spread: dict[str, float] = {}
+    warm_passes: dict[str, list[float]] = {n: [] for n in headline}
     for name, fn in headline.items():
         times[name] = round(run_one(spark, fn, SF_DIR), 3)
-        # steady-state cost: min of three repeat runs of the identical
-        # plan (codegen already JIT-compiled after the first run; the
-        # min suppresses same-box scheduler noise, which measured up to
-        # ±30% between whole bench invocations).  The max-min spread is
-        # REPORTED per query so round-over-round deltas inside the
-        # spread read as session noise, not regressions — two rounds
-        # were burned chasing ±25% ghosts before this existed.
-        reps = [run_one(spark, fn, SF_DIR) for _ in range(2)]
-        warm[name] = round(min(reps), 3)
-        warm_spread[name] = round(max(reps) - min(reps), 3)
-    # SECOND warm pass, temporally separated (r12 postmortem, VERDICT
-    # task 2): back-to-back reps all sit inside the same noise burst,
-    # so a minute-long session slowdown inflates min-of-3 and the
-    # spread band together and reads as a regression.  Re-sweeping
-    # every query once AFTER the whole loop decorrelates the reps; the
-    # reported warm is the min across both passes and the spread the
-    # max-min across all three observations.
-    warm_pass2: dict[str, float] = {}
-    for name, fn in headline.items():
-        rep = run_one(spark, fn, SF_DIR)
-        warm_pass2[name] = round(rep, 3)
-        lo, hi = warm[name], warm[name] + warm_spread[name]
-        warm[name] = round(min(lo, rep), 3)
-        warm_spread[name] = round(max(hi, rep) - warm[name], 3)
+        # steady-state cost: repeat runs of the identical plan (codegen
+        # already JIT-compiled after the first run; the min suppresses
+        # same-box scheduler noise, which measured up to ±30% between
+        # whole bench invocations).  The max-min spread is REPORTED per
+        # query so round-over-round deltas inside the spread read as
+        # session noise, not regressions — two rounds were burned
+        # chasing ±25% ghosts before this existed.
+        warm_passes[name].append(round(run_one(spark, fn, SF_DIR), 3))
+    # the JVM is fully tiered after the cold sweep + one warm rep of
+    # every headline plan; a fixed-plan probe HERE vs at the END is a
+    # like-for-like steady-state pair, so its drift is machine noise
+    # (C2 tiering no longer confounds it the way a start-side probe
+    # does — those read ~1.8x slower from tiering alone)
+    jvm_probe_mid_sec = jvm_probe()
+    # SECOND and THIRD warm passes, each temporally separated (r12/r13
+    # postmortems, VERDICT r13 task 3): back-to-back reps all sit
+    # inside the same noise burst, so a minute-long session slowdown
+    # inflates min-of-N and the spread band together and reads as a
+    # regression.  Re-sweeping every query once per pass decorrelates
+    # the reps; the reported warm is the min across all passes and the
+    # spread the max-min across all observations.  Per-pass per-query
+    # times are emitted raw (queries_warm_passes) so a mid-run mode
+    # shift is visible in the artifact itself.
+    for _pass in range(2):
+        for name, fn in headline.items():
+            warm_passes[name].append(round(run_one(spark, fn, SF_DIR), 3))
+    warm = {n: min(reps) for n, reps in warm_passes.items()}
+    warm_spread = {n: round(max(reps) - min(reps), 3) for n, reps in warm_passes.items()}
     total = round(sum(times.values()), 3)
     warm_total = round(sum(warm.values()), 3)
 
@@ -260,6 +263,17 @@ def main() -> None:
 
     b1024_sps, b1024_sps_spread = timed_sps(_b1024_run)
     jvm_probe_sec = jvm_probe()
+    # drift between the two steady-state JVM probes (post-warm vs end):
+    # both sides are past C2 tiering, so a ratio away from 1.0 means the
+    # box's JVM-side throughput CHANGED during the warm loops — exactly
+    # the mode shift that made r12/r13 official-vs-controlled numbers
+    # incomparable.  Flags the session as noisy independently of CPU
+    # steal and the single-core Python probe.
+    jvm_probe_drift = round(
+        max(jvm_probe_mid_sec, jvm_probe_sec)
+        / min(jvm_probe_mid_sec, jvm_probe_sec),
+        3,
+    )
     cpu_probe_end = cpu_probe()
     noise_ratio = round(
         max(cpu_probe_start, cpu_probe_end)
@@ -296,7 +310,11 @@ def main() -> None:
                 "n_queries": len(times),
                 "queries_warm": warm,
                 "queries_warm_spread": warm_spread,
-                "queries_warm_pass2": warm_pass2,
+                # raw per-pass observations: [pass1, pass2, pass3] per
+                # query, each pass a full temporally separated sweep —
+                # a mid-run mode shift shows as one pass elevated across
+                # ALL queries rather than one query elevated in all passes
+                "queries_warm_passes": warm_passes,
                 "warm_total_sec": warm_total,
                 # fixed-plan session-noise control: >1 means the box got
                 # slower/faster between the start and end of this run;
@@ -311,11 +329,18 @@ def main() -> None:
                 # 32-wide stages long before a lone Python thread
                 # notices: measured cold 19 → 41 s at steal 7.5% with
                 # the single-core ratio still 1.02)
-                "noisy_session": noise_ratio > 1.25 or steal_pct > 1.0,
+                "noisy_session": (
+                    noise_ratio > 1.25 or steal_pct > 1.0 or jvm_probe_drift > 1.3
+                ),
                 # fixed JVM plan at steady state: cross-ROUND machine
                 # constant (start-side JVM probes read ~1.8x slower from
-                # C2 tiering alone, so only the end value is comparable)
+                # C2 tiering alone, so only post-warm values are
+                # comparable); mid = after cold sweep + first warm pass,
+                # end = after everything — drift between them is a
+                # WITHIN-RUN JVM-side mode shift
                 "jvm_probe_sec": jvm_probe_sec,
+                "jvm_probe_mid_sec": jvm_probe_mid_sec,
+                "jvm_probe_drift_ratio": jvm_probe_drift,
                 # % of CPU time the hypervisor took from this VM during
                 # the run (neighbor interference, /proc/stat steal)
                 "cpu_steal_pct": steal_pct,
