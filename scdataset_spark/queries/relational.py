@@ -145,17 +145,16 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="J3,G7,W4",
     headline=True,
     oracle=f"""
-SELECT l_orderkey, {lsum_out('r', 'revenue', '//')}, o_orderdate
-FROM (
-  SELECT l.l_orderkey AS l_orderkey, o.o_orderdate AS o_orderdate,
-         {lsum_inner('l.l_extendedprice * (1 - l.l_discount)', 'r', '//')}
-  FROM customer c
-  JOIN orders o ON c.c_custkey = o.o_custkey
-  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  WHERE c.c_mktsegment = 'BUILDING'
-    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-  GROUP BY l.l_orderkey, o.o_orderdate) g
+SELECT l.l_orderkey,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
@@ -173,7 +172,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer side.  customer grows with SF, so no forced broadcast
     hint — AQE picks broadcast-hash from runtime size stats while it
     fits and degrades to a shuffle join at scale instead of OOMing the
-    driver."""
+    driver.
+
+    Sum form: DECIMAL, not limb — the r14 A/B (min-of-3 solo sessions,
+    interleaved variants, sf0.1 AND sf1; BENCH_SCALE.md "r14 limb A/B")
+    measured the limb conversion costing q3 ~13% at sf0.1 (0.725 vs
+    0.831 warm) and tying at sf1, because q3's groups are per-ORDER
+    (1-7 rows each): three limb accumulators never amortize over tiny
+    groups, which is the opposite regime from q1's six giant groups
+    where limbs won 2.3x.  The agg-first restructure itself measured
+    NEUTRAL-to-winning at both scales, so it stays."""
     c = load_table(spark, "customer", sf_dir, with_row_id=False)
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
@@ -182,8 +190,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderdate") < cutoff)
         .join(l.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_custkey")
-        .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
-        .selectExpr("l_orderkey", "o_orderdate", "o_custkey", lsum_out("r", "revenue"))
+        .agg(
+            dsum_col(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
     )
     return (
         per_order.join(
