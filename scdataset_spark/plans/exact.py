@@ -10,12 +10,31 @@ limb form keeps the exactness with pure long arithmetic:
   bit-for-bit on both sides even where the fixed point saturates double
   precision (|x| >~ 9e7);
 - ``v`` is split into three 1e6-wide limbs, each summed as BIGINT:
-  |limb| <= 1e6 keeps every accumulator overflow-safe to ~9.2e12 rows
-  per group;
+  the l0/l1 per-row terms are bounded in (-1e6, 1e6), so those two
+  accumulators are overflow-safe to ~9.2e12 rows per group REGARDLESS
+  of |x|; the TOP limb's per-row term is ``v DIV 1e12`` ≈ |x|/1e4 —
+  unbounded — so the l2 accumulator's true bound is |x|-dependent:
+  sum(|x|) <= ~9.2e22 per group;
 - recombination uses only truncated DIV/% (verified identical for
   negative operands in both engines: -7 DIV 2 = -3, -7 % 2 = -1 in
   Spark and DuckDB), then one deterministic two-op IEEE expression to
   double — value-identical across engines by construction.
+
+Overflow bounds (|x|-dependent — the binding constraint is usually the
+RECOMBINATION, not the accumulators): ``lsum_out`` multiplies the top
+limb by 1e4 in BIGINT, which wraps when |l2| > ~9.2e14, i.e. when
+sum(|x|) per group exceeds ~9.2e18.  For value-scale inputs
+(|x| ~ 1e5, e.g. extendedprice) that is ~9e13 rows per group — far
+past any decade this engine targets — but for MOMENT sums the term
+magnitude squares: x² ~ 1.7e10 gives a per-row l2 term of ~1.7e6 and
+wraps at only ~5e8 rows per group.  DuckDB never wraps (sum(BIGINT)
+promotes to HUGEINT there), so an unguarded wrap is a SILENT
+cross-engine divergence in non-ANSI Spark.  ``lsum_out``'s Spark
+dialect therefore guards the recombination with ``raise_error`` —
+loud failure, never a wrong value.  Call sites whose groups can
+legitimately exceed the bound (giant-group moments) should pre-split
+the group (e.g. sub-aggregate by a salt, then re-sum the limbs) or
+drop the fixed point to 1e-4 for the squared terms.
 
 Used by the TPC-H pattern set (``queries/relational.py``, which
 re-exports these names), the windowed running sums, and the streaming
@@ -60,9 +79,29 @@ def lsum_out(tag: str, alias: str, div: str = "DIV") -> str:
     total = l2*1e12 + l1*1e6 + l0 is split into intpart/frac with
     overflow-safe long arithmetic (l1*1e6 would overflow directly), and
     the double is intpart + frac/1e8 — the identical op sequence in
-    both dialects."""
+    both dialects.
+
+    The Spark dialect guards ``l2 * 10000`` (the recombination term
+    that wraps first — see the module docstring's |x|-dependent bound):
+    |l2| past ~9.2e14 raises instead of silently wrapping, because the
+    DuckDB side runs the same sum in HUGEINT and would silently
+    diverge.  The guard is one per-GROUP CASE on the final projection —
+    zero per-row cost.  The threshold leaves ~2e16 of headroom for the
+    additive l1/l0 terms (themselves < ~9.2e16 at the row bound).
+    NULL sums (all-NULL input groups) pass through: abs(NULL) > k is
+    NULL, so the CASE falls to the multiply and NULL propagates."""
     f0 = f"(({tag}_l1 % 100) * 1000000 + {tag}_l0)"
-    ip = f"({tag}_l2 * 10000 + ({tag}_l1 {div} 100) + ({f0} {div} 100000000))"
+    if div == "DIV":  # Spark: BIGINT recombination — guard the wrap
+        top = (
+            f"(CASE WHEN abs({tag}_l2) > 920000000000000 THEN "
+            f"CAST(raise_error('lsum_out: top limb |{tag}_l2| exceeds the "
+            f"BIGINT recombination range (sum(|x|) > ~9.2e18 in one group) "
+            f"— pre-split the group or rescale the fixed point') AS BIGINT) "
+            f"ELSE {tag}_l2 * 10000 END)"
+        )
+    else:  # DuckDB: sum(BIGINT) is HUGEINT — never wraps
+        top = f"({tag}_l2 * 10000)"
+    ip = f"({top} + ({tag}_l1 {div} 100) + ({f0} {div} 100000000))"
     return (
         f"CAST({ip} AS DOUBLE) + CAST(({f0} % 100000000) AS DOUBLE)"
         f" / 100000000.0 AS {alias}"

@@ -1,0 +1,215 @@
+"""Round-14 hardening: the limb recombination overflow guard
+(plans/exact.py), the per-index maintenance lock that mutually
+excludes in-flight deliveries and compaction, and the run-id
+namespace on novel_ingest_batches' replay guard."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+class TestLsumRecombinationGuard:
+    def test_guard_raises_instead_of_wrapping(self, spark):
+        """A top limb past the BIGINT recombination range must raise —
+        silent wrap is a cross-engine divergence (DuckDB runs the same
+        sum in HUGEINT).  1.1e8 rows of x=9.2e10 put l2 at ~1.01e15,
+        past the 9.2e14 guard."""
+        from scdataset_spark.plans.exact import lsum_cols, lsum_out
+
+        df = spark.range(0, 110_000_000, 1, 8).selectExpr(
+            "CAST(92000000000.0 AS DOUBLE) AS x"
+        )
+        agg = df.agg(*lsum_cols("x", "t")).selectExpr(lsum_out("t", "s"))
+        with pytest.raises(Exception, match="lsum_out: top limb"):
+            agg.collect()
+
+    def test_below_guard_still_exact(self, spark):
+        from scdataset_spark.plans.exact import lsum_cols, lsum_out
+
+        df = spark.range(0, 1_000, 1, 4).selectExpr(
+            "CAST(id AS DOUBLE) + 0.25 AS x"
+        )
+        got = (
+            df.agg(*lsum_cols("x", "t")).selectExpr(lsum_out("t", "s")).first()["s"]
+        )
+        assert got == 999 * 1000 / 2 + 0.25 * 1000
+
+    def test_null_group_passes_through(self, spark):
+        from scdataset_spark.plans.exact import lsum_cols, lsum_out
+
+        df = spark.range(0, 10).selectExpr("CAST(NULL AS DOUBLE) AS x")
+        got = (
+            df.agg(*lsum_cols("x", "t")).selectExpr(lsum_out("t", "s")).first()["s"]
+        )
+        assert got is None
+
+
+class TestMaintenanceLock:
+    def test_acquire_release_roundtrip(self, tmp_path):
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+            release_maintenance_lock,
+        )
+
+        idx = str(tmp_path / "idx")
+        os.makedirs(idx)
+        lock = acquire_maintenance_lock(idx, "delivery")
+        assert lock and os.path.isdir(lock)
+        with pytest.raises(RuntimeError, match="in-flight delivery"):
+            acquire_maintenance_lock(idx, "compaction")
+        release_maintenance_lock(lock)
+        assert not os.path.exists(lock)
+        lock2 = acquire_maintenance_lock(idx, "compaction")
+        release_maintenance_lock(lock2)
+
+    def test_missing_index_dir_skips_locking(self, tmp_path):
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+            release_maintenance_lock,
+        )
+
+        assert acquire_maintenance_lock(str(tmp_path / "nope"), "delivery") is None
+        release_maintenance_lock(None)  # no-op
+
+    def test_dead_same_host_owner_is_reclaimed(self, tmp_path):
+        import socket
+
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+            release_maintenance_lock,
+        )
+
+        idx = str(tmp_path / "idx")
+        os.makedirs(idx)
+        lock = acquire_maintenance_lock(idx, "delivery")
+        # forge a dead owner: pids this high are never alive
+        with open(os.path.join(lock, "owner"), "w") as f:
+            f.write(f"{socket.gethostname()}\n99999999\ndelivery\n")
+        lock2 = acquire_maintenance_lock(idx, "compaction")
+        assert lock2
+        release_maintenance_lock(lock2)
+
+    def test_foreign_host_owner_is_not_reclaimed(self, tmp_path):
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+        )
+
+        idx = str(tmp_path / "idx")
+        os.makedirs(idx)
+        lock = acquire_maintenance_lock(idx, "delivery")
+        with open(os.path.join(lock, "owner"), "w") as f:
+            f.write("some-other-host\n1\ndelivery\n")
+        with pytest.raises(RuntimeError, match="delete the lock"):
+            acquire_maintenance_lock(idx, "compaction")
+        # cleanup for tmp_path teardown
+        os.remove(os.path.join(lock, "owner"))
+        os.rmdir(lock)
+
+    def test_band_compaction_refuses_during_delivery(self, spark, tmp_path):
+        """The race ADVICE r13 #4 names: a compaction starting while a
+        delivery is in flight.  Simulated by running the compaction
+        from INSIDE the delivery's sink callback — exactly the window
+        between the delivery's precompact check and its append."""
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators import dedup as dd
+
+        docs = load_table(spark, "documents", SF_DIR, with_row_id=False)
+        path = str(tmp_path / "bandidx")
+        dd.write_band_index(docs.where("doc_id % 10 < 8"), path)
+
+        def sink(novel):
+            with pytest.raises(RuntimeError, match="in-flight delivery"):
+                dd.compact_band_index(spark, path)
+
+        ingest = dd.novel_ingest_batches(path, sink=sink)
+        ingest(docs.where("doc_id % 10 = 8"), 0)
+        # after the delivery returns, compaction proceeds normally
+        rep = dd.compact_band_index(spark, path).first()
+        assert rep.n_rows > 0
+        assert not os.path.exists(f"{path}__maintenance_lock")
+
+    def test_ann_delivery_refuses_during_compaction_lock(self, spark, tmp_path):
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+            release_maintenance_lock,
+        )
+        from scdataset_spark.operators.similarity import (
+            ann_ingest_batches,
+            build_ann_index,
+        )
+        from scdataset_spark.catalog import load_table
+
+        e = load_table(spark, "embeddings", SF_DIR, with_row_id=False).select(
+            F.col("vec_id").alias("c_id"), "embedding"
+        )
+        path = str(tmp_path / "ann")
+        build_ann_index(e.where("c_id % 4 = 0"), path, n_clusters=4, seed=7)
+        lock = acquire_maintenance_lock(path, "compaction")
+        ingest = ann_ingest_batches(path)
+        with pytest.raises(RuntimeError, match="in-flight compaction"):
+            ingest(e.where("c_id % 4 = 1"), 0)
+        release_maintenance_lock(lock)
+        ingest(e.where("c_id % 4 = 1"), 0)  # proceeds once released
+        assert not os.path.exists(f"{path}__maintenance_lock")
+
+
+class TestNovelIngestRunId:
+    def _docs(self, spark):
+        from scdataset_spark.catalog import load_table
+
+        return load_table(spark, "documents", SF_DIR, with_row_id=False)
+
+    def test_fresh_checkpoint_batch0_dedups_against_prior_run(
+        self, spark, tmp_path
+    ):
+        """Without run_id, a restarted stream with a fresh checkpoint
+        reuses batch_id 0 and the replay guard silently excludes the
+        PREVIOUS run's batch-0 novels from the probe (their dups sail
+        through).  With distinct run_ids the second run's batch 0 sees
+        run 1's novels as history."""
+        from scdataset_spark.operators import dedup as dd
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "bandidx")
+        dd.write_band_index(docs.where("doc_id % 10 < 8"), path)
+        got: dict[str, set] = {}
+
+        def sink_for(key):
+            def _s(novel):
+                got[key] = {r.doc_id for r in novel.collect()}
+
+            return _s
+
+        delivery = docs.where("doc_id % 10 = 8")
+        # run 1, batch 0: ingest the delivery's novels
+        dd.novel_ingest_batches(path, sink_for("run1"), run_id="ckpt-A")(
+            delivery, 0
+        )
+        # run 2 (FRESH checkpoint id), batch 0, SAME docs re-delivered:
+        # everything collides with run 1's appended bands -> zero novel
+        dd.novel_ingest_batches(path, sink_for("run2"), run_id="ckpt-B")(
+            delivery, 0
+        )
+        assert len(got["run1"]) > 0
+        assert got["run2"] == set()
+
+    def test_same_run_replay_still_self_excludes(self, spark, tmp_path):
+        """A true replay (same run_id, same batch_id) must NOT collide
+        with its own earlier partial append — same novels re-emitted."""
+        from scdataset_spark.operators import dedup as dd
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "bandidx")
+        dd.write_band_index(docs.where("doc_id % 10 < 8"), path)
+        got: list[set] = []
+        ingest = dd.novel_ingest_batches(
+            path, lambda df: got.append({r.doc_id for r in df.collect()}),
+            run_id="ckpt-A",
+        )
+        delivery = docs.where("doc_id % 10 = 8")
+        ingest(delivery, 0)
+        ingest(delivery, 0)  # replay of the SAME delivery
+        assert got[1] == got[0]
