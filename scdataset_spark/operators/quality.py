@@ -501,7 +501,12 @@ def snapshot_diff(
 
     Content equality is an md5 over the ``content_cols`` concatenation
     (NULLs hashed distinctly from empty strings via a length prefix),
-    so the join carries (id, 32-byte hash) — never the payload.
+    so the join carries (id, 32-byte hash) — never the payload.  NULL
+    semantics are therefore ``IS DISTINCT FROM``: a NULL→non-NULL (or
+    reverse) content transition IS ``modified``, and NULL→NULL is
+    unchanged — a raw ``old.text <> new.text`` replay NULL-propagates
+    and silently drops those transitions, so any SQL mirror of this
+    operator must compare with ``IS DISTINCT FROM``.
 
     Scale shape: two narrow (id, hash) projections, one full outer join
     on the id (a single co-partitioned shuffle; with both snapshots

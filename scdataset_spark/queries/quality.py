@@ -310,7 +310,7 @@ SELECT doc_id, status FROM (
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
          CASE WHEN o.doc_id IS NULL THEN 'added'
               WHEN n.doc_id IS NULL THEN 'removed'
-              WHEN o.text <> n.text THEN 'modified' END AS status
+              WHEN o.text IS DISTINCT FROM n.text THEN 'modified' END AS status
   FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id) d
 WHERE status IS NOT NULL
 """,
