@@ -1,0 +1,110 @@
+"""Mutual exclusion between in-flight index deliveries and compaction.
+
+Every persisted ingest index (the ANN/PQ index, the dedup band index,
+the streaming unique gate's key index) has two writers: the
+``foreachBatch`` delivery callback (append) and the compaction verb
+(rewrite + swap).  Both are crash-safe *individually* — appends commit
+via a last-written sidecar/marker, compaction keeps a ``__precompact``
+backup until the rewrite is read back and verified — but nothing
+enforced the documented "compaction MUST run quiescent" contract: a
+compaction that starts AFTER a delivery's precompact check but BEFORE
+its appends can rename the data out from under the in-flight append
+(ADVICE r13).  This module is that enforcement: a lock DIRECTORY
+(``mkdir`` is atomic on POSIX and object-store FUSE mounts) taken for
+the duration of a delivery or a compaction, so the two verbs exclude
+each other and concurrent deliveries from two streams exclude each
+other.
+
+Staleness: a crashed holder leaves the lock behind.  The lock records
+its owner (host, pid, role); acquisition auto-reclaims a lock whose
+owner process is dead ON THE SAME HOST (the local[*] / single-driver
+posture this repo tests).  Across drivers on shared storage, pid
+liveness is not observable — the error message tells the operator to
+verify quiescence and delete the lock directory manually, which is the
+same judgement call every file-based lease system bottoms out at.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+
+LOCK_SUFFIX = "__maintenance_lock"  # SIBLING of the index dir: the
+# band/gate compactions swap the index ROOT itself (rename path→backup,
+# tmp→path), so a lock inside the index would ride along with the swap
+# and leave the fresh root unlocked mid-compaction; a sibling survives
+# every component- and root-level rename (same address scheme as the
+# ``__precompact`` backups).
+
+
+def _owner_path(lock: str) -> str:
+    return os.path.join(lock, "owner")
+
+
+def acquire_maintenance_lock(index_path: str, role: str) -> str | None:
+    """Take the index's maintenance lock for ``role`` ("delivery" or
+    "compaction").  Returns the lock path to pass to
+    :func:`release_maintenance_lock` (in a ``finally``).  Raises
+    RuntimeError if another delivery/compaction holds it and its owner
+    cannot be proven dead."""
+    if not os.path.isdir(index_path):
+        # no index directory: let the caller raise its own (clearer)
+        # missing-index error instead of a lock-acquisition failure
+        return None
+    lock = index_path.rstrip("/") + LOCK_SUFFIX
+    for attempt in (0, 1):
+        try:
+            os.mkdir(lock)
+            with open(_owner_path(lock), "w") as f:
+                f.write(f"{socket.gethostname()}\n{os.getpid()}\n{role}\n")
+            return lock
+        except FileExistsError:
+            host = pid = prev_role = None
+            try:
+                with open(_owner_path(lock)) as f:
+                    host, pid, prev_role = f.read().split("\n")[:3]
+                    pid = int(pid)
+            except (OSError, ValueError):
+                pass  # owner file missing/garbled: treat as unprovable
+            if (
+                attempt == 0
+                and host == socket.gethostname()
+                and pid is not None
+            ):
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    # same-host owner is dead: reclaim and retry once
+                    try:
+                        os.remove(_owner_path(lock))
+                    except OSError:
+                        pass
+                    try:
+                        os.rmdir(lock)
+                    except OSError:
+                        pass
+                    continue
+                except PermissionError:
+                    pass  # alive but not ours
+            raise RuntimeError(
+                f"index at {index_path} has an in-flight "
+                f"{prev_role or 'delivery/compaction'} "
+                f"(lock {lock}, owner {host} pid {pid}); a {role} must not "
+                "run concurrently.  If the owner crashed on another host, "
+                "verify nothing is writing this index and delete the lock "
+                "directory."
+            )
+    raise AssertionError("unreachable")
+
+
+def release_maintenance_lock(lock: str | None) -> None:
+    if lock is None:
+        return
+    try:
+        os.remove(_owner_path(lock))
+    except OSError:
+        pass
+    try:
+        os.rmdir(lock)
+    except OSError:
+        pass

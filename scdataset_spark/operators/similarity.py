@@ -2272,6 +2272,22 @@ def ann_ingest_batches(
     import os
 
     def _ingest(batch_df, batch_id):
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+            release_maintenance_lock,
+        )
+
+        # held for the WHOLE delivery: the __precompact check below only
+        # covers a compaction that already swapped something — this lock
+        # excludes one that would START mid-delivery (and a second
+        # concurrent delivery stream)
+        lock = acquire_maintenance_lock(path, "delivery")
+        try:
+            _ingest_locked(batch_df, batch_id)
+        finally:
+            release_maintenance_lock(lock)
+
+    def _ingest_locked(batch_df, batch_id):
         spark = batch_df.sparkSession
         _check_no_precompact(path)
         is_pq = os.path.isdir(os.path.join(path, "codebook"))
@@ -2390,8 +2406,13 @@ def compact_ann_index(spark, path: str) -> DataFrame:
     geometry, probe semantics, and results are identical before and
     after (pinned by test on both layouts).
 
-    MUST run quiescent (no concurrent append/probe).  Crash safety
-    mirrors :func:`compact_unique_index`: each component is rewritten
+    MUST run quiescent (no concurrent append/probe) — and quiescence
+    over WRITERS is now enforced, not just stated: compaction and the
+    streaming delivery callback take the same per-index
+    ``_maintenance_lock`` for their whole duration, so a compaction can
+    no longer start between a delivery's precompact check and its
+    appends (concurrent PROBES remain the caller's contract).  Crash
+    safety mirrors :func:`compact_unique_index`: each component is rewritten
     to a sibling temp dir and lands via two renames; the pre-swap
     component is kept at ``<component>__precompact`` until the swapped
     copy has been read back and row-count-verified, probes refuse to
@@ -2400,6 +2421,19 @@ def compact_ann_index(spark, path: str) -> DataFrame:
 
     Returns one report row per rewritten component:
     ``(component, n_rows, files_before, files_after)``."""
+    from scdataset_spark.operators._maintenance import (
+        acquire_maintenance_lock,
+        release_maintenance_lock,
+    )
+
+    lock = acquire_maintenance_lock(path, "compaction")
+    try:
+        return _compact_ann_index_locked(spark, path)
+    finally:
+        release_maintenance_lock(lock)
+
+
+def _compact_ann_index_locked(spark, path: str) -> DataFrame:
     import os
     import shutil
 

@@ -345,6 +345,26 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
     def _gate(batch_df, batch_id):
         import os
 
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+            release_maintenance_lock,
+        )
+
+        # lock the whole index_dir for the delivery (all columns'
+        # per-column indexes live under it) so a compaction cannot
+        # start between this delivery's precompact check and its
+        # deferred appends; created eagerly so even the FIRST delivery
+        # is covered
+        os.makedirs(index_dir, exist_ok=True)
+        lock = acquire_maintenance_lock(index_dir, "delivery")
+        try:
+            _gate_locked(batch_df, batch_id)
+        finally:
+            release_maintenance_lock(lock)
+
+    def _gate_locked(batch_df, batch_id):
+        import os
+
         spark = batch_df.sparkSession
         rows = []
         pending = []  # (path, persisted new-keys frame) — append AFTER the verdict
@@ -480,6 +500,21 @@ def compact_unique_index(spark: SparkSession, index_dir: str,
     Returns one row per column: ``(check_name, n_keys, files_before,
     files_after)`` — counted engine-portably via ``input_file_name``,
     so the report works on any storage."""
+    from scdataset_spark.operators._maintenance import (
+        acquire_maintenance_lock,
+        release_maintenance_lock,
+    )
+
+    lock = acquire_maintenance_lock(index_dir, "compaction")
+    try:
+        return _compact_unique_index_locked(spark, index_dir, unique_cols)
+    finally:
+        release_maintenance_lock(lock)
+
+
+def _compact_unique_index_locked(
+    spark: SparkSession, index_dir: str, unique_cols
+) -> DataFrame:
     import os
     import shutil
 
