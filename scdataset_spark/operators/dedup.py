@@ -339,7 +339,7 @@ def write_band_index(
         b.withColumn(
             "_bb", F.pmod(F.hash("band_sig"), F.lit(NOVEL_INDEX_BUCKETS))
         )
-        .withColumn("batch_id", F.lit(-1))
+        .withColumn("batch_id", F.lit(-1).cast("bigint"))
         .repartition("_bb")
         .sortWithinPartitions("_bb", "band_sig")
         .write.mode("overwrite")
@@ -355,6 +355,7 @@ def novel_ingest_batches(
     text_col: str = "text",
     num_hashes: int = 12,
     bands: int = 4,
+    run_id: str | None = None,
 ):
     """Dedup-on-ingest as a ``foreachBatch`` callback — the band-index
     member of the ingest-index trilogy (the unique gate's key index,
@@ -377,9 +378,43 @@ def novel_ingest_batches(
     Replay is fully safe here — duplicate band rows from a re-run
     delivery cannot change any later probe, because the probe is a
     semi-join.  Cost per delivery: O(batch banding + pruned probe +
-    novel append) — never O(corpus)."""
+    novel append) — never O(corpus).
+
+    ``run_id`` namespaces the stored batch tag: Spark batch_ids are
+    only unique within ONE streaming-query incarnation (a restarted
+    stream with a FRESH checkpoint reuses batch_id 0), so with the
+    default ``run_id=None`` the own-batch replay exclusion silently
+    also excludes a PREVIOUS run's batch-0 novels from the probe —
+    their near-duplicates would be waved through as novel.  Pass the
+    streaming query's stable identity (``query.id`` — constant across
+    restarts of the same checkpoint, fresh for a new checkpoint) or
+    the checkpoint path itself; the tag becomes
+    ``(crc32(run_id) & 0x7fffffff) << 32 | batch_id``, so only a true
+    replay of the same delivery in the same checkpoint lineage is
+    excluded.  ``run_id=None`` keeps the legacy single-checkpoint-
+    lifetime semantics (tag = raw batch_id) and is only safe while the
+    index is fed by one checkpoint lineage for its whole life."""
+    import zlib
+
+    def _tag(batch_id: int) -> int:
+        if run_id is None:
+            return int(batch_id)
+        ns = zlib.crc32(str(run_id).encode()) & 0x7FFFFFFF
+        return (ns << 32) | (int(batch_id) & 0xFFFFFFFF)
 
     def _ingest(batch_df, batch_id):
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+            release_maintenance_lock,
+        )
+
+        lock = acquire_maintenance_lock(index_dir, "delivery")
+        try:
+            _ingest_locked(batch_df, batch_id)
+        finally:
+            release_maintenance_lock(lock)
+
+    def _ingest_locked(batch_df, batch_id):
         import os
 
         spark = batch_df.sparkSession
@@ -409,7 +444,7 @@ def novel_ingest_batches(
             ]
             idx = spark.read.parquet(index_dir).where(
                 F.col("_bb").isin(buckets)
-                & (F.col("batch_id") != int(batch_id))
+                & (F.col("batch_id") != _tag(batch_id))
             )
             collided = (
                 inc_bands.join(
@@ -429,7 +464,7 @@ def novel_ingest_batches(
             batch_df.select(id_col)
             .distinct()
             .join(collided, id_col, "left_anti")
-            .withColumn("batch_id", F.lit(int(batch_id)))
+            .withColumn("batch_id", F.lit(_tag(batch_id)).cast("bigint"))
             .persist()
         )
         novel.count()
@@ -438,7 +473,7 @@ def novel_ingest_batches(
         # must not poison future novelty decisions
         (
             inc_bands.join(novel.select(id_col), id_col, "left_semi")
-            .withColumn("batch_id", F.lit(int(batch_id)))
+            .withColumn("batch_id", F.lit(_tag(batch_id)).cast("bigint"))
             .repartition("_bb")
             .sortWithinPartitions("_bb", "band_sig")
             .write.mode("append")
@@ -455,8 +490,23 @@ def compact_band_index(spark, path: str) -> DataFrame:
     """Small-file compaction for the persisted band index — one file
     per ``_bb`` bucket, signature-sorted, same crash-safe verified swap
     as the gate and ANN compactions (backup kept until the rewrite is
-    read back and row-count-verified).  Returns one report row:
-    ``(n_rows, files_before, files_after)``."""
+    read back and row-count-verified).  Holds the index's
+    ``__maintenance_lock`` for its duration, mutually excluding
+    in-flight :func:`novel_ingest_batches` deliveries (and vice versa).
+    Returns one report row: ``(n_rows, files_before, files_after)``."""
+    from scdataset_spark.operators._maintenance import (
+        acquire_maintenance_lock,
+        release_maintenance_lock,
+    )
+
+    lock = acquire_maintenance_lock(path, "compaction")
+    try:
+        return _compact_band_index_locked(spark, path)
+    finally:
+        release_maintenance_lock(lock)
+
+
+def _compact_band_index_locked(spark, path: str) -> DataFrame:
     import os
     import shutil
 

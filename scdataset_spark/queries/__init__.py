@@ -44,9 +44,10 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # latency, not untested surface.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new in round 14: never externally checked (prepend as added) ---
-    # (none yet)
-    # --- limb-SQL changed in r13 AFTER their last external check (r11) ---
+    # --- new or SQL-changed in round 14 (prepend as added) ---
+    "dq_snapshot_diff",  # oracle: <> -> IS DISTINCT FROM (ADVICE r13 #2)
+    # --- limb-SQL changed in r13 AFTER their last external check (r11);
+    #     q3 additionally reverted to the decimal sum in r14 (A/B) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -176,7 +177,6 @@ _SWEEP_PRIORITY = [
     "sim_pq_adc_agreement",
     "sim_ann_ingest_consistency",
     "dd_incremental_ingest",
-    "dq_snapshot_diff",
     "o13_ddp_partition",
     "o15_block_shuffle_droplast",
     "o16_mixture_sample",
