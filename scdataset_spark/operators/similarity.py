@@ -1930,6 +1930,8 @@ def ann_index_topk(
     query_id: str = "q_id",
     vec: str = "embedding",
     n_queries: int | None = None,
+    exclude_ids: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Probe a persisted :func:`build_ann_index` index: route each
     query to its ``n_probe`` nearest centroids (broadcast, same
@@ -1959,7 +1961,18 @@ def ann_index_topk(
     to a plain distributed join: a corpus-sized batch probes
     essentially every cell anyway, so pruning is moot and the right
     plan is a shuffle join on the cell key.  Output:
-    ``(query_id, cell, cand_id, cosine, rank)``."""
+    ``(query_id, cell, cand_id, cosine, rank)``.
+
+    ``exclude_ids`` (a one-column frame of stored ids) removes those
+    candidates BEFORE scoring — :func:`semantic_ingest_batches` uses it
+    to screen a replayed delivery against everything EXCEPT its own
+    earlier committed append (a post-hoc filter on the top-k would be
+    wrong: an excluded row at rank 1 must not mask a real candidate).
+    ``exclude_self`` (default True — the serving posture, where queries
+    drawn from the corpus must not match themselves) drops id-equal
+    candidates; the ingest screen passes False so an id-identical
+    redelivery from a PREVIOUS run scores cosine 1.0 against its stored
+    self and is correctly judged a duplicate."""
     _check_no_precompact(path)
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
@@ -1989,9 +2002,14 @@ def ann_index_topk(
         cells = spark.read.parquet(f"{path}/cells").drop("cell_group")
         q_side = q_cells
     cand_id = [c for c in cells.columns if c not in ("_v", "cell")][0]
+    if exclude_ids is not None:
+        ex = exclude_ids.withColumnRenamed(exclude_ids.columns[0], cand_id)
+        cells = cells.join(ex, cand_id, "left_anti")
     scored = (
         cells.join(q_side, cells["cell"] == q_cells["_cell"])
-        .where(F.col(query_id) != F.col(cand_id))
+        .where(
+            F.col(query_id) != F.col(cand_id) if exclude_self else F.lit(True)
+        )
         .withColumn("cosine", cosine_expr("_qv", "_v"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
@@ -2288,74 +2306,246 @@ def ann_ingest_batches(
             release_maintenance_lock(lock)
 
     def _ingest_locked(batch_df, batch_id):
-        spark = batch_df.sparkSession
-        _check_no_precompact(path)
-        is_pq = os.path.isdir(os.path.join(path, "codebook"))
-        ids = (
-            batch_df.select(F.col(cand_id))
-            .where(F.col(cand_id).isNotNull())
-            .distinct()
-            .withColumn(
-                "_kb", F.pmod(F.hash(cand_id), F.lit(ANN_INGEST_ID_BUCKETS))
-            )
+        _ann_delivery_unlocked(
+            batch_df, int(batch_id), path, cand_id, vec, dim, m, on_report
         )
-        stats = ids.agg(
-            F.count(cand_id).alias("_n"),
-            F.min(cand_id).alias("_lo"),
-            F.max(cand_id).alias("_hi"),
-        ).first()
-        n_batch = int(stats["_n"])
-        side = f"{path}/_ingested_ids"
-        if os.path.exists(side) and n_batch:
-            buckets = [int(r[0]) for r in ids.select("_kb").distinct().collect()]
-            # the delivery's id range is a sound pushed filter on the
-            # key-sorted sidecar (ids outside it cannot be re-deliveries)
-            seen = spark.read.parquet(side).where(
-                F.col("_kb").isin(buckets)
-                & F.col("_k").between(stats["_lo"], stats["_hi"])
-            )
-            new_ids = ids.join(
-                seen, ids[cand_id] == seen["_k"], "left_anti"
+
+    return _ingest
+
+
+def _ann_delivery_unlocked(
+    batch_df, batch_tag: int, path: str, cand_id: str, vec: str,
+    dim: int, m: int, on_report,
+) -> int:
+    """One exactly-once index delivery (the body of
+    :func:`ann_ingest_batches`, factored out so
+    :func:`semantic_ingest_batches` can run it under its OWN
+    maintenance lock — the lock is not re-entrant).  The caller must
+    hold the index's maintenance lock.  ``batch_tag`` is the stored
+    sidecar batch id (possibly run-id-namespaced).  Returns the number
+    of newly appended ids."""
+    import os
+
+    batch_id = batch_tag  # stored verbatim in the sidecar
+    spark = batch_df.sparkSession
+    _check_no_precompact(path)
+    is_pq = os.path.isdir(os.path.join(path, "codebook"))
+    ids = (
+        batch_df.select(F.col(cand_id))
+        .where(F.col(cand_id).isNotNull())
+        .distinct()
+        .withColumn(
+            "_kb", F.pmod(F.hash(cand_id), F.lit(ANN_INGEST_ID_BUCKETS))
+        )
+    )
+    stats = ids.agg(
+        F.count(cand_id).alias("_n"),
+        F.min(cand_id).alias("_lo"),
+        F.max(cand_id).alias("_hi"),
+    ).first()
+    n_batch = int(stats["_n"])
+    side = f"{path}/_ingested_ids"
+    if os.path.exists(side) and n_batch:
+        buckets = [int(r[0]) for r in ids.select("_kb").distinct().collect()]
+        # the delivery's id range is a sound pushed filter on the
+        # key-sorted sidecar (ids outside it cannot be re-deliveries)
+        seen = spark.read.parquet(side).where(
+            F.col("_kb").isin(buckets)
+            & F.col("_k").between(stats["_lo"], stats["_hi"])
+        )
+        new_ids = ids.join(
+            seen, ids[cand_id] == seen["_k"], "left_anti"
+        )
+    else:
+        new_ids = ids
+    # plain persist, NOT persist_bounded: the registry dedupes by
+    # canonicalized plan, which compares parquet relations by ROOT
+    # PATH — a later delivery (or a rerun against a recreated index
+    # at the same path) would be handed a frame whose resolved file
+    # listing predates this append and read deleted files
+    new_ids = new_ids.select(cand_id, "_kb").persist()
+    n_new = new_ids.count()
+    if n_new:
+        new_vecs = batch_df.select(cand_id, vec).join(
+            new_ids.select(cand_id), cand_id, "left_semi"
+        )
+        if is_pq:
+            append_to_pq_index(
+                new_vecs, path, dim=dim, m=m, cand_id=cand_id, vec=vec,
+                n_rows=n_new,
             )
         else:
-            new_ids = ids
-        # plain persist, NOT persist_bounded: the registry dedupes by
-        # canonicalized plan, which compares parquet relations by ROOT
-        # PATH — a later delivery (or a rerun against a recreated index
-        # at the same path) would be handed a frame whose resolved file
-        # listing predates this append and read deleted files
-        new_ids = new_ids.select(cand_id, "_kb").persist()
-        n_new = new_ids.count()
-        if n_new:
-            new_vecs = batch_df.select(cand_id, vec).join(
-                new_ids.select(cand_id), cand_id, "left_semi"
+            append_to_ann_index(
+                new_vecs, path, cand_id=cand_id, vec=vec, n_rows=n_new
             )
-            if is_pq:
-                append_to_pq_index(
-                    new_vecs, path, dim=dim, m=m, cand_id=cand_id, vec=vec,
-                    n_rows=n_new,
-                )
-            else:
-                append_to_ann_index(
-                    new_vecs, path, cand_id=cand_id, vec=vec, n_rows=n_new
-                )
-            # sidecar LAST: its presence certifies the cells append
-            # committed, so replays skip exactly the committed ids
-            (
-                new_ids.select(
-                    F.col(cand_id).alias("_k"),
-                    "_kb",
-                )
-                .withColumn("batch_id", F.lit(int(batch_id)))
-                .repartition("_kb")
-                .sortWithinPartitions("_kb", "_k")
-                .write.mode("append")
-                .partitionBy("_kb")
-                .parquet(side)
+        # sidecar LAST: its presence certifies the cells append
+        # committed, so replays skip exactly the committed ids
+        (
+            new_ids.select(
+                F.col(cand_id).alias("_k"),
+                "_kb",
             )
-        new_ids.unpersist()
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+            .repartition("_kb")
+            .sortWithinPartitions("_kb", "_k")
+            .write.mode("append")
+            .partitionBy("_kb")
+            .parquet(side)
+        )
+    new_ids.unpersist()
+    if on_report is not None:
+        on_report(int(batch_id), int(n_batch), int(n_new))
+    return int(n_new)
+
+
+def semantic_ingest_batches(
+    path: str,
+    sink,
+    threshold: float = 0.98,
+    n_probe: int = 2,
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+    run_id: str | None = None,
+    on_report=None,
+):
+    """Streaming SEMANTIC dedup-on-ingest — the embedding-cosine
+    sibling of :func:`dedup.novel_ingest_batches`' Jaccard screen,
+    composing the two r13 ingest verbs (VERDICT r13 task 4): each
+    ``foreachBatch`` delivery is screened for novelty against the
+    PERSISTED ANN index under its FROZEN routing geometry, the novel
+    ids are handed to ``sink``, and only the novel vectors are then
+    appended (via the shared :func:`ann_ingest_batches` delivery body,
+    so the ``_ingested_ids`` sidecar keeps appends exactly-once) — a
+    SemDeDup-style screen for a corpus that grows daily, O(delivery
+    routing + probed-cells scan + novel append) per batch, never
+    O(corpus).
+
+    Screen semantics: a delivery vector is a DUPLICATE iff some stored
+    vector in its ``n_probe`` probed cells has exact cosine >=
+    ``threshold`` (the probe is :func:`ann_index_topk` with k=1 —
+    max-cosine — so the screen inherits IVF's recall contract: a
+    near-dup routed entirely outside the probed cells is missed, the
+    same bounded-recall trade the batch :func:`semantic_dedup` makes
+    with cluster-local pairs).  Because every delivery's novels are
+    appended, delivery 2 dedups against delivery 1's kept vectors —
+    the cumulative semantics a static index cannot give a stream.
+
+    Replay safety: the screen excludes stored rows whose sidecar
+    ``batch_id`` equals this delivery's tag (``exclude_ids`` reaches
+    the cells scan BEFORE scoring), so a replay of a fully-committed
+    delivery re-emits the identical novel set instead of colliding
+    with its own earlier append; the append side is already id-
+    idempotent via the sidecar.  Stored id-EQUAL rows from other
+    deliveries are NOT excluded (``exclude_self=False``): an
+    id-identical redelivery from a previous run scores cosine 1.0
+    against its stored self and is correctly judged a duplicate.  The one non-atomic window is
+    :func:`ann_ingest_batches`' documented crash-between-appends
+    (cells committed, sidecar not): a replay then sees its own vectors
+    as stored history and emits zero novels — detect with
+    :func:`ann_ingest_consistency`, repair with
+    :func:`rebuild_ann_index`.  ``run_id`` namespaces the tag across
+    checkpoint lineages exactly as in ``novel_ingest_batches`` (pass
+    the streaming query's stable id; None = single-checkpoint-lifetime
+    semantics).
+
+    Raw-vector layout only: the screen is an EXACT-cosine verify over
+    stored vectors; the PQ layout stores m-byte codes, and an ADC
+    approximation of the screen would silently change novelty verdicts
+    — refuse loudly instead."""
+    import os
+    import zlib
+
+    def _tag(batch_id: int) -> int:
+        if run_id is None:
+            return int(batch_id)
+        ns = zlib.crc32(str(run_id).encode()) & 0x7FFFFFFF
+        return (ns << 32) | (int(batch_id) & 0xFFFFFFFF)
+
+    def _ingest(batch_df, batch_id):
+        from scdataset_spark.operators._maintenance import (
+            acquire_maintenance_lock,
+            release_maintenance_lock,
+        )
+
+        lock = acquire_maintenance_lock(path, "delivery")
+        try:
+            _ingest_locked(batch_df, batch_id)
+        finally:
+            release_maintenance_lock(lock)
+
+    def _ingest_locked(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        _check_no_precompact(path)
+        if os.path.isdir(os.path.join(path, "codebook")):
+            raise ValueError(
+                f"index at {path} is a PQ layout: the semantic ingest "
+                "screen needs exact cosine over raw stored vectors — "
+                "build the raw build_ann_index layout for semantic "
+                "dedup-on-ingest"
+            )
+        tag = _tag(batch_id)
+        side = os.path.join(path, "_ingested_ids")
+        exclude = None
+        if os.path.exists(side):
+            exclude = (
+                spark.read.parquet(side)
+                .where(F.col("batch_id") == tag)
+                .select("_k")
+            )
+        q = batch_df.select(F.col(cand_id), F.col(vec)).where(
+            F.col(cand_id).isNotNull()
+        )
+        n_batch = q.select(cand_id).distinct().count()
+        hits = ann_index_topk(
+            spark,
+            path,
+            q.withColumnRenamed(cand_id, "_sq"),
+            k=1,
+            n_probe=n_probe,
+            query_id="_sq",
+            vec=vec,
+            n_queries=n_batch,
+            exclude_ids=exclude,
+            exclude_self=False,
+        )
+        collided = (
+            hits.where(F.col("cosine") >= threshold)
+            .select(F.col("_sq").alias(cand_id))
+            .distinct()
+        )
+        # localCheckpoint, NOT persist: the screen's lineage reads
+        # {path}/cells, and the novel append below triggers Spark's
+        # recacheByPath on that location, which RE-materializes any
+        # cached plan referencing it — a persisted novel_ids would be
+        # recomputed against the post-append cells, where the delivery's
+        # own vectors now live, so every within-delivery near-pair would
+        # suddenly "collide" and the sidecar write (evaluated after the
+        # append) would see an empty frame.  Checkpointing truncates the
+        # lineage to materialized blocks with no path reference.  Cost
+        # is one delivery-sized id column in executor storage; an
+        # executor loss fails the batch and the stream retries the
+        # delivery — the replay contract already covers that.
+        novel_ids = (
+            q.select(cand_id)
+            .distinct()
+            .join(collided, cand_id, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_novel = novel_ids.count()
+        sink(
+            novel_ids.withColumn(
+                "batch_id", F.lit(tag).cast("bigint")
+            )
+        )
+        if n_novel:
+            # append AFTER the sink, novels only (same no-phantom rule
+            # as novel_ingest_batches), under the lock we already hold
+            _ann_delivery_unlocked(
+                q.join(novel_ids, cand_id, "left_semi"),
+                tag, path, cand_id, vec, 64, 8, None,
+            )
         if on_report is not None:
-            on_report(int(batch_id), int(n_batch), int(n_new))
+            on_report(int(batch_id), int(n_batch), int(n_novel))
 
     return _ingest
 

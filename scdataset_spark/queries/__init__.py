@@ -45,6 +45,7 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new or SQL-changed in round 14 (prepend as added) ---
+    "sim_semantic_ingest",  # new r14: streaming semantic dedup-on-ingest
     "dq_snapshot_diff",  # oracle: <> -> IS DISTINCT FROM (ADVICE r13 #2)
     # --- limb-SQL changed in r13 AFTER their last external check (r11);
     #     q3 additionally reverted to the decimal sum in r14 (A/B) ---

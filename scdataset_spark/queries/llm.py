@@ -1695,6 +1695,141 @@ def sim_ann_ingest_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ingest_consistency(spark, path)
 
 
+def _semantic_ingest_oracle(
+    n_clusters: int = 8, n_probe: int = 2, threshold: float = 0.98,
+    seed: int = 11,
+) -> str:
+    """Replays BOTH deliveries of the streaming semantic ingest: frozen
+    seeded centroids from the base slice, base assigned to argmin cells
+    (the stored index), delivery 1 routed to its n_probe cells and
+    cosine-screened against the stored rows, its NOVELS appended (argmin
+    under the same frozen geometry), then delivery 2 screened against
+    base ∪ delivery-1 novels — the cumulative path a static index
+    cannot give a stream."""
+    dist = (
+        "round(list_aggregate(list_transform(range(1, 65), "
+        "i -> ({a}[i] - centroid[i]) * ({a}[i] - centroid[i])), 'sum'), 6)"
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, 65), i -> p.v[i] * s.v[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> p.v[i] * p.v[i]), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> s.v[i] * s.v[i]), 'sum'))), 4)"
+    )
+    return f"""
+WITH {EMB_CORPUS_SQL},
+base AS (SELECT vec_id, v FROM ecorpus WHERE vec_id < 1000000 AND vec_id % 10 <= 3),
+d1 AS (SELECT vec_id, v FROM ecorpus
+       WHERE (vec_id >= 1000000 AND (vec_id - 1000000) % 10 = 0)
+          OR (vec_id < 1000000 AND vec_id % 10 = 5)),
+d2 AS (SELECT vec_id, v FROM ecorpus
+       WHERE (vec_id >= 1000000 AND (vec_id - 1000000) % 10 = 5)
+          OR (vec_id < 1000000 AND vec_id % 10 IN (6, 7))),
+cent AS (
+  SELECT rk - 1 AS cell, centroid FROM (
+    SELECT v AS centroid,
+           row_number() OVER (ORDER BY {mix_sql('vec_id', seed, 'duckdb')}, vec_id) AS rk
+    FROM base) WHERE rk <= {n_clusters}
+),
+sb AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT b.vec_id, b.v, cent.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {dist.format(a='b.v')}, cent.cell) AS ark
+    FROM base b CROSS JOIN cent) WHERE ark = 1
+),
+p1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT d.vec_id, d.v, cent.cell,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY {dist.format(a='d.v')}, cent.cell) AS prk
+    FROM d1 d CROSS JOIN cent) WHERE prk <= {n_probe}
+),
+c1 AS (SELECT DISTINCT p.vec_id FROM p1 p
+       JOIN sb s ON s.cell = p.cell
+       WHERE {cos} >= {threshold}),
+n1 AS (SELECT vec_id, v FROM d1 WHERE vec_id NOT IN (SELECT vec_id FROM c1)),
+an1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT n.vec_id, n.v, cent.cell,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY {dist.format(a='n.v')}, cent.cell) AS ark
+    FROM n1 n CROSS JOIN cent) WHERE ark = 1
+),
+s2 AS (SELECT * FROM sb UNION ALL SELECT * FROM an1),
+p2 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT d.vec_id, d.v, cent.cell,
+           row_number() OVER (PARTITION BY d.vec_id ORDER BY {dist.format(a='d.v')}, cent.cell) AS prk
+    FROM d2 d CROSS JOIN cent) WHERE prk <= {n_probe}
+),
+c2 AS (SELECT DISTINCT p.vec_id FROM p2 p
+       JOIN s2 s ON s.cell = p.cell
+       WHERE {cos} >= {threshold})
+SELECT vec_id, CAST(0 AS BIGINT) AS batch_id FROM n1
+UNION ALL
+SELECT vec_id, CAST(1 AS BIGINT) AS batch_id FROM d2
+WHERE vec_id NOT IN (SELECT vec_id FROM c2)
+"""
+
+
+_SEM_INGEST_RUN = 0
+
+
+@query(
+    "sim_semantic_ingest",
+    survey_ref="§2.14 similarity, §2.14 dedup, §2.11",
+    oracle=_semantic_ingest_oracle(),
+)
+def sim_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING semantic dedup-on-ingest
+    (``similarity.semantic_ingest_batches``): the ANN index is built on
+    the base slice of the planted near-dup corpus, then two deliveries
+    are screened and appended in turn.  Delivery 1 carries near-dup
+    replicas of BASE vectors (cosine ~0.9995, screened out) plus
+    genuinely new vectors (novel, appended); delivery 2 carries
+    replicas of DELIVERY 1's novels — they collide only because
+    delivery 1's kept vectors were appended, pinning the cumulative
+    cross-delivery path — plus more new vectors.  The oracle replays
+    the frozen-geometry routing, the exact-cosine screen, and the
+    novel append for both rounds."""
+    import hashlib
+    import os
+
+    c = emb_corpus(spark, sf_dir)
+    base = c.where("vec_id < 1000000 AND vec_id % 10 <= 3")
+    d1 = c.where(
+        "(vec_id >= 1000000 AND (vec_id - 1000000) % 10 = 0)"
+        " OR (vec_id < 1000000 AND vec_id % 10 = 5)"
+    )
+    d2 = c.where(
+        "(vec_id >= 1000000 AND (vec_id - 1000000) % 10 = 5)"
+        " OR (vec_id < 1000000 AND vec_id % 10 IN (6, 7))"
+    )
+    ver = hashlib.md5(b"semantic_ingest:n_clusters=8:seed=11:v1").hexdigest()[:8]
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    global _SEM_INGEST_RUN
+    _SEM_INGEST_RUN += 1
+    path = (
+        f"/tmp/scdataset_spark_semidx_{ver}_{os.getpid()}"
+        f"/run{_SEM_INGEST_RUN}/{sf_base}"
+    )
+    sim.build_ann_index(
+        base, path, n_clusters=8, seed=11, cand_id="vec_id", vec="v",
+        vectorized_assign=False,
+    )
+    rows: list[tuple[int, int]] = []
+    ingest = sim.semantic_ingest_batches(
+        path,
+        sink=lambda df: rows.extend(
+            (r.vec_id, r.batch_id) for r in df.collect()
+        ),
+        threshold=0.98,
+        n_probe=2,
+        cand_id="vec_id",
+        vec="v",
+    )
+    ingest(d1, 0)
+    ingest(d2, 1)
+    return spark.createDataFrame(rows, "vec_id bigint, batch_id bigint")
+
+
 @query(
     "sim_pq_adc_agreement",
     survey_ref="§2.14 similarity",

@@ -213,3 +213,145 @@ class TestNovelIngestRunId:
         ingest(delivery, 0)
         ingest(delivery, 0)  # replay of the SAME delivery
         assert got[1] == got[0]
+
+
+class TestSemanticIngestBatches:
+    """semantic_ingest_batches (r14): the embedding-cosine sibling of
+    novel_ingest_batches — screen each delivery against the persisted
+    ANN index, sink novels, append only novels."""
+
+    def _corpus(self, spark):
+        from scdataset_spark.queries.llm import emb_corpus
+
+        return emb_corpus(spark, SF_DIR)
+
+    def _build(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import build_ann_index
+
+        c = self._corpus(spark)
+        base = c.where("vec_id < 1000000 AND vec_id % 10 <= 3")
+        path = str(tmp_path / "semann")
+        build_ann_index(base, path, n_clusters=8, seed=11,
+                        cand_id="vec_id", vec="v", vectorized_assign=False)
+        return c, path
+
+    def _ingestor(self, got, path, **kw):
+        from scdataset_spark.operators.similarity import (
+            semantic_ingest_batches,
+        )
+
+        return semantic_ingest_batches(
+            path,
+            sink=lambda df: got.append({r.vec_id for r in df.collect()}),
+            threshold=0.98, n_probe=2, cand_id="vec_id", vec="v", **kw,
+        )
+
+    def test_cumulative_screen_and_base_dedup(self, spark, tmp_path):
+        """Delivery 1: replicas of base vectors collide, new vectors are
+        novel.  Delivery 2: replicas of delivery 1's NOVELS collide —
+        only possible because delivery 1's kept vectors were appended."""
+        c, path = self._build(spark, tmp_path)
+        got = []
+        ingest = self._ingestor(got, path)
+        d1 = c.where(
+            "(vec_id >= 1000000 AND (vec_id - 1000000) % 10 = 0)"
+            " OR (vec_id < 1000000 AND vec_id % 10 = 5)"
+        )
+        d2 = c.where(
+            "(vec_id >= 1000000 AND (vec_id - 1000000) % 10 = 5)"
+            " OR (vec_id < 1000000 AND vec_id % 10 IN (6, 7))"
+        )
+        ingest(d1, 0)
+        ingest(d2, 1)
+        originals_d1 = {r.vec_id for r in d1.where("vec_id < 1000000").collect()}
+        replicas_d1 = {r.vec_id for r in d1.where("vec_id >= 1000000").collect()}
+        # every genuinely-new vector is novel (the screen can only have
+        # false NEGATIVES on dups, never drop a true novel) ...
+        assert originals_d1 <= got[0]
+        # ... and >= 90% of the planted base replicas are screened out
+        # (IVF bounded recall at n_probe=2: a replica routed entirely
+        # outside its original's probed cells is legitimately missed —
+        # the oracle replays the same approximation, so correctness is
+        # exact parity while recall is a measured contract)
+        leaked1 = got[0] & replicas_d1
+        assert replicas_d1 and len(leaked1) <= len(replicas_d1) * 0.1
+        originals_d2 = {r.vec_id for r in d2.where("vec_id < 1000000").collect()}
+        replicas_of_n1 = {r.vec_id for r in d2.where("vec_id >= 1000000").collect()}
+        assert originals_d2 <= got[1]
+        # cumulative: replicas of DELIVERY 1 novels collide only because
+        # delivery 1's kept vectors were appended
+        leaked2 = got[1] & replicas_of_n1
+        assert replicas_of_n1 and len(leaked2) <= len(replicas_of_n1) * 0.1
+
+    def test_streamed_equals_direct(self, spark, tmp_path):
+        """availableNow deliveries through foreachBatch reach the same
+        per-delivery novel sets as direct callback invocations."""
+        c, path = self._build(spark, tmp_path)
+        inc = c.where(
+            "(vec_id >= 1000000 AND (vec_id - 1000000) % 10 = 0)"
+            " OR (vec_id < 1000000 AND vec_id % 10 = 5)"
+        )
+        src = str(tmp_path / "increments")
+        inc.where("vec_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+        inc.where("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+        got_stream = []
+        q = (
+            spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(self._ingestor(got_stream, path))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        # direct twin on a fresh index (deliveries split the same way;
+        # stream delivery order follows file order)
+        c2, path2 = self._build(spark, tmp_path / "twin")
+        got_direct = []
+        ingest = self._ingestor(got_direct, path2)
+        ingest(inc.where("vec_id % 2 = 0"), 0)
+        ingest(inc.where("vec_id % 2 = 1"), 1)
+        assert set().union(*got_stream) == set().union(*got_direct)
+        assert sorted(map(len, got_stream)) == sorted(map(len, got_direct))
+
+    def test_replay_reemits_identical_novels(self, spark, tmp_path):
+        """A delivery containing an original AND its near-replica: both
+        are novel on first attempt (the screen probes the INDEX, not the
+        delivery).  On replay, the sidecar batch-tag exclusion must hide
+        the delivery's own committed append, re-emitting the identical
+        set — without it the replica would collide with its own
+        delivery's original."""
+        c, path = self._build(spark, tmp_path)
+        got = []
+        ingest = self._ingestor(got, path, run_id="ckpt-A")
+        pair = c.where(
+            "(vec_id < 1000000 AND vec_id % 10 = 5)"
+            " OR (vec_id >= 1000000 AND (vec_id - 1000000) % 10 = 5)"
+        )
+        ingest(pair, 0)
+        assert len(got[0]) == pair.count()  # both halves novel
+        ingest(pair, 0)  # true replay: same run, same batch
+        assert got[1] == got[0]
+
+    def test_fresh_run_batch0_sees_prior_history(self, spark, tmp_path):
+        """run-id namespacing: a NEW checkpoint's batch 0 must dedup
+        against a previous run's batch-0 appends."""
+        c, path = self._build(spark, tmp_path)
+        got = []
+        d1 = c.where("vec_id < 1000000 AND vec_id % 10 = 5")
+        self._ingestor(got, path, run_id="ckpt-A")(d1, 0)
+        self._ingestor(got, path, run_id="ckpt-B")(d1, 0)
+        assert len(got[0]) > 0 and got[1] == set()
+
+    def test_pq_layout_refused(self, spark, tmp_path):
+        from scdataset_spark.operators.similarity import build_pq_index
+
+        c = self._corpus(spark).where("vec_id < 1000000 AND vec_id % 10 <= 3")
+        path = str(tmp_path / "pq")
+        build_pq_index(c, path, n_clusters=4, dim=64, m=8, seed=11,
+                       cand_id="vec_id", vec="v")
+        got = []
+        with pytest.raises(ValueError, match="PQ layout"):
+            self._ingestor(got, path)(self._corpus(spark).where(
+                "vec_id < 1000000 AND vec_id % 10 = 5"), 0)
