@@ -97,6 +97,50 @@ def acquire_maintenance_lock(index_path: str, role: str) -> str | None:
     raise AssertionError("unreachable")
 
 
+def index_file_stats(component_path: str) -> tuple[int, int, float]:
+    """(data_files, partition_dirs, files_per_dir) for one persisted
+    index component — the compaction-decision signal shared by all
+    three ingest indexes (unique gate: ``{index_dir}/{col}``, band
+    index: its root, ANN/PQ: ``{path}/cells``).  Every streaming
+    delivery appends ~one file per bucket/cell-group it touches, so
+    files_per_dir ≈ deliveries since the last compaction, and the
+    measured cost of letting it grow is file-LISTING time at probe
+    start: the sf1000e decade row (BENCH_SCALE.md r13) shows a ~7x
+    file multiplication driving a 73.8 → 13.0 s listing-cold probe
+    (5.7x), recovered by a compaction costing about one build's
+    writes.  Pure filesystem walk — no Spark job, so the decide loop
+    can run on a scheduler tick."""
+    import os
+
+    n_files = 0
+    dirs = set()
+    for root, _dnames, fnames in os.walk(component_path):
+        base = os.path.basename(root)
+        if base.startswith((LOCK_SUFFIX.lstrip("_"), "_maintenance")):
+            continue
+        for f in fnames:
+            if f.endswith(".parquet"):
+                n_files += 1
+                dirs.add(root)
+    n_dirs = max(1, len(dirs))
+    return n_files, n_dirs, n_files / n_dirs
+
+
+def compaction_due(component_path: str, files_per_dir_threshold: float = 8.0) -> bool:
+    """The documented WHEN-to-compact decision for the persisted ingest
+    indexes: compact once the mean data-file count per partition
+    directory passes ``files_per_dir_threshold``.  Default 8 — the
+    measured sf1000e row (BENCH_SCALE.md r13) hit its 5.7x listing-cold
+    probe penalty at ~7x file multiplication, so 8 compacts right as
+    the penalty becomes measurable while keeping compaction frequency
+    ~1 per 8 deliveries (compaction cost ≈ one build's write volume).
+    Deployments with slower object-store listings should lower it; the
+    gate-index sf100d audit (r13) showed key-sorted compacted buckets
+    also tighten row-group pruning, so compaction is never a pure
+    listing play."""
+    return index_file_stats(component_path)[2] > files_per_dir_threshold
+
+
 def release_maintenance_lock(lock: str | None) -> None:
     if lock is None:
         return

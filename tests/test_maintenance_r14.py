@@ -355,3 +355,32 @@ class TestSemanticIngestBatches:
         with pytest.raises(ValueError, match="PQ layout"):
             self._ingestor(got, path)(self._corpus(spark).where(
                 "vec_id < 1000000 AND vec_id % 10 = 5"), 0)
+
+
+class TestIngestLifecycleExample:
+    def test_decide_loop_end_to_end(self, spark, tmp_path):
+        """The WHEN-to-compact decision contract across all three
+        persisted ingest indexes (examples/ingest_index_lifecycle.py):
+        after n deliveries the files-per-dir signal crosses the
+        documented threshold (due=True), compaction resets it
+        (due=False), and the read surface is unchanged (gate keys,
+        band rows, ANN probe results)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ingest_index_lifecycle",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "examples", "ingest_index_lifecycle.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        trace = mod.run(spark, str(tmp_path), log=lambda *_: None)
+        for fam in ("gate", "band", "ann"):
+            assert trace[fam]["due_before"], fam
+            assert not trace[fam]["due_after"], fam
+            assert trace[fam]["fpd_after"] <= 1.0, fam
+        assert trace["ann"]["probe_identical"]
+        assert trace["ann"]["probe_rows"] > 0
+        assert trace["gate"]["keys"] > 0 and trace["band"]["rows"] > 0
