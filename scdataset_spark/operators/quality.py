@@ -510,8 +510,11 @@ def snapshot_diff(
 
     Scale shape: two narrow (id, hash) projections, one full outer join
     on the id (a single co-partitioned shuffle; with both snapshots
-    bucketed on the id it collapses to a zero-exchange merge), and a
-    three-way CASE.  Output: ``(id_col, status)``."""
+    bucketed on the id it collapses to a zero-exchange merge — the
+    documented layout for corpus version storage at 100 TB, pinned
+    against the executed plan by
+    ``tests/test_maintenance_r14.py::TestSnapshotDiffBucketedShape``),
+    and a three-way CASE.  Output: ``(id_col, status)``."""
     def _sig(df: DataFrame) -> DataFrame:
         parts = []
         for c in content_cols:
