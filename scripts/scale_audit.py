@@ -693,6 +693,78 @@ def compaction_audit(spark, n_appends: int = 7) -> dict:
     }
 
 
+def semantic_ingest_audit(spark) -> dict:
+    """semantic_ingest_batches' BENCH_SCALE row: per-delivery cost of
+    the streaming semantic screen must be O(delivery), never O(corpus).
+    Build the persisted index on the corpus minus two withheld slices,
+    then ingest two FIXED-SIZE deliveries (the c=0 replica shard's ids,
+    identical at every audited fixture scale) — delivery 1 mixes
+    genuinely-new vectors with near-dup replicas of INDEXED vectors
+    (collide), delivery 2 re-delivers delivery 1's novels (everything
+    collides: the cumulative path).  Compare the per-delivery seconds
+    across fixture decades (sf0.1 vs _bench_sf100e): flat = the probe's
+    partition pruning and the append's O(increment) hold at scale."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from scdataset_spark.operators.similarity import (
+        build_ann_index,
+        semantic_ingest_batches,
+    )
+    from scdataset_spark.queries.llm import emb_corpus
+
+    c = emb_corpus(spark, SF_DIR)
+    # the c=0 replica shard (ids < 1e6 original / < 2e6 replica) exists
+    # IDENTICALLY at every key-shifted fixture scale -> fixed-size
+    # deliveries while the corpus (and index) grows 1000x around them
+    withheld = (
+        "(vec_id < 1000000 AND vec_id % 10 IN (8, 9))"
+        " OR (vec_id >= 1000000 AND vec_id < 2000000"
+        "     AND (vec_id - 1000000) % 10 = 0)"
+    )
+    d1 = c.where(
+        "(vec_id < 1000000 AND vec_id % 10 = 8)"
+        " OR (vec_id >= 1000000 AND vec_id < 2000000"
+        "     AND (vec_id - 1000000) % 10 = 0)"
+    )  # new originals (novel) + replicas of indexed vectors (collide)
+    d2 = c.where("vec_id < 1000000 AND vec_id % 10 IN (8, 9)")
+    # ^ re-delivers delivery 1's novel %10=8 set (collides with its own
+    #   appended copy at cosine 1.0 via a DIFFERENT batch id) plus the
+    #   fresh %10=9 slice
+    base = c.where(f"NOT ({withheld})")
+    n = base.count()
+    path = _ann_index_path() + "_semingest"
+    _shutil.rmtree(path, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_ann_index(
+        base, path, cand_id="vec_id", vec="v",
+        n_clusters=max(64, n // 4500), vectorized_assign=True, n_rows=n,
+    )
+    build_sec = round(time.perf_counter() - t0, 1)
+    novel_counts: list[int] = []
+    ingest = semantic_ingest_batches(
+        path,
+        sink=lambda df: novel_counts.append(df.count()),
+        threshold=0.98, n_probe=4, cand_id="vec_id", vec="v",
+    )
+    deliveries = []
+    for b, d in enumerate((d1, d2)):
+        size = d.count()
+        t0 = time.perf_counter()
+        ingest(d, b)
+        deliveries.append(
+            dict(batch=b, rows=int(size), novel=int(novel_counts[-1]),
+                 sec=round(time.perf_counter() - t0, 2))
+        )
+    _shutil.rmtree(path, ignore_errors=True)
+    return {
+        "n_index_vectors": int(n),
+        "build_sec": build_sec,
+        "deliveries": deliveries,
+    }
+
+
 def fixture_health(spark) -> dict:
     """Flat-across-scale metrics: if cross-replica content leaks, avg
     shingle df inflates superlinearly (the r6 cipher-leak signature)."""
@@ -777,6 +849,11 @@ def main() -> None:
         elif a == "compaction":
             print(
                 json.dumps({"compaction_audit": compaction_audit(spark)}),
+                flush=True,
+            )
+        elif a == "semingest":
+            print(
+                json.dumps({"semantic_ingest_audit": semantic_ingest_audit(spark)}),
                 flush=True,
             )
         elif a in GROUPS:

@@ -19,6 +19,14 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "scdataset_spark"
 LIBRARY_ONLY = {
     # building blocks consumed by other operators in the same layer;
     # every *composition* that uses them is oracle-checked
+    "acquire_maintenance_lock": "delivery/compaction mutual exclusion "
+    "taken inside every ingest callback and compaction verb; behavior "
+    "pinned by TestMaintenanceLock",
+    "release_maintenance_lock": "pair of acquire_maintenance_lock",
+    "index_file_stats": "compaction-decision signal (pure fs walk) "
+    "behind compaction_due; exercised by TestIngestLifecycleExample",
+    "compaction_due": "the when-to-compact decision used by "
+    "examples/ingest_index_lifecycle.py; CI-tested end-to-end",
     "tokens_col": "expression helper used by textanalysis operators",
     "simhash_exprs": "expression pieces behind with_simhash (dd_simhash)",
     "simhash_votes_expr": "one-md5-per-token vote pass inside with_simhash",
