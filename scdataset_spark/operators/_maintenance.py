@@ -51,6 +51,8 @@ def acquire_maintenance_lock(index_path: str, role: str) -> str | None:
         # no index directory: let the caller raise its own (clearer)
         # missing-index error instead of a lock-acquisition failure
         return None
+    import time
+
     lock = index_path.rstrip("/") + LOCK_SUFFIX
     for attempt in (0, 1):
         try:
@@ -60,12 +62,20 @@ def acquire_maintenance_lock(index_path: str, role: str) -> str | None:
             return lock
         except FileExistsError:
             host = pid = prev_role = None
-            try:
-                with open(_owner_path(lock)) as f:
-                    host, pid, prev_role = f.read().split("\n")[:3]
-                    pid = int(pid)
-            except (OSError, ValueError):
-                pass  # owner file missing/garbled: treat as unprovable
+            for read_try in (0, 1):
+                try:
+                    with open(_owner_path(lock)) as f:
+                        host, raw_pid, prev_role = f.read().split("\n")[:3]
+                    pid = int(raw_pid)
+                    break
+                except (OSError, ValueError):
+                    # owner file momentarily absent/garbled: a holder may
+                    # be BETWEEN its mkdir and its owner write (or a
+                    # release between rename steps) — re-read once after
+                    # a beat before treating it as unprovable
+                    host = pid = prev_role = None
+                    if read_try == 0:
+                        time.sleep(0.2)
             if (
                 attempt == 0
                 and host == socket.gethostname()
@@ -74,15 +84,23 @@ def acquire_maintenance_lock(index_path: str, role: str) -> str | None:
                 try:
                     os.kill(pid, 0)
                 except ProcessLookupError:
-                    # same-host owner is dead: reclaim and retry once
+                    # Same-host owner is dead: reclaim by RENAMING the
+                    # stale lock aside — rename is atomic, so of N
+                    # concurrent reclaimers exactly ONE succeeds and the
+                    # rest fall through to the retry mkdir (a blind
+                    # remove+rmdir here would let a second contender
+                    # delete the first's freshly-acquired lock and both
+                    # would "hold" it — the very race this module
+                    # exists to prevent).
+                    stale = f"{lock}.stale.{os.getpid()}"
                     try:
-                        os.remove(_owner_path(lock))
+                        os.rename(lock, stale)
                     except OSError:
-                        pass
-                    try:
-                        os.rmdir(lock)
-                    except OSError:
-                        pass
+                        pass  # someone else reclaimed (or holder woke)
+                    else:
+                        import shutil
+
+                        shutil.rmtree(stale, ignore_errors=True)
                     continue
                 except PermissionError:
                     pass  # alive but not ours
@@ -95,6 +113,25 @@ def acquire_maintenance_lock(index_path: str, role: str) -> str | None:
                 "directory."
             )
     raise AssertionError("unreachable")
+
+
+def namespaced_batch_tag(run_id: str | None, batch_id) -> int:
+    """The stored batch tag shared by every replay-guarded ingest index
+    (band index, ANN ``_ingested_ids`` sidecar): Spark batch ids are
+    only unique within one checkpoint lineage, so an optional ``run_id``
+    (the streaming query's stable id, or the checkpoint path) is folded
+    into the tag — ``(crc32(run_id) & 0x7fffffff) << 32 | batch_id`` —
+    making "same tag" mean "a true replay of the same delivery in the
+    same lineage".  ``run_id=None`` keeps the legacy raw-batch-id
+    semantics.  ONE definition on purpose: the tag format is an on-disk
+    contract, and two drifting copies would silently mis-read each
+    other's sidecars."""
+    if run_id is None:
+        return int(batch_id)
+    import zlib
+
+    ns = zlib.crc32(str(run_id).encode()) & 0x7FFFFFFF
+    return (ns << 32) | (int(batch_id) & 0xFFFFFFFF)
 
 
 def index_file_stats(component_path: str) -> tuple[int, int, float]:
@@ -112,12 +149,13 @@ def index_file_stats(component_path: str) -> tuple[int, int, float]:
     can run on a scheduler tick."""
     import os
 
+    # no lock/backup filtering needed: the lock dir and the
+    # __precompact/__compacting dirs are all SIBLINGS of the walk
+    # roots (gate {index_dir}/{col}, band root, ANN {path}/cells),
+    # never inside them
     n_files = 0
     dirs = set()
     for root, _dnames, fnames in os.walk(component_path):
-        base = os.path.basename(root)
-        if base.startswith((LOCK_SUFFIX.lstrip("_"), "_maintenance")):
-            continue
         for f in fnames:
             if f.endswith(".parquet"):
                 n_files += 1
@@ -144,11 +182,15 @@ def compaction_due(component_path: str, files_per_dir_threshold: float = 8.0) ->
 def release_maintenance_lock(lock: str | None) -> None:
     if lock is None:
         return
+    # rename-aside then delete: the lock DISAPPEARS atomically, so a
+    # concurrent acquirer never observes a half-released lock (an
+    # owner-less dir would read as "unprovable owner" and fail a live
+    # streaming delivery with a spurious RuntimeError)
+    import shutil
+
+    gone = f"{lock}.released.{os.getpid()}"
     try:
-        os.remove(_owner_path(lock))
+        os.rename(lock, gone)
     except OSError:
-        pass
-    try:
-        os.rmdir(lock)
-    except OSError:
-        pass
+        return  # already reclaimed/released
+    shutil.rmtree(gone, ignore_errors=True)

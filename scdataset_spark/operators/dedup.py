@@ -393,14 +393,16 @@ def novel_ingest_batches(
     replay of the same delivery in the same checkpoint lineage is
     excluded.  ``run_id=None`` keeps the legacy single-checkpoint-
     lifetime semantics (tag = raw batch_id) and is only safe while the
-    index is fed by one checkpoint lineage for its whole life."""
-    import zlib
+    index is fed by one checkpoint lineage for its whole life.
+
+    Stored batch tags are BIGINT since r14; an index written by an
+    older build stores INT32 and parquet refuses a cross-file type
+    change — run :func:`compact_band_index` once before resuming
+    ingest on such an index (the rewrite normalizes the column)."""
+    from scdataset_spark.operators._maintenance import namespaced_batch_tag
 
     def _tag(batch_id: int) -> int:
-        if run_id is None:
-            return int(batch_id)
-        ns = zlib.crc32(str(run_id).encode()) & 0x7FFFFFFF
-        return (ns << 32) | (int(batch_id) & 0xFFFFFFFF)
+        return namespaced_batch_tag(run_id, batch_id)
 
     def _ingest(batch_df, batch_id):
         from scdataset_spark.operators._maintenance import (
@@ -521,7 +523,12 @@ def _compact_band_index_locked(spark, path: str) -> DataFrame:
     tmp = f"{path}__compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        idx.repartition("_bb")
+        # batch_id normalized to BIGINT on rewrite: pre-r14 indexes
+        # stored it as INT32 and the namespaced appends write INT64 —
+        # parquet readers refuse a column whose type differs across
+        # files, so "compact once after upgrading" IS the migration
+        idx.withColumn("batch_id", F.col("batch_id").cast("bigint"))
+        .repartition("_bb")
         .sortWithinPartitions("_bb", "band_sig")
         .write.mode("overwrite")
         .partitionBy("_bb")

@@ -2286,7 +2286,12 @@ def ann_ingest_batches(
     cells ids exceeding sidecar ids — and :func:`rebuild_ann_index`
     clears it.
 
-    ``on_report(batch_id, n_batch, n_new)`` observes each delivery."""
+    ``on_report(batch_id, n_batch, n_new)`` observes each delivery.
+
+    Sidecar batch ids are BIGINT since r14; a sidecar written by an
+    older build stores INT32 — run :func:`compact_ann_index` once
+    before resuming ingest on such an index (the sidecar rewrite
+    normalizes the column)."""
     import os
 
     def _ingest(batch_df, batch_id):
@@ -2453,13 +2458,11 @@ def semantic_ingest_batches(
     approximation of the screen would silently change novelty verdicts
     — refuse loudly instead."""
     import os
-    import zlib
+
+    from scdataset_spark.operators._maintenance import namespaced_batch_tag
 
     def _tag(batch_id: int) -> int:
-        if run_id is None:
-            return int(batch_id)
-        ns = zlib.crc32(str(run_id).encode()) & 0x7FFFFFFF
-        return (ns << 32) | (int(batch_id) & 0xFFFFFFFF)
+        return namespaced_batch_tag(run_id, batch_id)
 
     def _ingest(batch_df, batch_id):
         from scdataset_spark.operators._maintenance import (
@@ -2690,7 +2693,9 @@ def _compact_ann_index_locked(spark, path: str) -> DataFrame:
         # touched bucket per delivery — same rewrite as the gate index
         def _rewrite_side(df, out):
             (
-                df.repartition("_kb")
+                # normalize legacy INT32 batch ids (see compact_band_index)
+                df.withColumn("batch_id", F.col("batch_id").cast("bigint"))
+                .repartition("_kb")
                 .sortWithinPartitions("_kb", "_k")
                 .write.mode("overwrite")
                 .partitionBy("_kb")

@@ -339,7 +339,12 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
     until every column's gate decision is known, so a rejected
     delivery leaves NO phantom keys behind and the repaired delivery
     (re-enqueued under a new batch_id) is judged only against
-    genuinely committed history."""
+    genuinely committed history.
+
+    Stored batch ids are BIGINT since r14; an index written by an
+    older build stores INT32 — run :func:`compact_unique_index` once
+    before resuming the gate on such an index (the rewrite normalizes
+    the column)."""
     from pyspark.errors import AnalysisException
 
     def _gate(batch_df, batch_id):
@@ -447,7 +452,7 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
                 )
         for path, new in pending:
             (
-                new.withColumn("batch_id", F.lit(int(batch_id)))
+                new.withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
                 .repartition("_kb")
                 # sort keys inside each bucket file so its parquet
                 # min/max key stats are tight — the next delivery's
@@ -527,7 +532,11 @@ def _compact_unique_index_locked(
         tmp = f"{path}__compacting"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            idx.repartition("_kb")
+            # normalize legacy INT32 batch ids: r14 appends write
+            # BIGINT tags and parquet refuses a cross-file type change,
+            # so one compaction after upgrading migrates the index
+            idx.withColumn("batch_id", F.col("batch_id").cast("bigint"))
+            .repartition("_kb")
             .sortWithinPartitions("_kb", "_k")
             .write.mode("overwrite")
             .partitionBy("_kb")

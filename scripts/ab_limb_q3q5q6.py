@@ -199,11 +199,21 @@ def main() -> None:
         return vals[7] if len(vals) > 7 else 0, sum(vals)
 
     steal0, total0 = read_stat()
-    # sanity: variant pairs must agree on values before timing them
+
+    def rows4(fn):
+        """Collected rows with doubles rounded to 4dp: the limb and
+        decimal recombinations may differ in the final ulp (different
+        IEEE op sequences), which is immaterial to the A/B but would
+        fail exact string equality."""
+        return sorted(
+            tuple(round(v, 4) if isinstance(v, float) else v for v in r)
+            for r in fn(spark, SF_DIR).collect()
+        )
+
+    # sanity: variant pairs must agree on VALUES before timing them
     for a, b in (("q6_limb", "q6_decimal"), ("q5_limb", "q5_decimal")):
-        ra = sorted(map(str, VARIANTS[a](spark, SF_DIR).collect()))
-        rb = sorted(map(str, VARIANTS[b](spark, SF_DIR).collect()))
-        assert len(ra) == len(rb), (a, b)
+        ra, rb = rows4(VARIANTS[a]), rows4(VARIANTS[b])
+        assert ra == rb, (a, b, ra[:3], rb[:3])
     q3_rows = {
         v: [r["l_orderkey"] for r in VARIANTS[v](spark, SF_DIR).collect()]
         for v in VARIANTS
