@@ -23,6 +23,10 @@ LIBRARY_ONLY = {
     "taken inside every ingest callback and compaction verb; behavior "
     "pinned by TestMaintenanceLock",
     "release_maintenance_lock": "pair of acquire_maintenance_lock",
+    "namespaced_batch_tag": "the shared on-disk batch-tag contract "
+    "behind novel_ingest_batches/semantic_ingest_batches run_id "
+    "namespacing; behavior pinned by TestNovelIngestRunId and "
+    "TestSemanticIngestBatches",
     "index_file_stats": "compaction-decision signal (pure fs walk) "
     "behind compaction_due; exercised by TestIngestLifecycleExample",
     "compaction_due": "the when-to-compact decision used by "
