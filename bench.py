@@ -77,6 +77,31 @@ def main() -> None:
 
         return round(min(once() for _ in range(3)), 3)
 
+    def shuffle_probe() -> float:
+        """Fixed exchange-heavy plan (repartition + keyed agg), min-of-3
+        at steady state: the r14 clean-session postmortem found a box
+        mode where UNTOUCHED shuffle/memory-heavy queries read 15–35%
+        slower while steal, the single-core probe AND the scan-shaped
+        jvm_probe all look normal (SMT-sibling / memory-bandwidth
+        contention).  This probe is the cross-round comparator for THAT
+        mode — compare warm totals only at matched shuffle_probe too."""
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 20_000_000, 1, CPUS)
+                .selectExpr("id % 1000000 AS k", "id AS v")
+                .repartition(CPUS, "k")
+                .groupBy("k")
+                .agg({"v": "sum"})
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            return time.perf_counter() - t0
+
+        return round(min(once() for _ in range(3)), 3)
+
     def cpu_probe() -> float:
         def once() -> float:
             t0 = time.perf_counter()
@@ -263,6 +288,7 @@ def main() -> None:
 
     b1024_sps, b1024_sps_spread = timed_sps(_b1024_run)
     jvm_probe_sec = jvm_probe()
+    shuffle_probe_sec = shuffle_probe()
     # drift between the two steady-state JVM probes (post-warm vs end):
     # both sides are past C2 tiering, so a ratio away from 1.0 means the
     # box's JVM-side throughput CHANGED during the warm loops — exactly
@@ -341,6 +367,11 @@ def main() -> None:
                 "jvm_probe_sec": jvm_probe_sec,
                 "jvm_probe_mid_sec": jvm_probe_mid_sec,
                 "jvm_probe_drift_ratio": jvm_probe_drift,
+                # exchange-heavy fixed plan: cross-round comparator for
+                # the parallel-throughput contention mode the scan probe
+                # misses (r14 postmortem — untouched shuffle-heavy
+                # queries +15-35% at normal steal/scan-probe readings)
+                "shuffle_probe_sec": shuffle_probe_sec,
                 # % of CPU time the hypervisor took from this VM during
                 # the run (neighbor interference, /proc/stat steal)
                 "cpu_steal_pct": steal_pct,
