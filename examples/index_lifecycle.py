@@ -47,9 +47,13 @@ executes this exact loop end-to-end at sf0.01)
 Streaming entry points to the same loop: ``similarity.ann_ingest_batches``
 appends each foreachBatch delivery under the frozen geometry with an
 exactly-once id sidecar (health-checked by ``ann_ingest_consistency``),
-and ``dedup.novel_ingest_batches`` is the dedup-on-ingest sibling over a
-growing band index — both compactable, both covered by the same
-monitor → decide → rebuild discipline this example walks.
+``similarity.semantic_ingest_batches`` composes a SemDeDup-style
+exact-cosine novelty screen in front of that append, and
+``dedup.novel_ingest_batches`` is the dedup-on-ingest sibling over a
+growing band index — all compactable, all covered by the same
+monitor → decide → rebuild discipline this example walks (the
+WHEN-to-compact decide-loop across all three ingest indexes is
+``examples/ingest_index_lifecycle.py``).
 """
 
 from __future__ import annotations

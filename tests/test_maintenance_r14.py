@@ -439,3 +439,47 @@ class TestSnapshotDiffBucketedShape:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS snap_old_r14")
             spark.sql("DROP TABLE IF EXISTS snap_new_r14")
+
+
+class TestBatchTagMigration:
+    def test_compaction_normalizes_legacy_int32_band_index(
+        self, spark, tmp_path
+    ):
+        """Migration contract: a pre-r14 band index stores batch_id as
+        INT32; post-r14 namespaced appends write BIGINT, and parquet
+        refuses a cross-file type change.  One compaction rewrites the
+        legacy files to BIGINT, after which tagged appends and probes
+        work."""
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators import dedup as dd
+
+        docs = load_table(spark, "documents", SF_DIR, with_row_id=False)
+        path = str(tmp_path / "bandidx")
+        dd.write_band_index(docs.where("doc_id % 10 < 8"), path)
+        # forge the legacy layout: rewrite the index with INT32 batch ids
+        legacy = spark.read.parquet(path).withColumn(
+            "batch_id", F.col("batch_id").cast("int")
+        )
+        import shutil
+
+        tmp = str(tmp_path / "legacy")
+        (
+            legacy.repartition("_bb").sortWithinPartitions("_bb", "band_sig")
+            .write.mode("overwrite").partitionBy("_bb").parquet(tmp)
+        )
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+        assert dict(spark.read.parquet(path).dtypes)["batch_id"] == "int"
+        # the migration: one compaction
+        dd.compact_band_index(spark, path)
+        assert dict(spark.read.parquet(path).dtypes)["batch_id"] == "bigint"
+        # namespaced (BIGINT-tagged) ingest now appends and probes cleanly
+        got: list[set] = []
+        ingest = dd.novel_ingest_batches(
+            path, lambda df: got.append({r.doc_id for r in df.collect()}),
+            run_id="ckpt-A",
+        )
+        ingest(docs.where("doc_id % 10 = 8"), 0)
+        ingest(docs.where("doc_id % 10 = 8"), 1)  # all dup now
+        assert len(got[0]) > 0 and got[1] == set()
+        spark.read.parquet(path).count()  # mixed-type read would throw
