@@ -213,27 +213,33 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="J3,G7",
     headline=True,
     oracle=f"""
-SELECT n_name, {lsum_out('r', 'revenue', '//')}
-FROM (
-  SELECT n.n_name AS n_name,
-         {lsum_inner('l.l_extendedprice * (1 - l.l_discount)', 'r', '//')}
-  FROM customer c
-  JOIN orders o ON c.c_custkey = o.o_custkey
-  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-  JOIN nation n ON s.s_nationkey = n.n_nationkey
-  JOIN region r ON n.n_regionkey = r.r_regionkey
-  WHERE r.r_name = 'ASIA'
-    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  GROUP BY n.n_name) g
+SELECT n.n_name AS n_name,
+       {dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 analogue: 6-table star join.  Constant-size dims
     (region, nation) carry explicit broadcast hints; supplier and
     customer grow with SF, so their joins are left to AQE, which still
-    broadcasts them at small SF from runtime size stats."""
+    broadcasts them at small SF from runtime size stats.
+
+    Sum form: DECIMAL, not limb — the r14 A/B (min-of-4 solo sessions,
+    BENCH_SCALE.md "r14 limb A/B") has decimal ahead in 6 of 8
+    session-level comparisons at BOTH sf0.1 and sf1 (1.219 vs 1.241 /
+    1.389 vs 1.436 min-of-4).  q5 is JOIN-dominated: the aggregate
+    consumes the post-join rows into five groups, so the limb form's
+    per-row accumulator saving (q1's 2.3x win, where the agg IS the
+    query) never outweighs its 3-expressions-per-row cost here."""
     c = load_table(spark, "customer", sf_dir, with_row_id=False)
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
@@ -257,8 +263,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
-        .selectExpr("n_name", lsum_out("r", "revenue"))
+        .agg(
+            dsum_col(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
     )
 
 
