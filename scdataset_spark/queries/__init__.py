@@ -26,13 +26,12 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-14 priority (VERDICT r13 task 2, rotated as the FIRST
-# commit of the round): (a) queries NEW this round lead (never externally
-# checked), then (b) the 10 queries whose Spark+oracle SQL was rewritten
-# to limb form in r13 AFTER their last external check at r11 (local DuckDB
-# parity covers them, but the external gate is the hard signal), then
-# (c) the 21 entries whose most recent external check is round 10 (at the
-# three-round staleness floor), then rounds 11/12/13 by staleness.
+# cosmetics.  Round-15 priority (VERDICT r14 task 2, rotated as the FIRST
+# commit of the round): (a) queries NEW or SQL-changed this round lead
+# (never externally checked / check invalidated), then (b) the 23 entries
+# whose most recent external check is round 11 (at the three-round
+# staleness floor), then rounds 12/13 by staleness, with the 50 entries
+# checked in round 14 at the back (freshest).
 #
 # Staleness floor (codified per VERDICT r10 task 7): with 171+ entries
 # and a ~50-slot external sweep, the worst-case age of any entry's
@@ -44,61 +43,8 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # latency, not untested surface.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new or SQL-changed in round 14 (prepend as added) ---
-    "sim_semantic_ingest",  # new r14: streaming semantic dedup-on-ingest
-    "dq_snapshot_diff",  # oracle: <> -> IS DISTINCT FROM (ADVICE r13 #2)
-    # --- limb-SQL changed in r13 AFTER their last external check (r11);
-    #     q3 additionally reverted to the decimal sum in r14 (A/B) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "g7_unpivot_flag_metrics",
-    "tx_unigram_logprob",
-    "ev_user_stats",
-    # --- last externally checked in round 10 (3-round floor; MUST lead r14) ---
-    "setops_union_distinct",
-    "setops_repeat_customers",
-    "setops_lapsed_customers",
-    "sq_correlated_group_max",
-    "null_handling",
-    "scalar_functions_events",
-    "ev_session_capped",
-    "ev_session_funnel",
-    "tx_token_stats",
-    "tx_langid",
-    "tx_fingerprint",
-    "tx_sequence_pack",
-    "tx_token_budget",
-    "j4_asof_join",
-    "dd_winnowing",
-    "dd_winnowing_pairs",
-    "tx_bpe_count",
-    "g4_shuffle_quality",
-    "mm_frame_sample",
-    "skew_salted_count",
-    "q17_small_quantity",
-    # --- last externally checked in round 11 ---
-    "sim_ivf_index",
-    "sim_pq_index",
-    "tx_token_budget_per_source",
-    "q2_min_cost_supplier",
-    "tx_repetition",
-    "emb_quantize",
-    "dd_embed_exact",
-    "o17_temperature_mixture",
-    "dd_embed_cosine_fast",
-    "dd_keep_best",
-    "tx_vocabulary",
-    "o21_split_assign",
-    "dq_drift",
-    "o23_interleave",
-    "dd_ngram_decontam",
-    "j_full_outer_nation_activity",
-    "tx_length_buckets",
+    # --- new or SQL-changed in round 15 (prepend as added) ---
+    # --- last externally checked in round 11 (3-round floor; MUST lead r15) ---
     "s1_streaming_scan",
     "s2_subset_split",
     "o9_epoch_reshuffle",
@@ -122,7 +68,7 @@ _SWEEP_PRIORITY = [
     "mm_multimodal_zip",
     "tx_normalize",
     "tx_pii_scrub",
-    # --- last externally checked in round 12 ---
+    # --- last externally checked in round 12 (sweep tail fills from here) ---
     "tx_token_budget_per_source_bucketed",
     "sim_ivf_index_stats",
     "sim_ivf_index_rebuild",
@@ -173,7 +119,7 @@ _SWEEP_PRIORITY = [
     "o7_smoothed_weights",
     "o10_batch_plan",
     "o11_drop_last_batches",
-    # --- last externally checked in round 13 (freshest) ---
+    # --- last externally checked in round 13 ---
     "sim_ivf_index_compacted",
     "sim_pq_adc_agreement",
     "sim_ann_ingest_consistency",
@@ -223,6 +169,57 @@ _SWEEP_PRIORITY = [
     "g7_correlation",
     "j_semi_active_customers",
     "j_anti_customers_without_orders",
+    # --- externally checked in round 14 (freshest) ---
+    "sim_semantic_ingest",
+    "dq_snapshot_diff",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "g7_unpivot_flag_metrics",
+    "tx_unigram_logprob",
+    "ev_user_stats",
+    "setops_union_distinct",
+    "setops_repeat_customers",
+    "setops_lapsed_customers",
+    "sq_correlated_group_max",
+    "null_handling",
+    "scalar_functions_events",
+    "ev_session_capped",
+    "ev_session_funnel",
+    "tx_token_stats",
+    "tx_langid",
+    "tx_fingerprint",
+    "tx_sequence_pack",
+    "tx_token_budget",
+    "j4_asof_join",
+    "dd_winnowing",
+    "dd_winnowing_pairs",
+    "tx_bpe_count",
+    "g4_shuffle_quality",
+    "mm_frame_sample",
+    "skew_salted_count",
+    "q17_small_quantity",
+    "sim_ivf_index",
+    "sim_pq_index",
+    "tx_token_budget_per_source",
+    "q2_min_cost_supplier",
+    "tx_repetition",
+    "emb_quantize",
+    "dd_embed_exact",
+    "o17_temperature_mixture",
+    "dd_embed_cosine_fast",
+    "dd_keep_best",
+    "tx_vocabulary",
+    "o21_split_assign",
+    "dq_drift",
+    "o23_interleave",
+    "dd_ngram_decontam",
+    "j_full_outer_nation_activity",
+    "tx_length_buckets",
 ]
 
 def _apply_sweep_priority() -> None:
