@@ -96,12 +96,41 @@ def acquire_maintenance_lock(index_path: str, role: str) -> str | None:
                     try:
                         os.rename(lock, stale)
                     except OSError:
-                        pass  # someone else reclaimed (or holder woke)
+                        continue  # someone else reclaimed (or holder woke)
                     else:
-                        import shutil
+                        # The rename is atomic but NOT conditional: a second
+                        # contender can reclaim-and-reacquire between our
+                        # liveness probe and our rename, so what we just
+                        # renamed aside may be its fresh LIVE lock (ADVICE
+                        # r14).  Verify the renamed dir still names the
+                        # (host, pid) we proved dead before destroying it;
+                        # anything else — a different owner, or an owner
+                        # file not written yet — gets put back.
+                        try:
+                            with open(_owner_path(stale)) as f:
+                                s_host, s_pid = f.read().split("\n")[:2]
+                            proven = s_host == host and int(s_pid) == pid
+                        except (OSError, ValueError):
+                            proven = False  # mid-acquisition: not provably stale
+                        if proven:
+                            import shutil
 
-                        shutil.rmtree(stale, ignore_errors=True)
-                    continue
+                            shutil.rmtree(stale, ignore_errors=True)
+                            continue
+                        try:
+                            os.rename(stale, lock)  # restore the live lock
+                        except OSError:
+                            raise RuntimeError(
+                                f"lost a reclaim race on {lock}: a live lock "
+                                f"was renamed aside to {stale} and the lock "
+                                "path was re-taken before it could be "
+                                "restored.  Verify nothing is writing this "
+                                "index, then delete both directories."
+                            ) from None
+                        # restored: fall through to attempt 1, which will
+                        # re-read the (live) owner and raise the standard
+                        # in-flight-holder error or acquire after release
+                        continue
                 except PermissionError:
                     pass  # alive but not ours
             raise RuntimeError(
@@ -132,6 +161,62 @@ def namespaced_batch_tag(run_id: str | None, batch_id) -> int:
 
     ns = zlib.crc32(str(run_id).encode()) & 0x7FFFFFFF
     return (ns << 32) | (int(batch_id) & 0xFFFFFFFF)
+
+
+def warn_if_legacy_tag_collision(index_df, raw_tag: int, index_desc: str) -> None:
+    """One-shot hazard warning for the ``run_id=None`` ingest default
+    (ADVICE r14): with raw batch tags, the own-batch replay exclusion
+    cannot tell a TRUE replay (same checkpoint lineage re-delivering
+    batch N) from a NEW lineage whose batch N collides with a previous
+    run's — in the second case the previous run's batch-N novels are
+    wrongly excluded from the novelty screen and their near-duplicates
+    are waved through.  Call sites invoke this once per callback
+    instance (first delivery only — the hazard manifests at the low
+    batch ids a fresh checkpoint restarts from) when ``run_id`` is
+    None; the probe is a LIMIT-1 existence check on the already-pruned
+    index frame.  A warning here is ambiguous BY CONSTRUCTION (a same-
+    lineage replay also matches); passing ``run_id`` is what removes
+    the ambiguity, which is exactly what the message says."""
+    from pyspark.sql import functions as F
+
+    if index_df.where(F.col("batch_id") == int(raw_tag)).limit(1).count():
+        import warnings
+
+        warnings.warn(
+            f"{index_desc} already contains rows tagged batch_id="
+            f"{int(raw_tag)} while run_id=None: if this stream is a NEW "
+            "checkpoint lineage (fresh checkpoint dir), those rows are a "
+            "PREVIOUS run's appends and are being wrongly excluded from "
+            "the novelty screen — their near-duplicates will pass as "
+            "novel.  Pass run_id (the streaming query's stable id or the "
+            "checkpoint path) to namespace batch tags per lineage.  If "
+            "this is a replay within the same lineage, the exclusion is "
+            "correct and this warning is benign.",
+            stacklevel=3,
+        )
+
+
+def check_batch_tag_dtype(df, index_desc: str, compact_hint: str) -> None:
+    """Refuse to append next to a pre-r14 index whose stored
+    ``batch_id`` is still INT32 (ADVICE r14).  The documented migration
+    is "compact once before resuming ingest" — but nothing ENFORCED it:
+    an append would write BIGINT files next to the INT32 ones, and the
+    mixed directory only fails at the NEXT read (probe or compaction),
+    by which point the "compact once" escape hatch itself reads the
+    mixed types and may fail too.  Called with the index/sidecar frame
+    at probe time, BEFORE any append, so the failure arrives while the
+    directory is still uniformly typed and the hint still works."""
+    from pyspark.sql.types import LongType
+
+    dt = df.schema["batch_id"].dataType
+    if not isinstance(dt, LongType):
+        raise RuntimeError(
+            f"{index_desc} stores batch_id as {dt.simpleString()} "
+            "(written by a pre-r14 build); appending would mix it with "
+            "BIGINT files in one directory, which parquet refuses at the "
+            f"next read.  Run {compact_hint} once first — the rewrite "
+            "normalizes the column to BIGINT."
+        )
 
 
 def index_file_stats(component_path: str) -> tuple[int, int, float]:

@@ -404,6 +404,10 @@ def novel_ingest_batches(
     def _tag(batch_id: int) -> int:
         return namespaced_batch_tag(run_id, batch_id)
 
+    # one-shot cross-lineage hazard check, armed only for the legacy
+    # run_id=None default (ADVICE r14) — see warn_if_legacy_tag_collision
+    _legacy_checked = [run_id is not None]
+
     def _ingest(batch_df, batch_id):
         from scdataset_spark.operators._maintenance import (
             acquire_maintenance_lock,
@@ -444,7 +448,26 @@ def novel_ingest_batches(
             buckets = [
                 int(r[0]) for r in inc_bands.select("_bb").distinct().collect()
             ]
-            idx = spark.read.parquet(index_dir).where(
+            idx_all = spark.read.parquet(index_dir)
+            from scdataset_spark.operators._maintenance import (
+                check_batch_tag_dtype,
+            )
+
+            check_batch_tag_dtype(
+                idx_all,
+                f"band index at {index_dir}",
+                "compact_band_index",
+            )
+            if not _legacy_checked[0]:
+                _legacy_checked[0] = True
+                from scdataset_spark.operators._maintenance import (
+                    warn_if_legacy_tag_collision,
+                )
+
+                warn_if_legacy_tag_collision(
+                    idx_all, _tag(batch_id), f"band index at {index_dir}"
+                )
+            idx = idx_all.where(
                 F.col("_bb").isin(buckets)
                 & (F.col("batch_id") != _tag(batch_id))
             )

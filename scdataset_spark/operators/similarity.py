@@ -2320,15 +2320,17 @@ def ann_ingest_batches(
 
 def _ann_delivery_unlocked(
     batch_df, batch_tag: int, path: str, cand_id: str, vec: str,
-    dim: int, m: int, on_report,
+    dim: int | None, m: int | None, on_report,
 ) -> int:
     """One exactly-once index delivery (the body of
     :func:`ann_ingest_batches`, factored out so
     :func:`semantic_ingest_batches` can run it under its OWN
     maintenance lock — the lock is not re-entrant).  The caller must
     hold the index's maintenance lock.  ``batch_tag`` is the stored
-    sidecar batch id (possibly run-id-namespaced).  Returns the number
-    of newly appended ids."""
+    sidecar batch id (possibly run-id-namespaced).  ``dim``/``m`` feed
+    only the PQ append path; callers that have already refused the PQ
+    layout pass None for both.  Returns the number of newly appended
+    ids."""
     import os
 
     batch_id = batch_tag  # stored verbatim in the sidecar
@@ -2352,9 +2354,19 @@ def _ann_delivery_unlocked(
     side = f"{path}/_ingested_ids"
     if os.path.exists(side) and n_batch:
         buckets = [int(r[0]) for r in ids.select("_kb").distinct().collect()]
+        side_all = spark.read.parquet(side)
+        from scdataset_spark.operators._maintenance import (
+            check_batch_tag_dtype,
+        )
+
+        check_batch_tag_dtype(
+            side_all,
+            f"ANN ingest sidecar at {side}",
+            "compact_ann_index",
+        )
         # the delivery's id range is a sound pushed filter on the
         # key-sorted sidecar (ids outside it cannot be re-deliveries)
-        seen = spark.read.parquet(side).where(
+        seen = side_all.where(
             F.col("_kb").isin(buckets)
             & F.col("_k").between(stats["_lo"], stats["_hi"])
         )
@@ -2464,6 +2476,10 @@ def semantic_ingest_batches(
     def _tag(batch_id: int) -> int:
         return namespaced_batch_tag(run_id, batch_id)
 
+    # one-shot cross-lineage hazard check, armed only for the legacy
+    # run_id=None default (ADVICE r14) — see warn_if_legacy_tag_collision
+    _legacy_checked = [run_id is not None]
+
     def _ingest(batch_df, batch_id):
         from scdataset_spark.operators._maintenance import (
             acquire_maintenance_lock,
@@ -2490,11 +2506,17 @@ def semantic_ingest_batches(
         side = os.path.join(path, "_ingested_ids")
         exclude = None
         if os.path.exists(side):
-            exclude = (
-                spark.read.parquet(side)
-                .where(F.col("batch_id") == tag)
-                .select("_k")
-            )
+            side_df = spark.read.parquet(side)
+            if not _legacy_checked[0]:
+                _legacy_checked[0] = True
+                from scdataset_spark.operators._maintenance import (
+                    warn_if_legacy_tag_collision,
+                )
+
+                warn_if_legacy_tag_collision(
+                    side_df, tag, f"ANN ingest sidecar at {side}"
+                )
+            exclude = side_df.where(F.col("batch_id") == tag).select("_k")
         q = batch_df.select(F.col(cand_id), F.col(vec)).where(
             F.col(cand_id).isNotNull()
         )
@@ -2542,10 +2564,14 @@ def semantic_ingest_batches(
         )
         if n_novel:
             # append AFTER the sink, novels only (same no-phantom rule
-            # as novel_ingest_batches), under the lock we already hold
+            # as novel_ingest_batches), under the lock we already hold.
+            # dim/m are None ON PURPOSE: the raw-vector layout ignores
+            # them, and this callback refused the PQ layout above — a
+            # future PQ extension of the screen must plumb the real
+            # geometry rather than inherit fabricated values (ADVICE r14)
             _ann_delivery_unlocked(
                 q.join(novel_ids, cand_id, "left_semi"),
-                tag, path, cand_id, vec, 64, 8, None,
+                tag, path, cand_id, vec, None, None, None,
             )
         if on_report is not None:
             on_report(int(batch_id), int(n_batch), int(n_novel))

@@ -83,17 +83,21 @@ def lsum_out(tag: str, alias: str, div: str = "DIV") -> str:
 
     The Spark dialect guards ``l2 * 10000`` (the recombination term
     that wraps first — see the module docstring's |x|-dependent bound):
-    |l2| past ~9.2e14 raises instead of silently wrapping, because the
+    |l2| past 9.1e14 raises instead of silently wrapping, because the
     DuckDB side runs the same sum in HUGEINT and would silently
     diverge.  The guard is one per-GROUP CASE on the final projection —
-    zero per-row cost.  The threshold leaves ~2e16 of headroom for the
-    additive l1/l0 terms (themselves < ~9.2e16 at the row bound).
+    zero per-row cost.  Threshold arithmetic (ADVICE r14): the guard
+    admits |l2*1e4| up to 9.1e18, leaving 2^63-1 - 9.1e18 ≈ 1.23e17 of
+    headroom, which covers the additive terms' worst case — |l1 DIV
+    100| < ~9.2e16 (|l1| itself bounded by the same ~9.2e18 row bound)
+    plus the f0 DIV 1e8 term (orders of magnitude smaller) — so the
+    recombination sum stays inside int64 whenever the guard passes.
     NULL sums (all-NULL input groups) pass through: abs(NULL) > k is
     NULL, so the CASE falls to the multiply and NULL propagates."""
     f0 = f"(({tag}_l1 % 100) * 1000000 + {tag}_l0)"
     if div == "DIV":  # Spark: BIGINT recombination — guard the wrap
         top = (
-            f"(CASE WHEN abs({tag}_l2) > 920000000000000 THEN "
+            f"(CASE WHEN abs({tag}_l2) > 910000000000000 THEN "
             f"CAST(raise_error('lsum_out: top limb |{tag}_l2| exceeds the "
             f"BIGINT recombination range (sum(|x|) > ~9.2e18 in one group) "
             f"— pre-split the group or rescale the fixed point') AS BIGINT) "

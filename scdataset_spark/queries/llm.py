@@ -2253,7 +2253,18 @@ def pipe_curation_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     unobservable on a passing corpus and documented here).  Scale
     shape: the gates are two single-scan aggregates + one broadcast
     anti-join, all corpus-size-independent in output; the curation body
-    is unchanged from ``pipe_curation``."""
+    is unchanged from ``pipe_curation``.
+
+    STREAMING caveat (r15, mirrors ``constraint_gate_batches``): when
+    this pipeline is composed over a stream by running the gate per
+    micro-batch, the ``unique`` check only sees WITHIN-batch
+    duplicates — a key delivered in batch 1 and again in batch 2
+    passes both gates.  Cross-batch uniqueness is stateful; compose
+    ``streaming.events.unique_gate_batches`` (persisted key index)
+    alongside the constraint gate for that contract.  Batch mode (this
+    query) sees the whole corpus in one gate and has no such gap —
+    ``tests/test_maintenance_r15.py`` pins both behaviors
+    end-to-end."""
     from scdataset_spark.operators.quality import (
         check_constraints,
         check_foreign_key,

@@ -411,7 +411,17 @@ def unique_gate_batches(unique_cols, sink, index_dir: str,
                     int(r[0])
                     for r in dist.select("_kb").distinct().collect()
                 ]
-                idx = spark.read.parquet(path).where(
+                idx_all = spark.read.parquet(path)
+                from scdataset_spark.operators._maintenance import (
+                    check_batch_tag_dtype,
+                )
+
+                check_batch_tag_dtype(
+                    idx_all,
+                    f"unique index at {path}",
+                    "compact_unique_index",
+                )
+                idx = idx_all.where(
                     F.col("_kb").isin(buckets)
                     & (F.col("batch_id") != int(batch_id))
                 )
