@@ -212,11 +212,20 @@ def _rank_by_key(
     )
 
 
+# Above this many draws the draws side stops being broadcast in
+# _interval_join_draws: a draw row is three BIGINTs (~24 B payload,
+# ~3x that with row overhead), so 2M draws is a ~50-150 MB broadcast —
+# the upper edge of executor-safe.  Beyond it the shuffled hash join is
+# the right plan anyway (both sides are genuinely large).
+BROADCAST_DRAWS_MAX = 2_000_000
+
+
 def _interval_join_draws(
     cum: DataFrame,
     draws: DataFrame,
     n_buckets: int = 1024,
     total: DataFrame | None = None,
+    n_draws: int | None = None,
 ) -> DataFrame:
     """Equi-join draws (targets t in [0, total_w)) to cumulative-weight
     intervals [lo, hi) via bucketing — the scale path for inverse-CDF
@@ -225,9 +234,18 @@ def _interval_join_draws(
     A naive range join is O(n_draws * n_rows) nested-loop.  Instead each
     interval is exploded to the buckets it overlaps (``F.sequence`` —
     with near-uniform weights that is ~1 bucket per row) and the join
-    becomes an equi-join on ``bucket`` + a residual range filter, which
-    Spark executes as a regular shuffled hash join: fully parallel,
-    no broadcast of the big side, survives 100× scale-up.
+    becomes an equi-join on ``bucket`` + a residual range filter.
+
+    Join strategy (VERDICT r14 task 4): in the common draws ≪ rows
+    regime (``n_draws`` known and ≤ ``BROADCAST_DRAWS_MAX``) the DRAWS
+    side is broadcast, so the exploded interval side streams through a
+    map-side BroadcastHashJoin and the full-table shuffle of the
+    cumulative-weight rows disappears from the plan — measured ~2.3x
+    on the join stage at sf0.1 (0.997 -> 0.439 s warm) with a 5x
+    tighter pass spread (BENCH_SCALE.md "r15 o3 stage breakdown",
+    artifacts/r15/o3_stages_*.jsonl).  With many draws (or unknown
+    ``n_draws``) it stays a shuffled hash join: fully parallel, no
+    broadcast of either big side, survives 100× scale-up.
     """
     # All bucket math is integer `div` — cumulative totals can exceed
     # 2^53, where double division would mis-bucket rows on one side of
@@ -253,7 +271,11 @@ def _interval_join_draws(
     draws_b = draws_b.withColumn(
         "bucket", F.expr(f"t div ((_total + {n_buckets - 1}) div {n_buckets})")
     ).drop("_total")
-    joined = draws_b.join(cum_b, "bucket").where(
+    if n_draws is not None and n_draws <= BROADCAST_DRAWS_MAX:
+        joined = cum_b.join(F.broadcast(draws_b), "bucket")
+    else:
+        joined = draws_b.join(cum_b, "bucket")
+    joined = joined.where(
         (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi"))
     )
     return joined.drop("bucket", "_w", "_total")
@@ -343,7 +365,10 @@ class BlockWeightedSampling(SamplingStrategy):
             "t", F.expr(t62) % F.col("_t")
         ).drop("_t")
         return _interval_join_draws(
-            cum.select("row_id", "lo", "hi"), draws, total=total
+            cum.select("row_id", "lo", "hi"),
+            draws,
+            total=total,
+            n_draws=self.total_size,
         ).select("draw_id", "row_id")
 
     def _reservoir_rounds(self, df: DataFrame, s: int) -> DataFrame:
