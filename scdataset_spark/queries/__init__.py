@@ -44,6 +44,7 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new or SQL-changed in round 15 (prepend as added) ---
+    "q5_local_supplier_volume",  # r15: adopted the pre-restricted join order (A/B)
     # --- last externally checked in round 11 (3-round floor; MUST lead r15) ---
     "s1_streaming_scan",
     "s2_subset_split",
@@ -174,7 +175,6 @@ _SWEEP_PRIORITY = [
     "dq_snapshot_diff",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q9_product_profit",
     "q11_important_stock",

@@ -228,26 +228,45 @@ GROUP BY n.n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 analogue: 6-table star join.  Constant-size dims
-    (region, nation) carry explicit broadcast hints; supplier and
-    customer grow with SF, so their joins are left to AQE, which still
-    broadcasts them at small SF from runtime size stats.
+    """TPC-H Q5 analogue: 6-table star join, classic pre-restricted
+    shape (r15, VERDICT r14 task 3): supplier AND customer are each
+    broadcast-semi-joined against the ASIA nationkeys (a 5-row
+    broadcast) BEFORE any fact join, so the c⋈o⋈l⋈s pipeline carries
+    ~1/5 of the rows the late-filter plan carried — through the
+    c_nationkey = s_nationkey condition the cut propagates to every
+    downstream join output.  The r15 join-order A/B (4 solo sessions
+    each at sf0.1 and sf1, artifacts/r15/ab_q5_sf{01,1}.jsonl) has this
+    shape tied at sf0.1 and ahead in all three quiet sf1 sessions
+    (1.368/1.446/1.243 vs 1.635/1.720/1.386 warm min) — the gap GROWS
+    with scale, which is the 100-TB signal; the late-filter loser's
+    cost is documented in BENCH_SCALE.md "r15 q5 join order".
 
     Sum form: DECIMAL, not limb — the r14 A/B (min-of-4 solo sessions,
     BENCH_SCALE.md "r14 limb A/B") has decimal ahead in 6 of 8
-    session-level comparisons at BOTH sf0.1 and sf1 (1.219 vs 1.241 /
-    1.389 vs 1.436 min-of-4).  q5 is JOIN-dominated: the aggregate
-    consumes the post-join rows into five groups, so the limb form's
-    per-row accumulator saving (q1's 2.3x win, where the agg IS the
-    query) never outweighs its 3-expressions-per-row cost here."""
+    session-level comparisons at BOTH sf0.1 and sf1.  q5 is
+    JOIN-dominated: the aggregate consumes the post-join rows into five
+    groups, so the limb form's per-row accumulator saving (q1's 2.3x
+    win, where the agg IS the query) never outweighs its
+    3-expressions-per-row cost here."""
     c = load_table(spark, "customer", sf_dir, with_row_id=False)
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     s = load_table(spark, "supplier", sf_dir, with_row_id=False)
     n = load_table(spark, "nation", sf_dir, with_row_id=False)
     r = load_table(spark, "region", sf_dir, with_row_id=False)
+    asia = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    nk = asia.select("n_nationkey")
+    s_asia = s.join(
+        F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    c_asia = c.join(
+        F.broadcast(nk), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
     return (
-        c.join(
+        c_asia.join(
             o.where(
                 (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
                 & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -256,12 +275,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            s,
+            s_asia,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             dsum_col(

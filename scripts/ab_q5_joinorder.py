@@ -14,9 +14,12 @@ measures whether it already pays at sf0.1/sf1 or only in the limit.
 Variants (interleaved within one session so every variant faces the
 same machine noise):
 
-- q5_current        — shipped plan (region filter last)
+- q5_current        — the r14-and-earlier late-filter plan (region
+                      filter last; pinned explicitly here since the
+                      registry query ADOPTED the winner after this A/B)
 - q5_pre_supplier   — supplier pre-restricted to ASIA only
 - q5_pre_both       — classic: supplier AND customer pre-restricted
+                      (the shipped shape since r15)
 
 Protocol per invocation (one "solo run", same as ab_limb_q3q5q6): a
 value-equality sanity gate first, then a cold pass (plan compile +
@@ -43,7 +46,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scdataset_spark.catalog import load_table  # noqa: E402
-from scdataset_spark.queries import REGISTRY  # noqa: E402
 from scdataset_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,8 +115,34 @@ def q5_pre(spark: SparkSession, sf_dir: str, restrict_customer: bool) -> DataFra
     )
 
 
+def q5_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r15 shipped plan: all 25 nations carried through c⋈o⋈l⋈s,
+    non-ASIA rows dropped only at the final broadcast joins."""
+    c, o, l, s, n, r = _tables(spark, sf_dir)
+    return (
+        c.join(_o_dates(o), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum_col(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
 VARIANTS = {
-    "q5_current": REGISTRY["q5_local_supplier_volume"].fn,
+    "q5_current": q5_late_filter,
     "q5_pre_supplier": lambda sp, d: q5_pre(sp, d, restrict_customer=False),
     "q5_pre_both": lambda sp, d: q5_pre(sp, d, restrict_customer=True),
 }
