@@ -196,3 +196,80 @@ def brp_lsh_neighbors(
     )
     model = brp.fit(df)
     return model.approxNearestNeighbors(df, key, k)
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_where: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    its importance log-ratio under a TARGET-domain unigram LM vs the
+    RAW-corpus unigram LM, and keep the top ``k`` — the
+    target-domain-leaning slice of the corpus.  ``target_where`` is a
+    SQL predicate on the doc columns picking the in-domain exemplar set
+    (the paper's "target distribution" sample); both LMs are
+    add-``alpha``-smoothed over the SHARED raw vocabulary so the ratio
+    is defined for every token.  This is the deterministic top-k
+    variant (the paper adds Gumbel noise before the top-k; compose
+    with ``o3_weighted_replace``'s inverse-CDF sampler on
+    ``exp(log_ratio)`` weights for the sampled form).
+
+    Engine-portable exactness, same recipe as :func:`unigram_logprob`:
+    each token's log-ratio is a pure function of the two (count, N, V)
+    triples rounded to 8 digits before an order-independent limb sum;
+    the per-doc sum and length-normalized mean round to 6.
+
+    Scale shape: ONE token explode feeds both vocabularies (the target
+    side is a filtered re-aggregation, not a second scan of the raw
+    corpus — Spark re-reads only the target slice's partitions under
+    predicate pushdown); the merged vocab joins back to the token
+    stream term-keyed (the same bounded shuffle unigram_logprob pays),
+    the (N_r, N_t, V) stats ride a 1-row broadcast, and the final
+    top-k is a TakeOrderedAndProject — never a global sort
+    materialization.  Reference scope: the reference samples by static
+    per-dataset weights (src/scdataset/scdataset.py weights ctor);
+    distribution-matched SELECTION of the training slice is the
+    corpus-scale generalization this engine adds."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tgt_toks = docs.where(target_where).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    raw_v = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt_v = tgt_toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_t"))
+    vocab = raw_v.join(tgt_v, "term", "left").withColumn(
+        "cnt_t", F.coalesce(F.col("cnt_t"), F.lit(0))
+    )
+    stats = vocab.agg(
+        F.sum("cnt_r").alias("_nr"),
+        F.sum("cnt_t").alias("_nt"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    from scdataset_spark.plans.exact import lsum_cols, lsum_out
+
+    lr = (
+        f"round(ln((cnt_t + {alpha}) / (_nt + {alpha} * _v))"
+        f" - ln((cnt_r + {alpha}) / (_nr + {alpha} * _v)), 8)"
+    )
+    total = lsum_out("lr", "x").replace(" AS x", "")
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), *lsum_cols(lr, "lr"))
+        .selectExpr(
+            id_col,
+            "n_tokens",
+            f"round(({total}), 6) AS log_ratio",
+            f"round(({total}) / n_tokens, 6) AS avg_logratio",
+        )
+    )
+    return scored.orderBy(
+        F.desc("avg_logratio"), F.col(id_col)
+    ).limit(k)

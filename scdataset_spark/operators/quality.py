@@ -538,3 +538,67 @@ def snapshot_diff(
         .where(F.col("status").isNotNull())
         .select(id_col, "status")
     )
+
+
+def embedding_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    n_clusters: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots — the
+    vector-column sibling of :func:`distribution_drift`: partition the
+    space by the BASE snapshot's seeded coarse centroids (the same
+    engine-portable pick/assign the IVF index uses —
+    ``similarity.seeded_centroids`` / ``assign_nearest_cell``), then
+    report per-cell occupancy shares of both snapshots and the PSI term
+    per cell.  A new delivery whose embeddings pile into different
+    cells than the baseline (encoder change, domain shift, a scraped
+    site flipping language) flags here before it poisons an ANN index
+    or a semantic-dedup screen built on the old geometry.
+
+    The centroid geometry comes from ``base`` ONLY (the monitored
+    reference frame — drift must be measured in a frozen basis), so a
+    shifted ``curr`` cannot re-center the histogram around itself.
+
+    Scale shape: the centroid pick is a top-``n_clusters`` TakeOrdered;
+    each snapshot is ONE scan through the broadcast-array argmin (no
+    row multiplication, no shuffle beyond the ``n_clusters``-row
+    occupancy aggs); everything after — the full-outer cell join,
+    totals, PSI arithmetic — runs on ≤ ``n_clusters`` rows.  Identical
+    cost to two IVF assignment passes at any corpus size."""
+    from scdataset_spark.operators.similarity import (
+        assign_nearest_cell,
+        seeded_centroids,
+    )
+
+    cent = seeded_centroids(base, n_clusters, seed, id_col=id_col, vec=vec)
+    hb = (
+        assign_nearest_cell(base.select(id_col, vec), cent, id_col, vec)
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    hc = (
+        assign_nearest_cell(curr.select(id_col, vec), cent, id_col, vec)
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    bins = hb.join(hc, "_cell", "full_outer").select(
+        F.col("_cell").alias("cell"),
+        F.coalesce("_nb", F.lit(0)).alias("n_base"),
+        F.coalesce("_nc", F.lit(0)).alias("n_curr"),
+    )
+    totals = bins.agg(F.sum("n_base").alias("_tb"), F.sum("n_curr").alias("_tc"))
+    p = F.greatest(F.col("n_base") / F.col("_tb"), F.lit(eps))
+    q = F.greatest(F.col("n_curr") / F.col("_tc"), F.lit(eps))
+    return bins.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        "n_base",
+        "n_curr",
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_curr"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi"),
+    )

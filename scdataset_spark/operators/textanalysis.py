@@ -664,3 +664,144 @@ def quality_rank_by_source(
         )
         .select(*out)
     )
+
+
+def ngram_diversity(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group corpus diversity report: distinct-1 / distinct-2 ratios
+    (Li et al. 2016's distinct-n, the standard template/boilerplate
+    screen) — a source whose distinct-bigram ratio collapses is
+    scraping one template, a synthetic-data batch whose distinct-1
+    drops between deliveries is mode-collapsing.  Emits per group:
+    doc/token/bigram counts, distinct unigram/bigram counts, and the
+    two ratios.
+
+    All built-in expressions (split / slice / zip_with / explode — no
+    Python); bigrams pair adjacent tokens, so a 1-token doc contributes
+    none (NULL distinct_2 for a group with no bigrams, never a /0).
+
+    Scale shape: two explodes over the token stream feeding two
+    hash aggregations with map-side partial distinct (the groupBy key
+    is ``group_col`` — sources number in the thousands, so the final
+    agg frame is tiny); the per-group joins at the end are
+    broadcast-sized.  No windows, no self-joins, one scan of the
+    corpus per gram order.  Reference scope: the reference validates
+    shapes at ctor time (src/scdataset/scdataset.py); corpus-level
+    diversity telemetry is the training-data generalization."""
+    base = docs.select(
+        F.col(group_col), F.split(F.col(text_col), " ").alias("_t")
+    )
+    uni = base.select(group_col, F.explode("_t").alias("term"))
+    big = base.select(
+        group_col,
+        F.explode(
+            F.expr(
+                "zip_with(slice(_t, 1, size(_t) - 1),"
+                " slice(_t, 2, size(_t) - 1), (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    d = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    u = uni.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("distinct_unigrams"),
+    )
+    b = big.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bigram").alias("distinct_bigrams"),
+    )
+    return (
+        d.join(u, group_col)
+        .join(b, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "distinct_unigrams",
+            F.expr("round(distinct_unigrams / n_tokens, 6)").alias(
+                "distinct_1"
+            ),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("distinct_bigrams"), F.lit(0)).alias(
+                "distinct_bigrams"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(n_bigrams, 0) > 0"
+                " THEN round(distinct_bigrams / n_bigrams, 6) END"
+            ).alias("distinct_2"),
+        )
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    phases: int = 4,
+    seed: int = 17,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum schedule (Bengio et al. 2009): a deterministic
+    easy-to-hard global training order — band the corpus into
+    ``phases`` quality bands (phase 0 = highest-quality band first),
+    shuffle WITHIN each (phase, source) by a seeded mix, and interleave
+    sources round-robin inside each phase so no phase opens with one
+    source's entire slice.  Emits ``(phase, rn, pos)``: ``rn`` is the
+    within-(phase, source) shuffled slot, ``pos`` the global 0-based
+    curriculum position (ordered by phase, then slot, then source —
+    the round-robin).
+
+    Engine-portable: the quality score is the exact integer-unit score
+    (:func:`with_quality_score`), banding is pure IEEE arithmetic on
+    broadcast (lo, hi) bounds, the shuffle key is ``mix(id, seed)``.
+    A degenerate corpus (every score equal, ``hi == lo``) is one band
+    labeled phase 0 — training starts immediately, no empty phases.
+
+    Scale shape: no global window — within-group numbering is
+    :func:`~scdataset_spark.plans.plan.grouped_bucketed_rank` (a hot
+    source spreads over range buckets) and the global position is
+    :func:`~scdataset_spark.plans.plan.bucketed_rank` on the composite
+    ``phase·2^40 + rn`` key; the (lo, hi) stats ride a 1-row
+    broadcast.  Reference scope: the reference fixes one epoch order
+    per strategy (src/scdataset/scdataset.py epoch permutation);
+    difficulty-scheduled ordering is the training-pipeline
+    generalization."""
+    from scdataset_spark.plans.plan import bucketed_rank, grouped_bucketed_rank
+    from scdataset_spark.plans.seeds import mix_sql
+
+    scored = with_quality_score(docs, text_col).select(
+        id_col, source_col, "quality_score"
+    )
+    stats = scored.agg(
+        F.min("quality_score").alias("_lo"), F.max("quality_score").alias("_hi")
+    )
+    top = phases - 1
+    band = (
+        f"CASE WHEN _hi > _lo THEN least(CAST({top} AS BIGINT), "
+        f"greatest(CAST(0 AS BIGINT), "
+        f"CAST(floor((quality_score - _lo) * {phases} / (_hi - _lo)) AS BIGINT)))"
+        f" ELSE CAST({top} AS BIGINT) END"
+    )
+    ph = (
+        scored.crossJoin(F.broadcast(stats))
+        .withColumn("phase", F.expr(f"CAST({top} AS BIGINT) - ({band})"))
+        .drop("_lo", "_hi")
+        .withColumn("_ik", F.expr(mix_sql(id_col, seed, "spark")))
+    )
+    ranked = grouped_bucketed_rank(
+        ph,
+        ["phase", source_col],
+        "_ik",
+        [("_ik", "asc"), (id_col, "asc")],
+        out_col="rn",
+    )
+    keyed = ranked.withColumn(
+        "_ck", F.col("phase") * F.lit(1 << 40) + F.col("rn")
+    )
+    return (
+        bucketed_rank(
+            keyed, "_ck", [("_ck", "asc"), (source_col, "asc")], out_col="pos"
+        )
+        .select(id_col, source_col, "quality_score", "phase", "rn", "pos")
+    )

@@ -44,6 +44,10 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new or SQL-changed in round 15 (prepend as added) ---
+    "dq_embedding_drift",  # r15: new — embedding-space PSI drift monitor
+    "tx_curriculum_order",  # r15: new — easy-to-hard curriculum schedule
+    "tx_distinct_ngrams",  # r15: new — per-source distinct-n diversity
+    "tx_dsir_select",  # r15: new — DSIR importance selection
     "q5_local_supplier_volume",  # r15: adopted the pre-restricted join order (A/B)
     # --- last externally checked in round 11 (3-round floor; MUST lead r15) ---
     "s1_streaming_scan",

@@ -566,3 +566,243 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_drift(
         base, curr, numeric_cols=["n_chars"], categorical_cols=["lang"]
     )
+
+
+# ------------------------------------------------ corpus diversity (r15)
+@query(
+    "tx_distinct_ngrams",
+    survey_ref="§2.14 text",
+    oracle="""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT source, unnest(toks) AS term FROM t),
+big AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+u AS (
+  SELECT source, count(*) AS n_tokens,
+         count(DISTINCT term) AS distinct_unigrams
+  FROM uni GROUP BY 1
+),
+b AS (
+  SELECT source, count(*) AS n_bigrams,
+         count(DISTINCT bigram) AS distinct_bigrams
+  FROM big GROUP BY 1
+)
+SELECT d.source, n_docs, n_tokens, distinct_unigrams,
+       round(distinct_unigrams / n_tokens, 6) AS distinct_1,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(distinct_bigrams, 0) AS distinct_bigrams,
+       CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN round(distinct_bigrams / n_bigrams, 6) END AS distinct_2
+FROM d JOIN u USING (source) LEFT JOIN b USING (source)
+""",
+)
+def tx_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-n diversity report
+    (``textanalysis.ngram_diversity``): distinct-1 (unique unigrams /
+    tokens) and distinct-2 (unique bigrams / bigrams) per source — the
+    template/mode-collapse screen a curation pipeline runs per
+    delivery; a source whose distinct-2 collapses between snapshots is
+    scraping one template (pair with ``dq_profile_drift`` for the
+    trend).  Ratios are exact (integer counts, one deterministic
+    division rounded to 6).  Scale shape: two token-stream explodes
+    into two per-source hash aggregations (map-side partial distinct);
+    the final joins run on the sources-sized frame."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    from scdataset_spark.operators.textanalysis import ngram_diversity
+
+    return ngram_diversity(docs, group_col="source")
+
+
+# ------------------------------------- DSIR importance selection (r15)
+_DSIR_LR = (
+    "round(ln((cnt_t + 0.5) / (_nt + 0.5 * _v))"
+    " - ln((cnt_r + 0.5) / (_nr + 0.5 * _v)), 8)"
+)
+
+
+@query(
+    "tx_dsir_select",
+    survey_ref="§2.14 text",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+ttoks AS (
+  SELECT unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE lang = 'en'
+),
+rawv AS (SELECT term, count(*) AS cnt_r FROM toks GROUP BY 1),
+tgtv AS (SELECT term, count(*) AS cnt_t FROM ttoks GROUP BY 1),
+vocab AS (
+  SELECT term, cnt_r, COALESCE(cnt_t, 0) AS cnt_t
+  FROM rawv LEFT JOIN tgtv USING (term)
+),
+stats AS (SELECT sum(cnt_r) AS _nr, sum(cnt_t) AS _nt, count(*) AS _v FROM vocab),
+g AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         {lsum_inner(_DSIR_LR, 'lr', '//')}
+  FROM toks JOIN vocab USING (term), stats
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(({lsum_out('lr', 'x', '//').replace(' AS x', '')}), 6) AS log_ratio,
+       round(({lsum_out('lr', 'x', '//').replace(' AS x', '')}) / n_tokens, 6)
+         AS avg_logratio
+FROM g
+ORDER BY avg_logratio DESC, doc_id
+LIMIT 100
+""",
+)
+def tx_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (``ml.dsir_logratio``; Xie et al.
+    2023): the 100 documents whose unigram distribution leans most
+    toward the target domain (here: the ``lang = 'en'`` slice as the
+    in-domain exemplar set) relative to the raw corpus — add-0.5
+    smoothing over the shared vocabulary, per-token log-ratios rounded
+    to 8 into an order-independent limb sum, length-normalized mean as
+    the ranking key, deterministic doc_id tie-break.  The top-k is a
+    TakeOrderedAndProject (never a global sort); the token-stream
+    explode and term-keyed vocab join are the same bounded shuffles
+    ``tx_unigram_logprob`` pays."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    from scdataset_spark.ml import dsir_logratio
+
+    return dsir_logratio(docs, "lang = 'en'", k=100)
+
+
+# ------------------------------------ embedding-space drift (r15)
+_EDRIFT_DIST = (
+    "round(list_aggregate(list_transform(range(1, 65), "
+    "i -> (e.embedding[i]::DOUBLE - centroid[i]::DOUBLE)"
+    " * (e.embedding[i]::DOUBLE - centroid[i]::DOUBLE)), 'sum'), 6)"
+)
+
+
+def _edrift_share(n: str, t: str) -> str:
+    return f"greatest({n} * 1.0 / {t}, 0.000001)"
+
+
+@query(
+    "dq_embedding_drift",
+    survey_ref="§2.14 quality",
+    oracle=f"""
+WITH cent AS (
+  SELECT rk - 1 AS cell, centroid FROM (
+    SELECT embedding AS centroid,
+           row_number() OVER (ORDER BY {_mix('vec_id', 11)}, vec_id) AS rk
+    FROM embeddings WHERE vec_id % 2 = 0
+  ) WHERE rk <= 8
+),
+ab AS (
+  SELECT c_id, cell FROM (
+    SELECT e.vec_id AS c_id, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_EDRIFT_DIST}, cent.cell) AS ark
+    FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 2 = 0
+  ) WHERE ark = 1
+),
+ac AS (
+  SELECT c_id, cell FROM (
+    SELECT e.vec_id AS c_id, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_EDRIFT_DIST}, cent.cell) AS ark
+    FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 2 = 1
+  ) WHERE ark = 1
+),
+hb AS (SELECT cell, count(*) AS nb FROM ab GROUP BY 1),
+hc AS (SELECT cell, count(*) AS nc FROM ac GROUP BY 1),
+bins AS (
+  SELECT COALESCE(hb.cell, hc.cell) AS cell,
+         COALESCE(nb, 0) AS n_base, COALESCE(nc, 0) AS n_curr
+  FROM hb FULL OUTER JOIN hc ON hb.cell = hc.cell
+),
+t AS (SELECT sum(n_base) AS tb, sum(n_curr) AS tc FROM bins)
+SELECT cell, n_base, n_curr,
+       round({_edrift_share('n_base', 'tb')}, 6) AS p_base,
+       round({_edrift_share('n_curr', 'tc')}, 6) AS p_curr,
+       round(({_edrift_share('n_base', 'tb')} - {_edrift_share('n_curr', 'tc')})
+             * ln({_edrift_share('n_base', 'tb')}
+                  / {_edrift_share('n_curr', 'tc')}), 6) AS psi
+FROM bins, t
+""",
+)
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (``quality.embedding_drift``):
+    per-cell occupancy PSI of the current delivery (odd vec_ids)
+    against the baseline snapshot (even vec_ids) in the BASELINE's
+    frozen seeded-centroid basis — the same engine-portable
+    pick/assign geometry the persisted IVF index uses, so this is
+    exactly the "has the corpus moved out from under my ANN index /
+    semantic-dedup screen" gate (pair with ``sim_ivf_recall``'s
+    recall monitor: drift flags the cause, recall measures the
+    symptom).  The oracle replays centroid pick, rounded-argmin
+    assignment, and the PSI arithmetic end-to-end."""
+    emb = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    from scdataset_spark.operators.quality import embedding_drift
+
+    return embedding_drift(
+        emb.where("vec_id % 2 = 0"),
+        emb.where("vec_id % 2 = 1"),
+        n_clusters=8,
+        seed=11,
+    )
+
+
+# --------------------------------------- curriculum schedule (r15)
+@query(
+    "tx_curriculum_order",
+    survey_ref="§2.14 text",
+    oracle=f"""
+WITH sp_t AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS sp FROM documents
+),
+qq AS (
+  SELECT doc_id, source, len(sp) AS n_tokens,
+         len(list_filter(sp, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
+         length(text) AS n_chars_txt
+  FROM sp_t
+),
+s AS (
+  SELECT doc_id, source,
+         CAST((500000 * n_stop) // n_tokens
+             + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 300000 ELSE 0 END)
+             + (CASE WHEN n_chars_txt BETWEEN 100 AND 500 THEN 200000 ELSE 0 END)
+             AS DOUBLE) / 1000000 AS quality_score
+  FROM qq
+),
+st AS (SELECT min(quality_score) AS _lo, max(quality_score) AS _hi FROM s),
+ph AS (
+  SELECT doc_id, source, quality_score,
+         CAST(3 AS BIGINT) - (CASE WHEN _hi > _lo THEN least(CAST(3 AS BIGINT),
+             greatest(CAST(0 AS BIGINT),
+             CAST(floor((quality_score - _lo) * 4 / (_hi - _lo)) AS BIGINT)))
+             ELSE CAST(3 AS BIGINT) END) AS phase,
+         {_mix('doc_id', 17)} AS _ik
+  FROM s, st
+),
+rn AS (
+  SELECT doc_id, source, quality_score, phase,
+         row_number() OVER (PARTITION BY phase, source ORDER BY _ik, doc_id)
+           - 1 AS rn
+  FROM ph
+)
+SELECT doc_id, source, quality_score, phase, rn,
+       row_number() OVER (ORDER BY phase, rn, source) - 1 AS pos
+FROM rn
+""",
+)
+def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum schedule
+    (``textanalysis.curriculum_order``): 4 quality bands easy→hard,
+    seeded within-(phase, source) shuffle, round-robin source
+    interleave, exact global position — all without a global window
+    (bucket-offset numbering; the oracle's plain windows pin the same
+    values).  Compose with ``o13_ddp_partition``'s rank round-robin on
+    ``pos`` for a curriculum-ordered DDP epoch."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    from scdataset_spark.operators.textanalysis import curriculum_order
+
+    return curriculum_order(docs, phases=4, seed=17)

@@ -27,6 +27,12 @@ LIBRARY_ONLY = {
     "behind novel_ingest_batches/semantic_ingest_batches run_id "
     "namespacing; behavior pinned by TestNovelIngestRunId and "
     "TestSemanticIngestBatches",
+    "check_batch_tag_dtype": "pre-append INT32->BIGINT migration gate "
+    "called inside every persisted-index delivery (band/gate/ANN "
+    "sidecar); refusal behavior pinned by TestLegacyIndexMigration",
+    "warn_if_legacy_tag_collision": "one-shot run_id=None replay-guard "
+    "collision warning emitted by the ingest callbacks; behavior "
+    "pinned by TestLegacyRunIdWarning",
     "index_file_stats": "compaction-decision signal (pure fs walk) "
     "behind compaction_due; exercised by TestIngestLifecycleExample",
     "compaction_due": "the when-to-compact decision used by "

@@ -1,0 +1,226 @@
+"""Round-15 wiring tests: the new first-class LLM-pipeline operators.
+
+- ``textanalysis.ngram_diversity`` — per-group distinct-n diversity
+  (distinct-1/distinct-2) with exact hand-computable fixtures and the
+  1-token-doc / bigram-free-group edge semantics.
+- ``quality.embedding_drift`` — frozen-basis per-cell occupancy PSI.
+- ``ml.dsir_logratio`` — DSIR importance selection: in-domain docs must
+  outrank out-of-domain docs, scores must be deterministic, and the
+  top-k must be a TakeOrderedAndProject (never a global sort).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestNgramDiversity:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "source string, text string")
+
+    def test_exact_counts_tiny_fixture(self, spark):
+        from scdataset_spark.operators.textanalysis import ngram_diversity
+
+        # src a: "x y x" + "x y" -> tokens 5, distinct {x, y} = 2;
+        # bigrams: ("x y", "y x") + ("x y",) -> 3 total, distinct 2
+        df = self._df(spark, [("a", "x y x"), ("a", "x y")])
+        [r] = ngram_diversity(df).collect()
+        assert (r.n_docs, r.n_tokens, r.distinct_unigrams) == (2, 5, 2)
+        assert (r.n_bigrams, r.distinct_bigrams) == (3, 2)
+        assert r.distinct_1 == round(2 / 5, 6)
+        assert r.distinct_2 == round(2 / 3, 6)
+
+    def test_one_token_docs_have_no_bigrams(self, spark):
+        from scdataset_spark.operators.textanalysis import ngram_diversity
+
+        df = self._df(spark, [("solo", "x"), ("solo", "y")])
+        [r] = ngram_diversity(df).collect()
+        assert (r.n_tokens, r.n_bigrams, r.distinct_bigrams) == (2, 0, 0)
+        assert r.distinct_2 is None  # no /0, NULL by contract
+        assert r.distinct_1 == 1.0
+
+    def test_template_collapse_is_visible(self, spark):
+        """A source scraping one template scores lower distinct-2 than a
+        diverse source of the same size — the metric's whole point."""
+        from scdataset_spark.operators.textanalysis import ngram_diversity
+
+        rows = [("tmpl", "the same boilerplate text here")] * 20 + [
+            ("varied", f"doc {i} token{i} talks about topic{i * 7 % 13}")
+            for i in range(20)
+        ]
+        out = {
+            r.source: r for r in ngram_diversity(self._df(spark, rows)).collect()
+        }
+        assert out["tmpl"].distinct_2 < out["varied"].distinct_2
+        assert out["tmpl"].distinct_1 < out["varied"].distinct_1
+
+
+class TestDsirSelect:
+    def _docs(self, spark):
+        # target domain = lang 'en': tokens drawn from {alpha beta gamma};
+        # out-of-domain raw: tokens from {uno dos tres}; one mixed doc.
+        rows = (
+            [(i, "alpha beta gamma alpha", "en") for i in range(5)]
+            + [(10 + i, "uno dos tres uno", "xx") for i in range(5)]
+            + [(99, "alpha uno", "xx")]
+        )
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_in_domain_outranks_out_of_domain(self, spark):
+        from scdataset_spark.ml import dsir_logratio
+
+        out = dsir_logratio(self._docs(spark), "lang = 'en'", k=11).collect()
+        score = {r.doc_id: r.avg_logratio for r in out}
+        # every target-vocabulary doc beats every out-of-domain doc, and
+        # the mixed doc sits strictly between the two blocks
+        assert min(score[i] for i in range(5)) > score[99] > max(
+            score[10 + i] for i in range(5)
+        )
+
+    def test_topk_truncates_to_best(self, spark):
+        from scdataset_spark.ml import dsir_logratio
+
+        out = dsir_logratio(self._docs(spark), "lang = 'en'", k=5).collect()
+        assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
+
+    def test_deterministic_across_runs(self, spark):
+        from scdataset_spark.ml import dsir_logratio
+
+        a = dsir_logratio(self._docs(spark), "lang = 'en'", k=11).collect()
+        b = dsir_logratio(self._docs(spark), "lang = 'en'", k=11).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark):
+        from scdataset_spark.ml import dsir_logratio
+
+        plan = _plan_str(dsir_logratio(self._docs(spark), "lang = 'en'", k=5))
+        assert "TakeOrderedAndProject" in plan
+        # the limit must not materialize a full global Sort stage
+        assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+class TestEmbeddingDrift:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_identical_snapshots_have_zero_psi(self, spark):
+        from scdataset_spark.operators.quality import embedding_drift
+
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+        ]
+        base = self._emb(spark, rows)
+        out = embedding_drift(base, base, n_clusters=4, seed=7).collect()
+        assert out and all(r.psi == 0.0 for r in out)
+        assert all(r.n_base == r.n_curr for r in out)
+
+    def test_shifted_snapshot_flags_higher_psi_than_iid_split(self, spark):
+        """A mean-shifted delivery must show more occupancy drift than
+        an i.i.d. half/half split of the same corpus."""
+        from scdataset_spark.operators.quality import embedding_drift
+
+        import random
+
+        rng = random.Random(11)
+        pts = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(200)]
+        base = self._emb(spark, [(i, v) for i, v in enumerate(pts[:100])])
+        iid = self._emb(spark, [(100 + i, v) for i, v in enumerate(pts[100:])])
+        shifted = self._emb(
+            spark,
+            [(200 + i, [x + 2.5 for x in v]) for i, v in enumerate(pts[100:])],
+        )
+        psi_iid = sum(
+            r.psi for r in embedding_drift(base, iid, n_clusters=4, seed=7).collect()
+        )
+        psi_shift = sum(
+            r.psi
+            for r in embedding_drift(base, shifted, n_clusters=4, seed=7).collect()
+        )
+        assert psi_shift > psi_iid
+
+    def test_geometry_is_frozen_to_base(self, spark):
+        """Centroids must come from the base snapshot only: swapping the
+        roles changes the basis, so the report is direction-sensitive
+        (a drifted current corpus cannot re-center the histogram)."""
+        from scdataset_spark.operators.quality import embedding_drift
+
+        import random
+
+        rng = random.Random(5)
+        a = self._emb(
+            spark,
+            [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)],
+        )
+        b = self._emb(
+            spark,
+            [(100 + i, [rng.gauss(1.5, 1) for _ in range(8)]) for i in range(60)],
+        )
+        ab = {r.cell: (r.n_base, r.n_curr) for r in embedding_drift(a, b, 4, 7).collect()}
+        ba = {r.cell: (r.n_base, r.n_curr) for r in embedding_drift(b, a, 4, 7).collect()}
+        # roles swap the counts only if the basis were shared; with a
+        # frozen-base basis the two reports are not mirror images
+        assert ab != {c: (nc, nb) for c, (nb, nc) in ba.items()}
+
+
+class TestCurriculumOrder:
+    def test_uniform_quality_single_phase_alternates_sources(self, spark):
+        """All-equal quality collapses to one phase (hi == lo guard),
+        where the schedule must strictly alternate the two equal-size
+        sources — the round-robin contract, exactly."""
+        from scdataset_spark.operators.textanalysis import curriculum_order
+
+        text = "alpha beta gamma delta"
+        rows = [(i, "s1" if i % 2 == 0 else "s2", text) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = curriculum_order(df, phases=4, seed=17).collect()
+        assert {r.phase for r in out} == {0}
+        ordered = [r.source for r in sorted(out, key=lambda r: r.pos)]
+        assert all(a != b for a, b in zip(ordered, ordered[1:]))
+
+    def test_pos_is_a_permutation_and_phases_are_easy_first(self, spark):
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.textanalysis import curriculum_order
+
+        from tests.conftest import SF_DIR_SMALL
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        out = curriculum_order(docs, phases=4, seed=17).collect()
+        n = len(out)
+        assert sorted(r.pos for r in out) == list(range(n))
+        by_phase = {}
+        for r in out:
+            by_phase.setdefault(r.phase, []).append(r.quality_score)
+        means = {p: sum(v) / len(v) for p, v in by_phase.items()}
+        phases = sorted(means)
+        # phase 0 is the easiest (highest-quality) band, monotone down
+        assert all(means[a] >= means[b] for a, b in zip(phases, phases[1:]))
+        # and the global order visits phases monotonically
+        ordered = sorted(out, key=lambda r: r.pos)
+        seen = [r.phase for r in ordered]
+        assert seen == sorted(seen)
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.textanalysis import curriculum_order
+
+        from tests.conftest import SF_DIR_SMALL
+
+        docs = load_table(spark, "documents", SF_DIR_SMALL, with_row_id=False)
+        a = {r.doc_id: r.pos for r in curriculum_order(docs, seed=17).collect()}
+        b = {r.doc_id: r.pos for r in curriculum_order(docs, seed=17).collect()}
+        c = {r.doc_id: r.pos for r in curriculum_order(docs, seed=18).collect()}
+        assert a == b
+        assert a != c
