@@ -3100,3 +3100,97 @@ def pq_adc_agreement(
         "n_exact",
         F.col("recall").alias("agreement"),
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    query_id: str = "q_id",
+    cand_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): per query, greedily pick ``k`` results maximizing
+    ``lam·rel(q, d) − (1−lam)·max_{s∈S} sim(d, s)`` — relevance traded
+    against redundancy with what is already selected.  The
+    eval-set/few-shot-pool builder: plain top-k returns ``k``
+    near-duplicates of the best hit; MMR returns ``k`` DIFFERENT
+    relevant results.
+
+    Two stages.  (1) CORPUS-SCALE: the relevance pool is
+    :func:`brute_force_topk` (broadcast queries, salted exact top-``pool``
+    — the only pass that touches the full candidate set), persisted via
+    the bounded cache.  (2) POOL-SCALE: ``k`` greedy rounds on the
+    ≤ ``pool``-rows-per-query frame; each round collects exactly ONE
+    row per query to the driver (the bounded-collect pattern the
+    centroid/codebook builds use — ``k × n_queries`` rows total, never
+    corpus-scaled) and re-joins the literal pick ids against the cached
+    pool, keeping every plan flat instead of growing a 2^k lineage.
+
+    Engine-portable determinism: relevance and pairwise similarity are
+    the rounded-to-4 cosine; the MMR score rounds to 6 with ``cand_id``
+    tie-break; the first pick's score is ``round(lam·rel, 6)`` (empty
+    selected set — the max-sim term is 0 by convention).  The pool
+    windows partition by ``query_id`` over ≤ ``pool`` rows, so no
+    hot-group hazard exists at any corpus size."""
+    if k < 1 or pool < k:
+        raise ValueError(f"need 1 <= k <= pool, got k={k}, pool={pool}")
+    from scdataset_spark.operators._cache import persist_bounded
+
+    spark = queries.sparkSession
+    topk = brute_force_topk(
+        queries, candidates, k=pool, query_id=query_id, cand_id=cand_id, vec=vec
+    )
+    cvec = candidates.select(
+        F.col(cand_id), F.col(vec).alias("_cv"), norm_col(vec).alias("_cn")
+    )
+    p = persist_bounded(
+        topk.select(query_id, cand_id, F.col("cosine").alias("rel")).join(
+            cvec, cand_id
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("mmr_score").desc(), F.col(cand_id)
+    )
+    mu = 1.0 - lam
+    first = (
+        p.withColumn("mmr_score", F.expr(f"round({lam!r} * rel, 6)"))
+        .withColumn("_prk", F.row_number().over(w))
+        .where(F.col("_prk") == 1)
+        .select(query_id, cand_id, "rel", "mmr_score")
+    )
+    out_schema = f"{query_id} long, {cand_id} long, rel double, mmr_score double, pick_rank int"
+    sel_rows = [tuple(r) + (1,) for r in first.collect()]
+    for i in range(2, k + 1):
+        sel_lit = spark.createDataFrame(sel_rows, out_schema)
+        sel_vecs = sel_lit.select(query_id, cand_id).join(
+            p, [query_id, cand_id]
+        ).select(
+            query_id, F.col("_cv").alias("_sv"), F.col("_cn").alias("_sn")
+        )
+        rem = p.join(
+            F.broadcast(sel_lit.select(query_id, cand_id)),
+            [query_id, cand_id],
+            "left_anti",
+        )
+        maxsim = (
+            rem.join(F.broadcast(sel_vecs), query_id)
+            .withColumn("_ps", cosine_norm_expr("_cv", "_sv", "_cn", "_sn"))
+            .groupBy(query_id, cand_id)
+            .agg(F.max("_ps").alias("_maxsim"))
+        )
+        pick = (
+            rem.join(F.broadcast(maxsim), [query_id, cand_id])
+            .withColumn(
+                "mmr_score",
+                F.expr(f"round({lam!r} * rel - {mu!r} * _maxsim, 6)"),
+            )
+            .withColumn("_prk", F.row_number().over(w))
+            .where(F.col("_prk") == 1)
+            .select(query_id, cand_id, "rel", "mmr_score")
+        )
+        sel_rows.extend(tuple(r) + (i,) for r in pick.collect())
+    return spark.createDataFrame(sel_rows, out_schema)

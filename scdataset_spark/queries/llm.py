@@ -3100,3 +3100,88 @@ def dd_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable, so the oracle checks every integer exactly.  The
     output is at most 3 rows at any corpus size."""
     return dd.cross_split_contamination(corpus(spark, sf_dir), seed=77)
+
+
+# ---------------------------------------------- MMR diversified top-k (r15)
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7,
+                n_queries: int = 3) -> str:
+    """Replays mmr_topk: brute-force relevance pool, then the unrolled
+    greedy MMR rounds (one CTE pair per pick — argmax of
+    lam·rel − (1−lam)·max-sim-to-selected, rounded 6, c_id tiebreak)."""
+    def cos(a: str, b: str) -> str:
+        def dot(x, y):
+            return (
+                f"list_aggregate(list_transform(range(1, 65), "
+                f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE), 'sum')"
+            )
+
+        return (
+            f"round(({dot(a, b)}) / ((sqrt({dot(a, a)}))"
+            f" * (sqrt({dot(b, b)}))), 4)"
+        )
+
+    mu = 1.0 - lam
+    parts = [f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q_id, c_id, {cos('qv', 'cv')} AS rel, cv
+  FROM q CROSS JOIN c WHERE q_id <> c_id
+),
+p AS (
+  SELECT q_id, c_id, rel, cv FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rk
+    FROM scored) WHERE rk <= {pool}
+),
+s1 AS (
+  SELECT q_id, c_id, rel, mmr_score, 1 AS pick_rank, cv FROM (
+    SELECT q_id, c_id, rel, round({lam!r} * rel, 6) AS mmr_score, cv,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY round({lam!r} * rel, 6) DESC, c_id) AS prk
+    FROM p) WHERE prk = 1
+),
+sel1 AS (SELECT * FROM s1)"""]
+    for i in range(2, k + 1):
+        j = i - 1
+        sc = f"round({lam!r} * r.rel - {mu!r} * m.maxsim, 6)"
+        parts.append(f""",
+rem{i} AS (
+  SELECT p.q_id, p.c_id, p.rel, p.cv FROM p
+  LEFT JOIN sel{j} s ON p.q_id = s.q_id AND p.c_id = s.c_id
+  WHERE s.c_id IS NULL
+),
+ms{i} AS (
+  SELECT r.q_id, r.c_id, max({cos('r.cv', 's.cv')}) AS maxsim
+  FROM rem{i} r JOIN sel{j} s ON r.q_id = s.q_id
+  GROUP BY r.q_id, r.c_id
+),
+s{i} AS (
+  SELECT q_id, c_id, rel, mmr_score, {i} AS pick_rank, cv FROM (
+    SELECT r.q_id, r.c_id, r.rel, {sc} AS mmr_score, r.cv,
+           row_number() OVER (PARTITION BY r.q_id
+                              ORDER BY {sc} DESC, r.c_id) AS prk
+    FROM rem{i} r JOIN ms{i} m ON r.q_id = m.q_id AND r.c_id = m.c_id
+  ) WHERE prk = 1
+),
+sel{i} AS (SELECT * FROM sel{j} UNION ALL SELECT * FROM s{i})""")
+    parts.append(
+        f"\nSELECT q_id, c_id, rel, mmr_score, pick_rank FROM sel{k}\n"
+    )
+    return "".join(parts)
+
+
+@query("sim_mmr_topk", survey_ref="§2.14 similarity", oracle=_mmr_oracle())
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval
+    (``similarity.mmr_topk``): 5 picks per query from a 20-candidate
+    relevance pool at λ=0.7 — plain top-k returns near-duplicates of
+    the best hit, MMR returns 5 DIFFERENT relevant results (the
+    eval-set / few-shot-pool builder).  The only corpus-scale pass is
+    the salted brute-force pool build; the greedy rounds run on the
+    ≤20-rows-per-query cached pool with one bounded 1-row-per-query
+    collect each.  The oracle unrolls the same greedy rounds as CTE
+    stages, so every pick, score, and rank is value-checked."""
+    e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
+    q = e.where("vec_id < 3").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    return sim.mmr_topk(q, c, k=5, pool=20, lam=0.7)

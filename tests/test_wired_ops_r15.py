@@ -224,3 +224,65 @@ class TestCurriculumOrder:
         c = {r.doc_id: r.pos for r in curriculum_order(docs, seed=18).collect()}
         assert a == b
         assert a != c
+
+
+class TestMmrTopk:
+    def _frames(self, spark):
+        import random
+
+        rng = random.Random(9)
+        # query between two near-orthogonal clusters: A (rel ~0.75,
+        # mutually near-duplicate) edges out B (rel ~0.66, mutually
+        # near-duplicate, ~orthogonal to A) on pure relevance
+        base_a = [0.5] * 4 + [0.0] * 4
+        base_b = [0.0] * 4 + [0.5] * 4
+        rows = []
+        for i in range(6):
+            rows.append((10 + i, [x + rng.uniform(-0.005, 0.005) for x in base_a]))
+        for i in range(6):
+            rows.append((20 + i, [x + rng.uniform(-0.005, 0.005) for x in base_b]))
+        cand = spark.createDataFrame(rows, "c_id long, embedding array<float>")
+        q = spark.createDataFrame(
+            [(0, [0.375] * 4 + [0.33] * 4)], "q_id long, embedding array<float>"
+        )
+        return q, cand
+
+    def test_mmr_diversifies_where_topk_duplicates(self, spark):
+        from scdataset_spark.operators.similarity import brute_force_topk, mmr_topk
+
+        q, cand = self._frames(spark)
+        plain = brute_force_topk(q, cand, k=4, query_id="q_id", cand_id="c_id")
+        mmr = mmr_topk(q, cand, k=4, pool=12, lam=0.5)
+        plain_clusters = {r.c_id // 10 for r in plain.collect()}
+        mmr_clusters = {r.c_id // 10 for r in mmr.collect()}
+        assert plain_clusters == {1}  # top-k: all near-duplicates
+        assert mmr_clusters == {1, 2}  # MMR: both clusters represented
+
+    def test_lambda_one_reduces_to_plain_topk(self, spark):
+        from scdataset_spark.operators.similarity import brute_force_topk, mmr_topk
+
+        q, cand = self._frames(spark)
+        plain = {
+            (r.q_id, r.c_id)
+            for r in brute_force_topk(q, cand, k=4, query_id="q_id", cand_id="c_id").collect()
+        }
+        mmr = {(r.q_id, r.c_id) for r in mmr_topk(q, cand, k=4, pool=12, lam=1.0).collect()}
+        assert mmr == plain
+
+    def test_pick_ranks_and_determinism(self, spark):
+        from scdataset_spark.operators.similarity import mmr_topk
+
+        q, cand = self._frames(spark)
+        a = mmr_topk(q, cand, k=5, pool=12, lam=0.7).collect()
+        b = mmr_topk(q, cand, k=5, pool=12, lam=0.7).collect()
+        assert sorted(r.pick_rank for r in a) == [1, 2, 3, 4, 5]
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_k_greater_than_pool_rejected(self, spark):
+        from scdataset_spark.operators.similarity import mmr_topk
+
+        import pytest
+
+        q, cand = self._frames(spark)
+        with pytest.raises(ValueError, match="k <= pool"):
+            mmr_topk(q, cand, k=10, pool=5)
