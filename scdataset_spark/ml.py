@@ -224,10 +224,10 @@ def dsir_logratio(
     triples rounded to 8 digits before an order-independent limb sum;
     the per-doc sum and length-normalized mean round to 6.
 
-    Scale shape: ONE token explode feeds both vocabularies (the target
-    side is a filtered re-aggregation, not a second scan of the raw
-    corpus — Spark re-reads only the target slice's partitions under
-    predicate pushdown); the merged vocab joins back to the token
+    Scale shape: ONE token explode feeds ONE vocabulary aggregation
+    carrying BOTH counts — the raw term count and a conditional sum of
+    the target-membership flag — so the two LMs cost one shuffle over
+    the token stream, not two; the merged vocab joins back to the token
     stream term-keyed (the same bounded shuffle unigram_logprob pays),
     the (N_r, N_t, V) stats ride a 1-row broadcast, and the final
     top-k is a TakeOrderedAndProject — never a global sort
@@ -236,15 +236,12 @@ def dsir_logratio(
     distribution-matched SELECTION of the training slice is the
     corpus-scale generalization this engine adds."""
     toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        F.col(id_col),
+        F.expr(f"CASE WHEN {target_where} THEN 1L ELSE 0L END").alias("_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    tgt_toks = docs.where(target_where).select(
-        F.explode(F.split(F.col(text_col), " ")).alias("term")
-    )
-    raw_v = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_r"))
-    tgt_v = tgt_toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_t"))
-    vocab = raw_v.join(tgt_v, "term", "left").withColumn(
-        "cnt_t", F.coalesce(F.col("cnt_t"), F.lit(0))
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt_r"), F.sum("_t").alias("cnt_t")
     )
     stats = vocab.agg(
         F.sum("cnt_r").alias("_nr"),
