@@ -3129,6 +3129,11 @@ def mmr_topk(
     centroid/codebook builds use — ``k × n_queries`` rows total, never
     corpus-scaled) and re-joins the literal pick ids against the cached
     pool, keeping every plan flat instead of growing a 2^k lineage.
+    (Measured at sf0.1: a fully-lazy unrolled variant of the rounds —
+    broadcast anti/sim joins against the growing selected-set lineage —
+    re-materializes the shared selected subplans inside every broadcast
+    build and degrades from seconds to minutes; the collect-loop's cost
+    is fixed per-round scheduling, independent of corpus size.)
 
     Engine-portable determinism: relevance and pairwise similarity are
     the rounded-to-4 cosine; the MMR score rounds to 6 with ``cand_id``

@@ -33,6 +33,7 @@ cosine near-dup cliques don't replicate).
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import SparkSession
