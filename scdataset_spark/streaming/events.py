@@ -582,3 +582,102 @@ def _compact_unique_index_locked(
         "check_name string, n_keys bigint, files_before bigint, "
         "files_after bigint",
     )
+
+
+def embedding_drift_gate_batches(baseline, sink, n_clusters: int = 8,
+                                 seed: int = 11, id_col: str = "vec_id",
+                                 vec: str = "embedding",
+                                 psi_threshold: float = 0.25,
+                                 fail_fast: bool = False,
+                                 eps: float = 1e-6):
+    """STREAMING embedding-drift gate: the ``foreachBatch`` twin of
+    ``quality.embedding_drift`` (whose DuckDB oracle is
+    ``dq_embedding_drift``).  The BASELINE snapshot's seeded-centroid
+    basis and per-cell occupancy histogram are frozen ONCE at gate
+    construction (two bounded collects — ``n_clusters`` centroid rows
+    and ``n_clusters`` counts, the same pattern the IVF index build
+    uses); every delivery is then assigned in that frozen basis and
+    reported as per-cell occupancy PSI against the baseline shares —
+    "has this delivery's embedding distribution moved out from under
+    my ANN index / semantic-dedup screen", continuously.  With
+    ``fail_fast`` a delivery whose TOTAL PSI exceeds ``psi_threshold``
+    raises inside the batch and kills the query — the
+    refuse-to-ingest posture of the other gates.
+
+    Per-batch semantics caveat (mirrors ``constraint_gate_batches``):
+    PSI is a SHARE comparison, so per-batch reports are per-delivery
+    drift, NOT additive across batches; the per-cell ``n_batch``
+    counts ARE additive and sum to the corpus histogram.
+
+    Scale shape: each micro-batch pays one broadcast-argmin assignment
+    scan sized to the increment plus an ``n_clusters``-row aggregate;
+    the PSI arithmetic runs in-engine on an ``n_clusters``-row literal
+    frame (same expressions as the batch operator, so stream and batch
+    reports are value-identical on identical input)."""
+    from scdataset_spark.operators.similarity import (
+        assign_nearest_cell,
+        seeded_centroids,
+    )
+
+    cent = seeded_centroids(baseline, n_clusters, seed, id_col=id_col, vec=vec)
+    cent_rows = cent.collect()  # bounded: the frozen n_clusters-row basis
+    base_counts = {
+        r["_cell"]: r["n"]
+        for r in assign_nearest_cell(
+            baseline.select(id_col, vec), cent, id_col, vec
+        )
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tb = sum(base_counts.values())
+    if tb == 0:
+        raise ValueError("embedding drift gate: baseline snapshot is empty")
+
+    def _gate(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        cent_df = spark.createDataFrame(cent_rows, cent.schema)
+        hist = {
+            r["_cell"]: r["n"]
+            for r in assign_nearest_cell(
+                batch_df.select(id_col, vec), cent_df, id_col, vec
+            )
+            .groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        tc = sum(hist.values())
+        bins = spark.createDataFrame(
+            [
+                (int(batch_id), c, base_counts.get(c, 0), hist.get(c, 0))
+                for c in range(n_clusters)
+            ],
+            "batch_id bigint, cell int, n_base bigint, n_batch bigint",
+        )
+        p = F.greatest(F.col("n_base") / F.lit(tb), F.lit(eps))
+        q = F.greatest(F.col("n_batch") / F.lit(max(tc, 1)), F.lit(eps))
+        report = bins.select(
+            "batch_id",
+            "cell",
+            "n_base",
+            "n_batch",
+            F.round(p, 6).alias("p_base"),
+            F.round(q, 6).alias("p_batch"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi"),
+        )
+        rows = report.collect()
+        total = round(sum(r.psi for r in rows), 6)
+        out = spark.createDataFrame(
+            [tuple(r) + (total, total <= psi_threshold) for r in rows],
+            "batch_id bigint, cell int, n_base bigint, n_batch bigint, "
+            "p_base double, p_batch double, psi double, total_psi double, "
+            "passed boolean",
+        )
+        sink(out)
+        if fail_fast and total > psi_threshold:
+            raise ValueError(
+                f"embedding drift gate failed for batch {batch_id}: "
+                f"total PSI {total} > {psi_threshold}"
+            )
+
+    return _gate

@@ -106,6 +106,10 @@ LIBRARY_ONLY = {
     "constraint_gate_batches": "foreachBatch ingest-gate sink; batch "
     "twin is the oracle-checked dq_constraints; stream==batch additivity "
     "+ fail-fast pinned in tests/test_streaming.py",
+    "embedding_drift_gate_batches": "foreachBatch drift-gate sink in "
+    "the frozen baseline basis; batch twin quality.embedding_drift "
+    "carries the dq_embedding_drift oracle; stream==batch value "
+    "equivalence + fail-fast pinned by TestEmbeddingDriftGate",
     "unique_gate_batches": "stateful cross-batch uniqueness twin of "
     "constraint_gate_batches (persisted key index per column); "
     "cross-delivery collision flip, count-minus-countDistinct "

@@ -286,3 +286,112 @@ class TestMmrTopk:
         q, cand = self._frames(spark)
         with pytest.raises(ValueError, match="k <= pool"):
             mmr_topk(q, cand, k=10, pool=5)
+
+
+class TestEmbeddingDriftGate:
+    def _halves(self, spark):
+        from tests.conftest import SF_DIR
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        return emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+
+    def _run_stream(self, spark, tmp_path, gate, n_files):
+        q = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "deliveries"))
+            .writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_single_delivery_matches_batch_operator_values(self, spark, tmp_path):
+        """One delivery holding the whole current snapshot must report
+        exactly the batch operator's per-cell PSI values — the
+        stream==batch equivalence contract."""
+        from scdataset_spark.operators.quality import embedding_drift
+        from scdataset_spark.streaming.events import embedding_drift_gate_batches
+
+        base, curr = self._halves(spark)
+        curr.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "deliveries")
+        )
+        reports = []
+        gate = embedding_drift_gate_batches(
+            base, lambda df: reports.append(df.collect()), n_clusters=8, seed=11
+        )
+        self._run_stream(spark, tmp_path, gate, 1)
+        assert len(reports) == 1
+        stream = {r.cell: r for r in reports[0]}
+        batch = {r.cell: r for r in embedding_drift(base, curr, 8, 11).collect()}
+        for cell, b in batch.items():
+            s = stream[cell]
+            assert (s.n_base, s.n_batch) == (b.n_base, b.n_curr)
+            assert (s.p_base, s.p_batch, s.psi) == (b.p_base, b.p_curr, b.psi)
+
+    def test_two_deliveries_counts_are_additive(self, spark, tmp_path):
+        from scdataset_spark.operators.quality import embedding_drift
+        from scdataset_spark.streaming.events import embedding_drift_gate_batches
+
+        base, curr = self._halves(spark)
+        src = str(tmp_path / "deliveries")
+        curr.where("vec_id % 4 = 1").coalesce(1).write.mode("overwrite").parquet(src)
+        curr.where("vec_id % 4 = 3").coalesce(1).write.mode("append").parquet(src)
+        reports = []
+        gate = embedding_drift_gate_batches(
+            base, lambda df: reports.append(df.collect()), n_clusters=8, seed=11
+        )
+        self._run_stream(spark, tmp_path, gate, 2)
+        assert len(reports) == 2
+        flat = [r for rep in reports for r in rep]
+        batch = {r.cell: r for r in embedding_drift(base, curr, 8, 11).collect()}
+        for cell, b in batch.items():
+            assert sum(r.n_batch for r in flat if r.cell == cell) == b.n_curr
+
+    def test_fail_fast_kills_query_on_drift(self, spark, tmp_path):
+        import pytest
+
+        from pyspark.sql import functions as F
+
+        from scdataset_spark.streaming.events import embedding_drift_gate_batches
+
+        base, curr = self._halves(spark)
+        # shift the delivery so it drifts hard out of the baseline basis
+        shifted = curr.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> x + CAST(5.0 AS FLOAT))").alias(
+                "embedding"
+            ),
+        )
+        shifted.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "deliveries")
+        )
+        gate = embedding_drift_gate_batches(
+            base, lambda df: None, n_clusters=8, seed=11,
+            psi_threshold=0.05, fail_fast=True,
+        )
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException, match="drift gate failed"):
+            q = (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .parquet(str(tmp_path / "deliveries"))
+                .writeStream.foreachBatch(gate)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .start()
+            )
+            q.awaitTermination(120)
+
+    def test_empty_baseline_rejected(self, spark):
+        import pytest
+
+        from scdataset_spark.streaming.events import embedding_drift_gate_batches
+
+        base, _ = self._halves(spark)
+        with pytest.raises(ValueError, match="baseline snapshot is empty"):
+            embedding_drift_gate_batches(base.where("vec_id < 0"), lambda df: None)
