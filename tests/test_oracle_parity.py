@@ -19,37 +19,19 @@ from tests.conftest import SF_DIR
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 
 # Staleness cohort: queries whose most recent EXTERNAL (driver-sweep)
-# check is oldest — the registry's _SWEEP_PRIORITY leads with these, and
-# `pytest -m stale_cohort` selects exactly them for a cheap local smoke
-# between driver rounds.  (The full parametrized suite below already
-# runs every oracle query; the marker is a fast subset, not the gate.)
-# Updated each round from CORRECTNESS_r{N}.json ages (r13: the 16
-# round-9 entries at the staleness floor plus the round-10 cohort).
-STALE_COHORT = {
-    "dd_contamination_report", "dd_duplicate_spans", "dd_edit_verified",
-    "dd_incremental_verified", "dd_semantic_dedup", "dd_winnowing",
-    "dd_winnowing_pairs", "dq_outliers", "dq_profile", "dq_profile_drift",
-    "ev_session_capped", "ev_session_funnel", "g3_batch_entropy",
-    "g4_shuffle_quality", "g7_correlation", "g7_distinct_aggregates",
-    "g7_percentiles", "g7_pivot_status_by_flag", "g7_rollup_lineitem",
-    "j4_asof_join", "j_anti_customers_without_orders",
-    "j_semi_active_customers", "mm_frame_sample", "null_handling",
-    "o13_ddp_partition", "o15_block_shuffle_droplast",
-    "o16_mixture_sample", "o19_stratified_sample", "o20_per_source_cap",
-    "o22_component_split", "o5_positional_weights", "pipe_curation_gated",
-    "q10_returned_revenue", "q12_shipmode_priority",
-    "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity", "q18_large_orders",
-    "q19_disjunctive_predicates", "q22_idle_wealthy_customers",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "scalar_functions_events", "setops_lapsed_customers",
-    "setops_repeat_customers", "setops_union_distinct", "sim_pq_ann",
-    "sim_pq_encode", "skew_salted_count", "sq_correlated_group_max",
-    "ts_gap_fill", "tx_bm25", "tx_bpe_count", "tx_fingerprint",
-    "tx_langid", "tx_sequence_pack", "tx_token_budget", "tx_token_stats",
-    "w5_distribution", "w5_lag_lead_gaps", "w5_range_frame",
-    "w5_running_revenue", "w5_top3_orders_per_customer",
-}
+# check is oldest — the registry's _SWEEP_PRIORITY leads with exactly
+# these, so the cohort is DERIVED from the priority order instead of
+# hand-maintained per round (r15): the first 50 oracle-carrying names
+# in sweep order are the ones the next external sweep will (re)check,
+# i.e. the stalest plus anything new.  `pytest -m stale_cohort`
+# selects them for a cheap local smoke between driver rounds.  (The
+# full parametrized suite below already runs every oracle query; the
+# marker is a fast subset, not the gate.)
+from scdataset_spark.queries import _SWEEP_PRIORITY
+
+STALE_COHORT = set(
+    [n for n in _SWEEP_PRIORITY if REGISTRY[n].oracle][:50]
+)
 
 ORACLE_PARAMS = [
     pytest.param(n, marks=pytest.mark.stale_cohort) if n in STALE_COHORT
