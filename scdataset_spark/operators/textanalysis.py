@@ -805,3 +805,61 @@ def curriculum_order(
         )
         .select(id_col, source_col, "quality_score", "phase", "rn", "pos")
     )
+
+
+def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Appendix A
+    — the filter set most LLM curation pipelines start from), each as a
+    per-doc boolean flag plus the measured value, and ``gopher_pass``
+    as their conjunction:
+
+    - ``flag_word_count``: 50 <= words <= 100,000
+    - ``flag_mean_word_len``: mean word length in [3, 10]
+    - ``flag_symbol_ratio``: (# + ellipsis occurrences) / words < 0.1
+    - ``flag_alpha_ratio``: >= 80% of words contain a letter
+    - ``flag_stop_words``: >= 2 stop-word occurrences
+
+    Flags are emitted individually (not just the conjunction) because
+    the *which rule fired* breakdown is what a curation run tunes on.
+    All built-in expressions over one split — a narrow map, no shuffle,
+    no Python; every value is integer or a single rounded division, so
+    the SQL oracle checks values exactly."""
+    toks = f"split({text_col}, ' ')"
+    base = (
+        with_stop_counts(df, text_col)
+        .withColumn(
+            "mean_word_len",
+            F.expr(
+                f"round(aggregate({toks}, 0L, (acc, t) -> acc + length(t))"
+                f" / size({toks}), 6)"
+            ),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.expr(
+                f"round(((length({text_col}) - length(replace({text_col}, '#', '')))"
+                f" + (length({text_col}) - length(replace({text_col}, '...', ''))) DIV 3)"
+                f" / size({toks}), 6)"
+            ),
+        )
+        .withColumn(
+            "alpha_word_ratio",
+            F.expr(
+                f"round(size(filter({toks}, t -> t rlike '[a-zA-Z]'))"
+                f" / size({toks}), 6)"
+            ),
+        )
+    )
+    flags = {
+        "flag_word_count": "n_tokens BETWEEN 50 AND 100000",
+        "flag_mean_word_len": "mean_word_len BETWEEN 3.0 AND 10.0",
+        "flag_symbol_ratio": "symbol_ratio < 0.1",
+        "flag_alpha_ratio": "alpha_word_ratio >= 0.8",
+        "flag_stop_words": "n_stop >= 2",
+    }
+    out = base
+    for name, cond in flags.items():
+        out = out.withColumn(name, F.expr(cond))
+    return out.withColumn(
+        "gopher_pass", F.expr(" AND ".join(flags.keys()))
+    )

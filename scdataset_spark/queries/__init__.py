@@ -44,6 +44,7 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new or SQL-changed in round 15 (prepend as added) ---
+    "tx_gopher_rules",  # r15: new — Gopher quality rule set
     "sim_mmr_topk",  # r15: new — MMR diversified top-k
     "dq_embedding_drift",  # r15: new — embedding-space PSI drift monitor
     "tx_curriculum_order",  # r15: new — easy-to-hard curriculum schedule

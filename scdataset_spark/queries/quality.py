@@ -806,3 +806,63 @@ def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scdataset_spark.operators.textanalysis import curriculum_order
 
     return curriculum_order(docs, phases=4, seed=17)
+
+
+# ------------------------------------------ Gopher quality rules (r15)
+@query(
+    "tx_gopher_rules",
+    survey_ref="§2.14 text",
+    oracle="""
+WITH sp_t AS (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents),
+m AS (
+  SELECT doc_id,
+         len(sp) AS n_tokens,
+         len(list_filter(sp, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
+         round(list_aggregate(list_transform(sp, t -> length(t)), 'sum')
+               / len(sp), 6) AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) // 3)
+               / len(sp), 6) AS symbol_ratio,
+         round(len(list_filter(sp, t -> regexp_matches(t, '[a-zA-Z]')))
+               / len(sp), 6) AS alpha_word_ratio
+  FROM sp_t
+)
+SELECT doc_id, n_tokens, n_stop, mean_word_len, symbol_ratio, alpha_word_ratio,
+       n_tokens BETWEEN 50 AND 100000 AS flag_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+       symbol_ratio < 0.1 AS flag_symbol_ratio,
+       alpha_word_ratio >= 0.8 AS flag_alpha_ratio,
+       n_stop >= 2 AS flag_stop_words,
+       (n_tokens BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND (symbol_ratio < 0.1) AND (alpha_word_ratio >= 0.8)
+         AND (n_stop >= 2) AS gopher_pass
+FROM m
+""",
+)
+def tx_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule set
+    (``textanalysis.with_gopher_flags``; Rae et al. 2021 Appendix A):
+    word-count bounds, mean-word-length band, symbol-to-word ratio,
+    alphabetic-word ratio, and stop-word presence — each emitted as an
+    individual flag (the *which rule fired* breakdown a curation run
+    tunes on) plus the ``gopher_pass`` conjunction.  On this fixture
+    the word-count and stop-word rules fire on real subsets, so both
+    branches of every CASE are exercised.  One narrow map over one
+    split — no shuffle, no Python."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    from scdataset_spark.operators.textanalysis import with_gopher_flags
+
+    return with_gopher_flags(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_symbol_ratio",
+        "flag_alpha_ratio",
+        "flag_stop_words",
+        "gopher_pass",
+    )

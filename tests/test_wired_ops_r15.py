@@ -395,3 +395,36 @@ class TestEmbeddingDriftGate:
         base, _ = self._halves(spark)
         with pytest.raises(ValueError, match="baseline snapshot is empty"):
             embedding_drift_gate_batches(base.where("vec_id < 0"), lambda df: None)
+
+
+class TestGopherRules:
+    def test_each_rule_fires_on_its_violation(self, spark):
+        from scdataset_spark.operators.textanalysis import with_gopher_flags
+
+        good = "the quick brown fox jumps over a lazy dog " * 6  # 60 words
+        rows = [
+            (1, good.strip()),
+            (2, "the a short doc"),  # word count < 50
+            (3, ("xx " * 60).strip()),  # no stop words
+            (4, (good + "#### ##### ###### " * 8).strip()),  # symbols
+            (5, ("the a " + "12345 " * 58).strip()),  # non-alpha words
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in with_gopher_flags(df).collect()}
+        assert out[1].gopher_pass
+        assert not out[2].flag_word_count and not out[2].gopher_pass
+        assert not out[3].flag_stop_words and not out[3].gopher_pass
+        assert not out[4].flag_symbol_ratio and not out[4].gopher_pass
+        assert not out[5].flag_alpha_ratio and not out[5].gopher_pass
+
+    def test_fixture_exercises_both_branches(self, spark):
+        from scdataset_spark.catalog import load_table
+        from scdataset_spark.operators.textanalysis import with_gopher_flags
+
+        from tests.conftest import SF_DIR
+
+        docs = load_table(spark, "documents", SF_DIR, with_row_id=False)
+        out = with_gopher_flags(docs).select("flag_word_count", "gopher_pass").collect()
+        wc = {r.flag_word_count for r in out}
+        gp = {r.gopher_pass for r in out}
+        assert wc == {True, False} and gp == {True, False}
