@@ -863,3 +863,90 @@ def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "gopher_pass", F.expr(" AND ".join(flags.keys()))
     )
+
+
+def unimax_budget(
+    docs: DataFrame,
+    budget: int,
+    epochs: int = 1,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax per-source token budgeting (Chung et al. 2023): split a
+    total token ``budget`` across sources by water-filling with a
+    per-source cap of ``epochs`` passes over its data — small sources
+    contribute everything up to their cap, large sources are clipped to
+    a common level, and no source is over-sampled past ``epochs``
+    repeats (the fairer alternative to temperature sampling's
+    tail over-repetition).  Emits per source: token count, cap,
+    whether the cap bound (``capped``), the integer ``budget_tokens``,
+    and ``epochs_used``.
+
+    All arithmetic is exact BIGINT water-filling: sources sort
+    ascending by cap; the capped prefix is the maximal prefix with
+    ``cap·(remaining) + prefix ≤ budget`` (monotone, so a true-prefix);
+    the uncapped level is an integer division with the remainder
+    distributed one token each to the LARGEST uncapped sources, so
+    ``Σ budget_tokens == min(budget, Σ caps)`` holds exactly and the
+    SQL oracle checks every integer.
+
+    Scale shape: ONE groupBy of the corpus (map-side combined) to the
+    sources-sized frame; the ordering window, prefix sums, and the
+    1-row capped-stats broadcast all run on that tiny frame (same
+    posture as ``strategies.mixture_plan``).  The corpus is scanned
+    once at any size."""
+    if budget < 0 or epochs < 1:
+        raise ValueError(f"need budget >= 0, epochs >= 1, got {budget}, {epochs}")
+    counts = (
+        docs.select(
+            F.col(source_col),
+            F.expr(f"size(split({text_col}, ' '))").alias("_nt"),
+        )
+        .groupBy(source_col)
+        .agg(F.sum("_nt").alias("n_tokens"))
+        .withColumn("cap_tokens", F.col("n_tokens") * epochs)
+    )
+    w = Window.orderBy("cap_tokens", source_col)
+    o = counts.withColumn("idx", F.row_number().over(w).cast("bigint")).withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    m = o.agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
+    f = o.crossJoin(F.broadcast(m)).withColumn(
+        "capped",
+        F.expr(f"cap_tokens * (_m - idx + 1) + prefix <= {budget}"),
+    )
+    s = f.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0)
+        ).alias("_s"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_k"),
+    )
+    bt = (
+        "CASE WHEN capped THEN cap_tokens "
+        f"WHEN idx > _m - (({budget} - _s) % (_m - _k)) "
+        f"THEN ({budget} - _s) DIV (_m - _k) + 1 "
+        f"ELSE ({budget} - _s) DIV (_m - _k) END"
+    )
+    return (
+        f.crossJoin(F.broadcast(s))
+        .withColumn("budget_tokens", F.expr(bt))
+        .withColumn(
+            "epochs_used", F.expr("round(budget_tokens / n_tokens, 6)")
+        )
+        .select(
+            source_col,
+            "n_tokens",
+            "cap_tokens",
+            "capped",
+            "budget_tokens",
+            "epochs_used",
+        )
+    )

@@ -44,6 +44,7 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
     # --- new or SQL-changed in round 15 (prepend as added) ---
+    "o26_unimax_budget",  # r15: new — UniMax water-filled source budgets
     "tx_gopher_rules",  # r15: new — Gopher quality rule set
     "sim_mmr_topk",  # r15: new — MMR diversified top-k
     "dq_embedding_drift",  # r15: new — embedding-space PSI drift monitor

@@ -866,3 +866,65 @@ def tx_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag_stop_words",
         "gopher_pass",
     )
+
+
+# -------------------------------------------- UniMax budgeting (r15)
+_UNIMAX_B = 26000
+
+
+@query(
+    "o26_unimax_budget",
+    survey_ref="O24,§2.14 text",
+    oracle=f"""
+WITH c AS (
+  SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+k AS (SELECT source, n_tokens, n_tokens * 1 AS cap_tokens FROM c),
+o AS (
+  SELECT *, row_number() OVER (ORDER BY cap_tokens, source) AS idx,
+         COALESCE(sum(cap_tokens) OVER (
+           ORDER BY cap_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM k
+),
+m AS (SELECT count(*) AS _m FROM o),
+f AS (
+  SELECT o.*, _m,
+         cap_tokens * (_m - idx + 1) + prefix <= {_UNIMAX_B} AS capped
+  FROM o, m
+),
+s AS (
+  SELECT COALESCE(sum(cap_tokens) FILTER (capped), 0) AS _s,
+         count(*) FILTER (capped) AS _k
+  FROM f
+),
+b AS (
+  SELECT f.*, _s, _k,
+         CASE WHEN capped THEN cap_tokens
+              WHEN idx > _m - (({_UNIMAX_B} - _s) % (_m - _k))
+              THEN ({_UNIMAX_B} - _s) // (_m - _k) + 1
+              ELSE ({_UNIMAX_B} - _s) // (_m - _k) END AS budget_tokens
+  FROM f, s
+)
+SELECT source, n_tokens, cap_tokens, capped, budget_tokens,
+       round(budget_tokens / n_tokens, 6) AS epochs_used
+FROM b
+""",
+)
+def o26_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-source token budgets
+    (``textanalysis.unimax_budget``; Chung et al. 2023): water-fill a
+    26 k-token budget across the documents sources with a 1-epoch cap —
+    the fairer mixture alternative to temperature sampling
+    (``o17_temperature_mixture``), with the guarantee that no source
+    repeats past the epoch cap.  On this fixture the budget lands
+    strictly between the smallest and largest caps, so both the capped
+    and the level-assigned branches (including the remainder +1
+    distribution) are exercised, and ``Σ budget_tokens == budget``
+    exactly.  The oracle replays the BIGINT water-fill integer for
+    integer."""
+    docs = load_table(spark, "documents", sf_dir, with_row_id=False)
+    from scdataset_spark.operators.textanalysis import unimax_budget
+
+    return unimax_budget(docs, budget=_UNIMAX_B, epochs=1)

@@ -428,3 +428,53 @@ class TestGopherRules:
         wc = {r.flag_word_count for r in out}
         gp = {r.gopher_pass for r in out}
         assert wc == {True, False} and gp == {True, False}
+
+
+class TestUnimaxBudget:
+    def _docs(self, spark):
+        rows = [
+            (i, f"s{j}", "tok " * (10 * (j + 1)))
+            for j in range(4)
+            for i in range(j * 10, j * 10 + 3)
+        ]
+        return spark.createDataFrame(
+            [(i, s, t.strip()) for i, s, t in rows],
+            "doc_id long, source string, text string",
+        )
+
+    def test_budget_conserved_and_caps_respected(self, spark):
+        from scdataset_spark.operators.textanalysis import unimax_budget
+
+        out = unimax_budget(self._docs(spark), budget=50, epochs=1).collect()
+        assert sum(r.budget_tokens for r in out) == 50
+        assert all(r.budget_tokens <= r.cap_tokens for r in out)
+        # water-fill: uncapped sources sit within 1 token of each other,
+        # and every capped source's cap is below every uncapped budget
+        un = [r.budget_tokens for r in out if not r.capped]
+        cap = [r.cap_tokens for r in out if r.capped]
+        assert un and max(un) - min(un) <= 1
+        assert not cap or max(cap) <= min(un)
+
+    def test_budget_above_total_caps_gives_everything(self, spark):
+        from scdataset_spark.operators.textanalysis import unimax_budget
+
+        out = unimax_budget(self._docs(spark), budget=10**9, epochs=2).collect()
+        assert all(r.capped for r in out)
+        assert all(r.budget_tokens == r.cap_tokens == 2 * r.n_tokens for r in out)
+
+    def test_epoch_cap_binds(self, spark):
+        from scdataset_spark.operators.textanalysis import unimax_budget
+
+        one = {r.source: r.budget_tokens
+               for r in unimax_budget(self._docs(spark), budget=10**9, epochs=1).collect()}
+        two = {r.source: r.budget_tokens
+               for r in unimax_budget(self._docs(spark), budget=10**9, epochs=2).collect()}
+        assert all(two[s] == 2 * one[s] for s in one)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from scdataset_spark.operators.textanalysis import unimax_budget
+
+        with pytest.raises(ValueError, match="budget >= 0"):
+            unimax_budget(self._docs(spark), budget=-1)
