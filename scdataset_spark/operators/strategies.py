@@ -175,9 +175,30 @@ def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
     Equivalent to ``row_number() OVER (ORDER BY mix(block_id), pos0)``
     because blocks are contiguous, dense runs of pos0.  The only sort is
     over the tiny blocks frame; the join is a plain equi-join on
-    block_id (AQE broadcasts it while it fits)."""
+    block_id (AQE broadcasts it while it fits).
+
+    pos0 is dense 0..n-1 at every call site (``_pos0``/``with_pos``/
+    ``row_number()-1`` all produce 0-based ranks), so the block sizes
+    need no groupBy over the data (r15, guide §2.3 — shuffle metadata,
+    not payloads): every block holds exactly ``block_size`` rows except
+    the last, so the blocks frame is generated from ONE count-star
+    scalar (a column-less scan) + ``explode(sequence(...))`` — the
+    per-block-count aggregation shuffle of the full table disappears
+    from the plan."""
     out = out.withColumn("block_id", F.expr(f"pos0 div {block_size}"))
-    blocks = out.groupBy("block_id").agg(F.count(F.lit(1)).alias("_bn"))
+    n_agg = out.agg(F.count(F.lit(1)).alias("_n"))
+    blocks = n_agg.select(
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.expr(f"(_n - 1) div {block_size}"))
+        ).alias("block_id"),
+    ).withColumn(
+        "_bn",
+        F.least(
+            F.lit(block_size).cast("bigint"),
+            F.col("_n") - F.col("block_id") * block_size,
+        ),
+    ).drop("_n")
     blocks = blocks.withColumn("_bkey", F.expr(mix_sql("block_id", s, "spark")))
     w = Window.orderBy("_bkey", "block_id").rowsBetween(Window.unboundedPreceding, -1)
     blocks = blocks.withColumn("_bstart", F.coalesce(F.sum("_bn").over(w), F.lit(0)))
@@ -218,6 +239,14 @@ def _rank_by_key(
 # the upper edge of executor-safe.  Beyond it the shuffled hash join is
 # the right plan anyway (both sides are genuinely large).
 BROADCAST_DRAWS_MAX = 2_000_000
+
+# Largest draw count for which the drawn multiset's block permutation is
+# done as a second sort inside the single partition the pos0 window
+# already established (two in-partition sorts, zero extra exchanges).
+# A drawn row is three BIGINTs, so 2M rows is ~50 MB in one task —
+# comfortable; beyond it the metadata-join path (_block_permute_pos)
+# keeps the permutation distributed.
+DIRECT_PERMUTE_MAX = 2_000_000
 
 
 def _interval_join_draws(
@@ -343,17 +372,68 @@ class BlockWeightedSampling(SamplingStrategy):
         ).otherwise(
             F.ceil(F.col(self.weight_col).cast("double") * self.weight_scale).cast("bigint")
         )
-        base = df.withColumn("_wi", wint).where(F.col("_wi") > 0)
-        cum = with_running_sum(base, "_wi", "row_id", out="hi", buckets=POS_BUCKETS)
-        cum = cum.withColumn("lo", F.col("hi") - F.col("_wi"))
+        base = df.withColumn("_wi", wint).where(F.col("_wi") > 0).select("row_id", "_wi")
         # NOTE: persisting cum here was measured SLOWER (4.4s -> 7.5s at
         # sf0.1): the cache materialization breaks stage fusion and costs
         # more than the recompute of the (cheap, scan-fused) sum chain.
+        #
+        # ONE fused scalar frame (r15, guide §2.4): min/max(row_id) for
+        # the rank buckets and sum(_wi) for the CDF total were three
+        # separate scalar aggregates before — three full scans of the
+        # base, each behind its own BroadcastExchange.  Fused into one
+        # agg they become ONE scan whose BroadcastExchange is
+        # canonically identical at every use site, so Spark's
+        # ReuseExchange serves all of them from a single computation
+        # (plan: 14 scans -> 4, see plans/r15/o3_weighted_replace_*).
+        meta = base.agg(
+            F.min("row_id").alias("_lo"),
+            F.max("row_id").alias("_hi"),
+            F.sum("_wi").alias("_total"),
+        )
+        nb = POS_BUCKETS
+        # same bucket expression as plans.plan.with_running_sum — the
+        # running sum below is value-identical to it at any bucket count
+        b = (
+            base.crossJoin(F.broadcast(meta))
+            .withColumn(
+                "_bucket",
+                F.least(
+                    F.lit(nb - 1),
+                    (
+                        (F.col("row_id") - F.col("_lo"))
+                        * nb
+                        / (F.col("_hi") - F.col("_lo") + 1)
+                    ).cast("bigint"),
+                ),
+            )
+            .select("row_id", "_wi", "_bucket")
+        )
+        # ONE explicit exchange feeds BOTH the per-bucket totals agg and
+        # the within-bucket running-sum window (r15, guide §2.4): the
+        # groupBy and the window each require hashpartitioning(_bucket),
+        # so hanging them off the same repartition makes their exchange
+        # subtrees identical — ReuseExchange computes the shuffle once
+        # where the with_running_sum shape paid a second full scan for
+        # the per-bucket totals branch.
+        bshuf = b.repartition("_bucket")
+        sums = bshuf.groupBy("_bucket").agg(F.sum("_wi").alias("_bsum"))
+        w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = sums.withColumn(
+            "_offset", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
+        ).drop("_bsum")
+        w_in = (
+            Window.partitionBy("_bucket")
+            .orderBy("row_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            bshuf.withColumn("_ws", F.sum("_wi").over(w_in))
+            .join(F.broadcast(offsets), "_bucket")
+            .withColumn("hi", F.col("_ws") + F.col("_offset"))
+            .withColumn("lo", F.col("hi") - F.col("_wi"))
+            .select("row_id", "lo", "hi")
+        )
         draws = spark.range(self.total_size).withColumnRenamed("id", "draw_id")
-        # total weight == max(hi), but summing the PRE-window base frame
-        # is one scan-fused agg — max(hi) over cum would recompute the
-        # whole bucketed-window chain just to read its last value
-        total = base.agg(F.sum("_wi").alias("_t"))
         # 62-bit target: one mix() only covers [0, 2^31) — with scaled
         # integer weights the cumulative total easily exceeds that, and a
         # 31-bit target would only ever sample the low end of the CDF.
@@ -361,15 +441,34 @@ class BlockWeightedSampling(SamplingStrategy):
             f"(({mix_sql('draw_id', s, 'spark')}) * 2147483648 "
             f"+ ({mix_sql('draw_id', s + 1, 'spark')}))"
         )
-        draws = draws.crossJoin(F.broadcast(total)).withColumn(
-            "t", F.expr(t62) % F.col("_t")
-        ).drop("_t")
-        return _interval_join_draws(
-            cum.select("row_id", "lo", "hi"),
-            draws,
-            total=total,
-            n_draws=self.total_size,
-        ).select("draw_id", "row_id")
+        draws = draws.crossJoin(F.broadcast(meta)).withColumn(
+            "t", F.expr(t62) % F.col("_total")
+        )
+        # interval join inlined against the SAME broadcast meta (its
+        # _total is the interval-bucket width input) — semantics and
+        # join-strategy choice identical to _interval_join_draws, which
+        # remains the generic helper for callers without a fused meta.
+        nb2 = 1024
+        wexpr = f"(_total + {nb2 - 1}) div {nb2}"
+        cum_b = (
+            cum.crossJoin(F.broadcast(meta))
+            .withColumn("_w", F.expr(wexpr))
+            .withColumn(
+                "bucket",
+                F.explode(F.sequence(F.expr("lo div _w"), F.expr("(hi - 1) div _w"))),
+            )
+        )
+        draws_b = draws.withColumn("bucket", F.expr(f"t div ({wexpr})")).select(
+            "draw_id", "t", "bucket"
+        )
+        if self.total_size <= BROADCAST_DRAWS_MAX:
+            joined = cum_b.join(F.broadcast(draws_b), "bucket")
+        else:
+            joined = draws_b.join(cum_b, "bucket")
+        return (
+            joined.where((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+            .select("draw_id", "row_id")
+        )
 
     def _reservoir_rounds(self, df: DataFrame, s: int) -> DataFrame:
         k = self.sampling_size or self.total_size
@@ -436,9 +535,28 @@ class BlockWeightedSampling(SamplingStrategy):
         # shuffle for locality), then block-shuffle with a second seed.
         # The drawn set is total_size rows (orders of magnitude smaller
         # than the table) — a plain window on (row_id, draw_id) is fine
-        # here; the block permutation reuses the metadata-join path.
+        # here.
         w_pos = Window.orderBy("row_id", "draw_id")
         out = drawn.withColumn("pos0", F.row_number().over(w_pos) - F.lit(1))
+        if self.total_size <= DIRECT_PERMUTE_MAX:
+            # r15 (guide §2.4): the drawn set is already in ONE partition
+            # after the pos0 window, so the block permutation is a second
+            # in-partition sort — row_number() OVER (ORDER BY mix(block),
+            # pos0) — with NO new exchange.  Equivalent to the
+            # metadata-join path because blocks are contiguous runs of
+            # pos0: ORDER BY (_bkey, pos0) == ORDER BY (_bkey, block_id,
+            # pos0), the exact oracle ordering.  The metadata path (below)
+            # remains for draw counts too large for a one-partition sort;
+            # total_size is a static plan parameter, so the choice is
+            # made at plan time, like BROADCAST_DRAWS_MAX.
+            out = out.withColumn(
+                "_bkey", F.expr(mix_sql(f"pos0 div {self.block_size}", s + 500, "spark"))
+            )
+            w_blk = Window.orderBy("_bkey", "pos0")
+            return (
+                out.withColumn("pos", F.row_number().over(w_blk) - F.lit(1))
+                .drop("pos0", "_bkey")
+            )
         return _block_permute_pos(out, self.block_size, s + 500).drop("block_id")
 
 

@@ -877,15 +877,15 @@ _UNIMAX_B = 26000
     survey_ref="O24,§2.14 text",
     oracle=f"""
 WITH c AS (
-  SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1
 ),
 k AS (SELECT source, n_tokens, n_tokens * 1 AS cap_tokens FROM c),
 o AS (
   SELECT *, row_number() OVER (ORDER BY cap_tokens, source) AS idx,
-         COALESCE(sum(cap_tokens) OVER (
+         CAST(COALESCE(sum(cap_tokens) OVER (
            ORDER BY cap_tokens, source
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
   FROM k
 ),
 m AS (SELECT count(*) AS _m FROM o),
@@ -895,7 +895,7 @@ f AS (
   FROM o, m
 ),
 s AS (
-  SELECT COALESCE(sum(cap_tokens) FILTER (capped), 0) AS _s,
+  SELECT CAST(COALESCE(sum(cap_tokens) FILTER (capped), 0) AS BIGINT) AS _s,
          count(*) FILTER (capped) AS _k
   FROM f
 ),
