@@ -261,21 +261,32 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nk = asia.select("n_nationkey")
     s_asia = s.join(
         F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
-    )
+    ).select("s_suppkey", "s_nationkey")
     c_asia = c.join(
         F.broadcast(nk), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
-    )
+    ).select("c_custkey", "c_nationkey")
+    # r15 build-side fix (guide §3.1): without an explicit hint the
+    # planner's post-filter size estimates picked LINEITEM — the fact
+    # table — as the broadcast build side of the l⋈(c⋈o) join, streaming
+    # the small side (plans/r15/q5_local_supplier_volume_before.txt:
+    # HashedRelationBroadcastMode directly over the lineitem scan).
+    # Correct at sf0.1, catastrophic at scale (the build side is the
+    # one table that grows without bound).  The explicit broadcast pins
+    # (c⋈o) — date-filtered, ASIA-restricted, projected to two columns —
+    # as the build side with lineitem probing; interleaved A/B at sf0.1:
+    # 0.733 → 0.528 s warm min even at this size.
+    co = c_asia.join(
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        ).select("o_orderkey", "o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select("o_orderkey", "c_nationkey")
     return (
-        c_asia.join(
-            o.where(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            ),
-            F.col("c_custkey") == F.col("o_custkey"),
-        )
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            s_asia,
+            F.broadcast(s_asia),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
