@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scdataset_spark.catalog import load_table
@@ -154,13 +154,22 @@ def g6_batch_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     no decimal (or limb) machinery needed at this group size."""
     li = load_table(spark, "lineitem", sf_dir)
     plan = Streaming(assume_dense=True).plan(li, seed=SEED).withColumn("batch_id", F.expr("pos div 32"))
-    stats = plan.groupBy("batch_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("l_quantity").alias("s1"),
-        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+    # r15 (guide §2.4): the groupBy-stats + self-join shape made the
+    # planner broadcast the DATA side (plan carries l_quantity — the
+    # audit flagged a fact-payload BroadcastExchange); per-batch count /
+    # sum / sum-of-squares over a window partitioned by batch_id gives
+    # identical values with ONE shuffle, no join, no broadcast — and
+    # every batch group is bounded at 32 rows, so there is no hot-group
+    # hazard at any scale.
+    wb = Window.partitionBy("batch_id")
+    stats = (
+        plan.select("row_id", "batch_id", "l_quantity")
+        .withColumn("n", F.count(F.lit(1)).over(wb))
+        .withColumn("s1", F.sum("l_quantity").over(wb))
+        .withColumn("s2", F.sum(F.col("l_quantity") * F.col("l_quantity")).over(wb))
     )
     return (
-        plan.join(stats, "batch_id")
+        stats
         .where(F.col("n") == 32)
         .select(
             "row_id",

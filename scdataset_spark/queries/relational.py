@@ -361,12 +361,26 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     n = load_table(spark, "nation", sf_dir, with_row_id=False)
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l.where(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
+    # r15 (guide §3.1): the planner's estimates picked the R-filtered
+    # LINEITEM as the broadcast build side of the fact join (audit
+    # flagged the payload broadcast).  Keep lineitem streaming: slim
+    # (c⋈o) to the two keys the fact join needs and pin it as the build
+    # side; names attach AFTER the per-customer aggregate, when the
+    # frame is customer-cardinality, not fact-cardinality.
+    co = c.select("c_custkey", "c_nationkey").join(
+        o.select("o_orderkey", "o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select("o_orderkey", "c_custkey", "c_nationkey")
+    per_cust = (
+        l.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_nationkey")
         .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
+    )
+    return (
+        per_cust.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(c.select("c_custkey", "c_name"), "c_custkey")
         .selectExpr("c_custkey", "c_name", lsum_out("r", "revenue"), "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -971,9 +985,21 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already-small per-order aggregate join customer; customer grows
     # with SF, so that join strategy is AQE's size-stats call rather
     # than a forced broadcast hint that would OOM the driver at scale.
+    # r15 (guide §3.1): `big` is the HAVING survivors (very selective) —
+    # broadcast it, and broadcast the o⋈big result into the second fact
+    # join; the planner previously chose LINEITEM as that join's build
+    # side (audit-flagged payload broadcast), which inverts at scale.
     per_order = (
-        o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(li.alias("l"), F.col("l.l_orderkey") == o.o_orderkey)
+        li.alias("l")
+        .select(F.col("l.l_orderkey"), F.col("l.l_quantity"))
+        .join(
+            F.broadcast(
+                o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
+                    "o_orderkey", "o_orderdate", "o_totalprice", "o_custkey"
+                )
+            ),
+            F.col("l.l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice", "o_custkey")
         .agg(dsum_col(F.col("l.l_quantity")).alias("total_qty"))
     )
@@ -1551,8 +1577,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n.where(F.col("n_name") == "NATION_7")), n.n_nationkey == s.s_nationkey)
         .select("s_suppkey")
     )
+    # r15 (guide §3.1): without the hint the planner broadcast LINEITEM
+    # into this join (twice — audit); sn is bounded by one nation's
+    # supplier count and is the only sane build side.
     val = (
-        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(
