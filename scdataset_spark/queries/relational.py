@@ -265,28 +265,38 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_asia = c.join(
         F.broadcast(nk), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
     ).select("c_custkey", "c_nationkey")
-    # r15 build-side fix (guide §3.1): without an explicit hint the
-    # planner's post-filter size estimates picked LINEITEM — the fact
-    # table — as the broadcast build side of the l⋈(c⋈o) join, streaming
-    # the small side (plans/r15/q5_local_supplier_volume_before.txt:
+    # r15 build-side fix (guide §3.1): the previous shape joined
+    # lineitem against the (c⋈o) JOIN OUTPUT, whose non-CBO size
+    # estimate is inflated past lineitem's pruned-scan estimate, so the
+    # planner picked LINEITEM — the fact table — as the broadcast build
+    # side (plans/r15/q5_local_supplier_volume_before.txt:
     # HashedRelationBroadcastMode directly over the lineitem scan).
-    # Correct at sf0.1, catastrophic at scale (the build side is the
-    # one table that grows without bound).  The explicit broadcast pins
-    # (c⋈o) — date-filtered, ASIA-restricted, projected to two columns —
-    # as the build side with lineitem probing; interleaved A/B at sf0.1:
-    # 0.733 → 0.528 s warm min even at this size.
-    co = c_asia.join(
+    # Hard-hinting the other side is banned for SF-proportional frames
+    # (tests/test_plan_shapes.py: a forced broadcast OOMs at scale), so
+    # the fix is to never put a join OUTPUT opposite the fact stream:
+    # orders is first SEMI-restricted to ASIA customers (a semi output
+    # keeps the base table's sane estimate), and each subsequent join
+    # pairs the growing stream with a base-derived frame — the planner
+    # then picks the right build side at this SF and degrades to
+    # sort-merge naturally when a side outgrows the threshold.
+    o_asia = (
         o.where(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-        ).select("o_orderkey", "o_custkey"),
-        F.col("c_custkey") == F.col("o_custkey"),
-    ).select("o_orderkey", "c_nationkey")
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            c_asia.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+    )
     return (
         l.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o_asia, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c_asia, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s_asia),
+            s_asia,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -361,20 +371,26 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir, with_row_id=False)
     l = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     n = load_table(spark, "nation", sf_dir, with_row_id=False)
-    # r15 (guide §3.1): the planner's estimates picked the R-filtered
-    # LINEITEM as the broadcast build side of the fact join (audit
-    # flagged the payload broadcast).  Keep lineitem streaming: slim
-    # (c⋈o) to the two keys the fact join needs and pin it as the build
-    # side; names attach AFTER the per-customer aggregate, when the
-    # frame is customer-cardinality, not fact-cardinality.
-    co = c.select("c_custkey", "c_nationkey").join(
-        o.select("o_orderkey", "o_custkey"),
-        F.col("c_custkey") == F.col("o_custkey"),
-    ).select("o_orderkey", "c_custkey", "c_nationkey")
+    # r15 (guide §3.1): the previous shape joined the R-filtered
+    # lineitem against the (c⋈o) JOIN OUTPUT, whose inflated non-CBO
+    # estimate made the planner broadcast LINEITEM (audit-flagged
+    # payload broadcast).  Join the fact stream against base-derived
+    # frames only — orders first, customer second — so the static
+    # build-side choice is right at this SF and degrades to sort-merge
+    # naturally at scale (hard hints on SF-proportional frames are
+    # banned, tests/test_plan_shapes.py).  Names attach AFTER the
+    # per-customer aggregate, when the frame is customer-cardinality.
     per_cust = (
         l.where(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy("c_custkey", "c_nationkey")
         .agg(*lsum_cols("l_extendedprice * (1 - l_discount)", "r"))
     )
@@ -985,21 +1001,21 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already-small per-order aggregate join customer; customer grows
     # with SF, so that join strategy is AQE's size-stats call rather
     # than a forced broadcast hint that would OOM the driver at scale.
-    # r15 (guide §3.1): `big` is the HAVING survivors (very selective) —
-    # broadcast it, and broadcast the o⋈big result into the second fact
-    # join; the planner previously chose LINEITEM as that join's build
-    # side (audit-flagged payload broadcast), which inverts at scale.
+    # r15 (guide §3.1): the o⋈big JOIN OUTPUT's inflated non-CBO
+    # estimate made the planner pick LINEITEM as the second fact join's
+    # build side (audit-flagged payload broadcast).  SEMI-restrict
+    # orders by the HAVING survivors instead: the semi output keeps
+    # orders' own sane estimate, so the fact join builds on the small
+    # restricted orders frame naturally (hard hints on SF-proportional
+    # frames are banned, tests/test_plan_shapes.py) and degrades to
+    # sort-merge at scale.
+    o_sel = o.select("o_orderkey", "o_orderdate", "o_totalprice", "o_custkey").join(
+        big, o.o_orderkey == big.l_orderkey, "left_semi"
+    )
     per_order = (
         li.alias("l")
         .select(F.col("l.l_orderkey"), F.col("l.l_quantity"))
-        .join(
-            F.broadcast(
-                o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
-                    "o_orderkey", "o_orderdate", "o_totalprice", "o_custkey"
-                )
-            ),
-            F.col("l.l_orderkey") == F.col("o_orderkey"),
-        )
+        .join(o_sel, F.col("l.l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice", "o_custkey")
         .agg(dsum_col(F.col("l.l_quantity")).alias("total_qty"))
     )
@@ -1573,15 +1589,22 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir, with_row_id=False)
     s = load_table(spark, "supplier", sf_dir, with_row_id=False)
     n = load_table(spark, "nation", sf_dir, with_row_id=False)
+    # r15 (guide §3.1): as an inner-join output, sn carried an inflated
+    # non-CBO size estimate and the planner broadcast LINEITEM into the
+    # fact join (twice — audit-flagged).  The SEMI form keeps supplier's
+    # own sane estimate, so the planner builds on sn naturally — no
+    # hard hint needed (banned for SF-proportional frames,
+    # tests/test_plan_shapes.py) and sort-merge takes over at scale.
     sn = (
-        s.join(F.broadcast(n.where(F.col("n_name") == "NATION_7")), n.n_nationkey == s.s_nationkey)
+        s.join(
+            F.broadcast(n.where(F.col("n_name") == "NATION_7")),
+            n.n_nationkey == s.s_nationkey,
+            "left_semi",
+        )
         .select("s_suppkey")
     )
-    # r15 (guide §3.1): without the hint the planner broadcast LINEITEM
-    # into this join (twice — audit); sn is bounded by one nation's
-    # supplier count and is the only sane build side.
     val = (
-        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(
