@@ -33,63 +33,26 @@ NORM = (
 )
 
 
-def dot_sql(a: str, b: str, dim: int | None = None) -> str:
-    """Dot-product SQL.  ``dim=None``: the HOF left fold (works for any
-    length).  With a static ``dim`` the fold is UNROLLED into a chained
-    sum of ``try_element_at`` products — whole-stage-codegen-friendly
-    where the lambda fold is interpreted (r15, guide §4.1; measured
-    ~10x on the scoring stage of ``brute_force_topk`` at sf0.1, 0
-    value mismatches over the full pair set).  Bit-identical by
-    construction: the chain starts at the same CAST(0.0) seed and adds
-    in the same left-to-right order as the fold, and
-    ``try_element_at`` yields NULL past the end exactly like
-    ``zip_with``'s NULL padding, so short/malformed vectors produce the
-    same NULL cosine as before."""
-    if dim is None:
-        return DOT.format(a=a, b=b)
-    terms = " + ".join(
-        f"(CAST(try_element_at({a}, {i + 1}) AS DOUBLE) * "
-        f"CAST(try_element_at({b}, {i + 1}) AS DOUBLE))"
-        for i in range(dim)
-    )
-    return f"(CAST(0.0 AS DOUBLE) + {terms})"
-
-
-def norm_sql(a: str, dim: int | None = None) -> str:
-    """``|v|`` SQL — HOF fold, or unrolled when ``dim`` is static (same
-    contract as :func:`dot_sql`)."""
-    if dim is None:
-        return NORM.format(a=a)
-    terms = " + ".join(
-        f"(CAST(try_element_at({a}, {i + 1}) AS DOUBLE) * "
-        f"CAST(try_element_at({a}, {i + 1}) AS DOUBLE))"
-        for i in range(dim)
-    )
-    return f"sqrt(CAST(0.0 AS DOUBLE) + {terms})"
-
-
-def cosine_expr(a: str, b: str, digits: int = 4, dim: int | None = None) -> F.Column:
-    dot = dot_sql(a, b, dim)
-    na = norm_sql(a, dim)
-    nb = norm_sql(b, dim)
+def cosine_expr(a: str, b: str, digits: int = 4) -> F.Column:
+    dot = DOT.format(a=a, b=b)
+    na = NORM.format(a=a)
+    nb = NORM.format(a=b)
     return F.expr(f"round(({dot}) / (({na}) * ({nb})), {digits})")
 
 
-def norm_col(vec: str, dim: int | None = None) -> F.Column:
+def norm_col(vec: str) -> F.Column:
     """``|v|`` as a column — precompute ONCE PER VECTOR before a pair
     join so each pair pays one dot instead of three HOF aggregates
     (measured on a 127 M-pair within-cell verify at 240 k vectors:
     250 s → 88 s).  Bit-exact vs inline recomputation: same expression,
     same left-fold order, so ``cosine_norm_expr`` below rounds the
     identical double and oracle parity is unaffected."""
-    return F.expr(norm_sql(vec, dim))
+    return F.expr(NORM.format(a=vec))
 
 
-def cosine_norm_expr(
-    a: str, b: str, na: str, nb: str, digits: int = 4, dim: int | None = None
-) -> F.Column:
+def cosine_norm_expr(a: str, b: str, na: str, nb: str, digits: int = 4) -> F.Column:
     """Cosine from precomputed norms — pairs with :func:`norm_col`."""
-    dot = dot_sql(a, b, dim)
+    dot = DOT.format(a=a, b=b)
     return F.expr(f"round(({dot}) / (({na}) * ({nb})), {digits})")
 
 
@@ -101,7 +64,6 @@ def brute_force_topk(
     cand_id: str = "c_id",
     vec: str = "embedding",
     two_phase: bool = True,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the
     candidate stream; rank by rounded cosine with id tiebreak so the
@@ -118,15 +80,15 @@ def brute_force_topk(
     union).  ``False`` keeps the single-window shape for tiny corpora.
     """
     q = queries.select(
-        F.col(query_id), F.col(vec).alias("_qv"), norm_col(vec, dim=dim).alias("_qn")
+        F.col(query_id), F.col(vec).alias("_qv"), norm_col(vec).alias("_qn")
     )
     c = candidates.select(
-        F.col(cand_id), F.col(vec).alias("_cv"), norm_col(vec, dim=dim).alias("_cn")
+        F.col(cand_id), F.col(vec).alias("_cv"), norm_col(vec).alias("_cn")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(query_id) != F.col(cand_id))
-        .withColumn("cosine", cosine_norm_expr("_qv", "_cv", "_qn", "_cn", dim=dim))
+        .withColumn("cosine", cosine_norm_expr("_qv", "_cv", "_qn", "_cn"))
     )
     if two_phase:
         from scdataset_spark.operators.skew import per_group_top_k
@@ -627,7 +589,6 @@ def ivf_topk(
     cand_id: str = "c_id",
     vec: str = "embedding",
     n_rows: int | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: KMeans-partition the candidates into coarse cells,
     probe the ``n_probe`` nearest cells per query, exact cosine re-rank
@@ -678,7 +639,7 @@ def ivf_topk(
     scored = (
         c_assigned.join(F.broadcast(q_cells), "_cell")
         .where(F.col(query_id) != F.col(cand_id))
-        .withColumn("cosine", cosine_expr("_qv", "_cv", dim=dim))
+        .withColumn("cosine", cosine_expr("_qv", "_cv"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
@@ -974,7 +935,6 @@ def ivf_seeded_topk(
     vec: str = "embedding",
     vectorized_assign: bool | None = None,
     n_rows: int | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN with engine-portable coarse centroids
     (:func:`seeded_centroids`).  Same storage shape as :func:`ivf_topk`:
@@ -1014,7 +974,7 @@ def ivf_seeded_topk(
     scored = (
         c_assigned.join(F.broadcast(q_cells), "_cell")
         .where(F.col(query_id) != F.col(cand_id))
-        .withColumn("cosine", cosine_expr("_qv", "_cv", dim=dim))
+        .withColumn("cosine", cosine_expr("_qv", "_cv"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
@@ -1031,7 +991,6 @@ def semantic_dedup(
     n_clusters: int = 8,
     threshold: float = 0.98,
     seed: int = 11,
-    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space coarsely, then mark as duplicates the
@@ -1055,14 +1014,14 @@ def semantic_dedup(
     cent = seeded_centroids(df, n_clusters, seed, id_col, vec)
     a = assign_nearest_cell(
         df.select(F.col(id_col), F.col(vec).alias("_cv")), cent, id_col, "_cv"
-    ).withColumn("_n", norm_col("_cv", dim=dim))
+    ).withColumn("_n", norm_col("_cv"))
     a = persist_bounded(a)
     x = a.alias("x")
     y = a.alias("y")
     dropped = (
         x.join(y, "_cell")
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .where(cosine_norm_expr("x._cv", "y._cv", "x._n", "y._n", dim=dim) >= threshold)
+        .where(cosine_norm_expr("x._cv", "y._cv", "x._n", "y._n") >= threshold)
         .select(F.col(f"y.{id_col}").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(1))
@@ -1099,7 +1058,7 @@ def lsh_bucketed_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col(query_id) != F.col(cand_id))
-        .withColumn("cosine", cosine_expr("_qv", "_cv", dim=dim))
+        .withColumn("cosine", cosine_expr("_qv", "_cv"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
@@ -1407,18 +1366,18 @@ def projected_bucket_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        norm_col(vec_col, dim=dim).alias("_na"),
+        norm_col(vec_col).alias("_na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        norm_col(vec_col, dim=dim).alias("_nb"),
+        norm_col(vec_col).alias("_nb"),
     )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
-            "cosine", cosine_norm_expr("_va", "_vb", "_na", "_nb", digits=digits, dim=dim)
+            "cosine", cosine_norm_expr("_va", "_vb", "_na", "_nb", digits=digits)
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -1844,7 +1803,7 @@ def pq_topk(
     refined = adc.withColumn("_ark", F.row_number().over(w_adc)).where(
         F.col("_ark") <= refine * k
     )
-    rescored = refined.withColumn("cosine", cosine_expr("_qv", "_cv", dim=dim))
+    rescored = refined.withColumn("cosine", cosine_expr("_qv", "_cv"))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
         rescored.withColumn("rank", F.row_number().over(w))
@@ -1973,7 +1932,6 @@ def ann_index_topk(
     n_queries: int | None = None,
     exclude_ids: DataFrame | None = None,
     exclude_self: bool = True,
-    dim: int | None = None,
 ) -> DataFrame:
     """Probe a persisted :func:`build_ann_index` index: route each
     query to its ``n_probe`` nearest centroids (broadcast, same
@@ -2052,7 +2010,7 @@ def ann_index_topk(
         .where(
             F.col(query_id) != F.col(cand_id) if exclude_self else F.lit(True)
         )
-        .withColumn("cosine", cosine_expr("_qv", "_v", dim=dim))
+        .withColumn("cosine", cosine_expr("_qv", "_v"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
@@ -2876,7 +2834,7 @@ def pq_index_topk(
             F.col(cand_id).isin(ids)
         )
         rescored = refined.join(F.broadcast(archive), cand_id).withColumn(
-            "cosine", cosine_expr("_qv", "_v", dim=dim)
+            "cosine", cosine_expr("_qv", "_v")
         )
     else:
         # corpus-sized batch: refine·k·|queries| is itself corpus-sized,
@@ -2884,7 +2842,7 @@ def pq_index_topk(
         # same answers, no driver list, no broadcast
         archive = spark.read.parquet(f"{path}/archive")
         rescored = refined.join(archive, cand_id).withColumn(
-            "cosine", cosine_expr("_qv", "_v", dim=dim)
+            "cosine", cosine_expr("_qv", "_v")
         )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
@@ -3047,7 +3005,6 @@ def pq_adc_agreement(
     n_probe: int = 2,
     query_id: str = "q_id",
     vec: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Quantization-drift monitor for a persisted :func:`build_pq_index`
     layout: per query, does the ADC (PQ-reconstruction) ranking still
@@ -3117,7 +3074,7 @@ def pq_adc_agreement(
         .join(F.broadcast(q_cells), F.col("cell") == F.col("_cell"))
         .where(F.col(query_id) != F.col(cand_id))
         .withColumn("adc", F.expr(_DIST_SQL.format(a="_qv", b="_rv")))
-        .withColumn("cosine", cosine_expr("_qv", "_v", dim=dim))
+        .withColumn("cosine", cosine_expr("_qv", "_v"))
     )
     w_adc = Window.partitionBy(query_id).orderBy(F.col("adc"), F.col(cand_id))
     w_cos = Window.partitionBy(query_id).orderBy(
@@ -3154,7 +3111,6 @@ def mmr_topk(
     query_id: str = "q_id",
     cand_id: str = "c_id",
     vec: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein 1998): per query, greedily pick ``k`` results maximizing
@@ -3194,7 +3150,7 @@ def mmr_topk(
         queries, candidates, k=pool, query_id=query_id, cand_id=cand_id, vec=vec
     )
     cvec = candidates.select(
-        F.col(cand_id), F.col(vec).alias("_cv"), norm_col(vec, dim=dim).alias("_cn")
+        F.col(cand_id), F.col(vec).alias("_cv"), norm_col(vec).alias("_cn")
     )
     p = persist_bounded(
         topk.select(query_id, cand_id, F.col("cosine").alias("rel")).join(
@@ -3227,7 +3183,7 @@ def mmr_topk(
         )
         maxsim = (
             rem.join(F.broadcast(sel_vecs), query_id)
-            .withColumn("_ps", cosine_norm_expr("_cv", "_sv", "_cn", "_sn", dim=dim))
+            .withColumn("_ps", cosine_norm_expr("_cv", "_sv", "_cn", "_sn"))
             .groupBy(query_id, cand_id)
             .agg(F.max("_ps").alias("_maxsim"))
         )

@@ -881,17 +881,17 @@ def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot, not three HOF aggregates (bit-exact; see sim.norm_col)
     a = c.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"),
-        sim.norm_col("v", dim=64).alias("_na"),
+        sim.norm_col("v").alias("_na"),
     )
     b = c.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"),
-        sim.norm_col("v", dim=64).alias("_nb"),
+        sim.norm_col("v").alias("_nb"),
     )
     return (
         cand.select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
         .join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn("cosine", sim.cosine_norm_expr("_va", "_vb", "_na", "_nb", dim=64))
+        .withColumn("cosine", sim.cosine_norm_expr("_va", "_vb", "_na", "_nb"))
         .where(F.col("cosine") >= 0.98)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -989,17 +989,17 @@ def dd_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = c.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("_va"),
-        sim.norm_col("v", dim=64).alias("_na"),
+        sim.norm_col("v").alias("_na"),
     )
     b = c.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("_vb"),
-        sim.norm_col("v", dim=64).alias("_nb"),
+        sim.norm_col("v").alias("_nb"),
     )
     verified = (
         cand.select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
         .join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn("cosine", sim.cosine_norm_expr("_va", "_vb", "_na", "_nb", dim=64))
+        .withColumn("cosine", sim.cosine_norm_expr("_va", "_vb", "_na", "_nb"))
         .where(F.col("cosine") >= 0.98)
         .select("vec_a", "vec_b")
     )
@@ -1037,7 +1037,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
     q = e.where("vec_id < 5").select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
-    return sim.brute_force_topk(q, c, k=10, dim=64)
+    return sim.brute_force_topk(q, c, k=10)
 
 
 def _lsh_bucket_duck(vec: str, planes: int = 6, dim: int = 64, seed: int = 7) -> str:
@@ -1083,7 +1083,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
     q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
-    return sim.lsh_bucketed_topk(q, c, k=3, planes=6, dim=64)
+    return sim.lsh_bucketed_topk(q, c, k=3, planes=6)
 
 
 def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3, seed: int = 11,
@@ -1242,10 +1242,9 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
     ann = sim.ivf_seeded_topk(
-        q, c, k=3, n_clusters=8, n_probe=2, seed=11, vectorized_assign=False,
-        dim=64,
+        q, c, k=3, n_clusters=8, n_probe=2, seed=11, vectorized_assign=False
     )
-    exact = sim.brute_force_topk(q, c, k=3, dim=64)
+    exact = sim.brute_force_topk(q, c, k=3)
     return sim.ann_recall(ann, exact)
 
 
@@ -1260,8 +1259,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where("vec_id < 20").select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
     return sim.ivf_seeded_topk(
-        q, c, k=3, n_clusters=8, n_probe=2, seed=11, vectorized_assign=False,
-        dim=64,
+        q, c, k=3, n_clusters=8, n_probe=2, seed=11, vectorized_assign=False
     )
 
 
@@ -1290,7 +1288,7 @@ def sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim.build_ann_index(
         c, path, n_clusters=8, seed=11, vectorized_assign=False
     )
-    return sim.ann_index_topk(spark, path, q, k=3, n_probe=2, n_queries=20, dim=64)
+    return sim.ann_index_topk(spark, path, q, k=3, n_probe=2, n_queries=20)
 
 
 @query("sim_ivf_index_rebuild", survey_ref="§2.14 similarity", oracle=_ivf_oracle())
@@ -1325,7 +1323,7 @@ def sim_ivf_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectorized_assign=False,
     )
     return sim.ann_index_topk(
-        spark, f"{path}__rebuilt", q, k=3, n_probe=2, n_queries=20, dim=64
+        spark, f"{path}__rebuilt", q, k=3, n_probe=2, n_queries=20
     )
 
 
@@ -1559,7 +1557,7 @@ def sim_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.where(f"c_id % 4 = {r}"), path, vectorized_assign=False
         )
     sim.compact_ann_index(spark, path)
-    return sim.ann_index_topk(spark, path, q, k=3, n_probe=2, n_queries=20, dim=64)
+    return sim.ann_index_topk(spark, path, q, k=3, n_probe=2, n_queries=20)
 
 
 def _pq_adc_agreement_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3, refine: int = 3, seed: int = 11) -> str:
@@ -1863,7 +1861,7 @@ def sim_pq_adc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=11, pq_seed=_PQ_SEED,
         vectorized_encode=False, vectorized_assign=False,
     )
-    return sim.pq_adc_agreement(spark, path, q, k=3, refine=3, n_probe=2, dim=64)
+    return sim.pq_adc_agreement(spark, path, q, k=3, refine=3, n_probe=2)
 
 
 # --------------------------------------------------- multimodal (M1-M5)
@@ -2783,7 +2781,7 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted ~0.9995-cosine replicas are the dropped set."""
     c = emb_corpus(spark, sf_dir)
     return sim.semantic_dedup(
-        c, id_col="vec_id", vec="v", n_clusters=8, threshold=0.98, seed=11, dim=64
+        c, id_col="vec_id", vec="v", n_clusters=8, threshold=0.98, seed=11
     )
 
 
@@ -3186,4 +3184,4 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir, with_row_id=False)
     q = e.where("vec_id < 3").select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
-    return sim.mmr_topk(q, c, k=5, pool=20, lam=0.7, dim=64)
+    return sim.mmr_topk(q, c, k=5, pool=20, lam=0.7)
