@@ -121,4 +121,17 @@ def run_hook_pipeline(
             return pdf.iloc[0:0]
         return pd.concat(out, ignore_index=True)
 
-    return planned.groupBy("fetch_id").applyInPandas(process_fetch, schema=output_schema)
+    # r15 (guide §2.2/§4): AQE's partition coalescing targets BYTES, so
+    # the small plan rows (~24 MB at sf0.1) collapse to a handful of
+    # post-shuffle partitions — and the Python hook stage, whose cost is
+    # per-ROW user code rather than bytes, runs on a third of the cores
+    # (measured: 11/32 tasks, full query 0.99 s vs 0.70 s fixed).  An
+    # explicit user-specified partition count is exempt from AQE
+    # coalescing; size it from spark.sql.shuffle.partitions so the same
+    # code follows the deployment's parallelism knob at cluster scale.
+    n_parts = int(planned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        planned.repartition(n_parts, "fetch_id")
+        .groupBy("fetch_id")
+        .applyInPandas(process_fetch, schema=output_schema)
+    )
