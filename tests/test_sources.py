@@ -301,9 +301,9 @@ class TestSlicedIngest:
         from tests.conftest import SF_DIR_SMALL
 
         monkeypatch.setattr(
-            cat, "ingest_dir", lambda sf_dir: str(tmp_path / "ingest")
+            cat, "ingest_dir", lambda sf_dir, parts=None: str(tmp_path / "ingest")
         )
-        cat.ensure_ingested(spark, SF_DIR_SMALL, slices=4)
+        cat.ensure_ingested(spark, SF_DIR_SMALL, tables=("lineitem",), slices=4)
         sliced = spark.read.parquet(str(tmp_path / "ingest" / "lineitem.parquet"))
         oneshot = cat.load_table(
             spark, "lineitem", SF_DIR_SMALL, with_row_id=True, use_ingested=False
@@ -325,9 +325,9 @@ class TestSlicedIngest:
         from tests.conftest import SF_DIR_SMALL
 
         monkeypatch.setattr(
-            cat, "ingest_dir", lambda sf_dir: str(tmp_path / "ingest")
+            cat, "ingest_dir", lambda sf_dir, parts=None: str(tmp_path / "ingest")
         )
-        cat.ensure_ingested(spark, SF_DIR_SMALL, slices=3)
+        cat.ensure_ingested(spark, SF_DIR_SMALL, tables=("lineitem",), slices=3)
         served = cat.load_table(spark, "lineitem", SF_DIR_SMALL)
         n = served.count()
         assert n > 0
