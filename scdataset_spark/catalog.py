@@ -101,8 +101,23 @@ def ingest_parts(spark: SparkSession) -> int:
     the bench at LOWER core counts, so an ingest cached by an early
     low-core session must not cap a later wide session (r15: a stale
     8-file cache silently capped every lineitem scan at 8 tasks).
-    defaultParallelism still raises it on real clusters."""
-    return max(32, spark.sparkContext.defaultParallelism)
+    defaultParallelism still raises it on real clusters.
+
+    Memoized per session (r16, ADVICE r15): on a cluster with dynamic
+    allocation, ``defaultParallelism`` can differ between the moment
+    ``ensure_ingested`` wrote the cache and a later read — the read
+    would then silently miss the cache and serve the raw
+    parallelism-capping layout.  Pinning the first resolved value for
+    the session's lifetime makes write-time and read-time keys agree."""
+    cached = getattr(spark, "_scdataset_ingest_parts", None)
+    if cached is not None:
+        return cached
+    parts = max(32, spark.sparkContext.defaultParallelism)
+    try:
+        spark._scdataset_ingest_parts = parts
+    except Exception:
+        pass  # exotic session proxies may reject attributes; just recompute
+    return parts
 
 
 def ingest_dir(sf_dir: str, parts: int | None = None) -> str:
@@ -157,6 +172,13 @@ def ensure_ingested(
     scratch scales with the slice, not the dataset.
     """
     parts = ingest_parts(spark)
+    # set every session conf the per-table reads depend on ONCE, before
+    # any thread plans a read (r16, ADVICE r15): load_table mutates
+    # session-global confs (timeZone, nanosAsLong), which is an
+    # order-dependent race when the ingest jobs below overlap in the
+    # thread pool
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def _ingest_one(name: str) -> None:
         out = os.path.join(ingest_dir(sf_dir, parts), f"{name}.parquet")

@@ -389,8 +389,15 @@ def _streamed_bucket_gram(
         if carry is not None and len(carry):
             yield _emit(carry)
 
+    # explicit partition COUNT on the bucket-key repartition (r16, the
+    # r15 t_hook fix applied here): AQE's byte-based coalescing would
+    # collapse the small (id, key, float32-vec) rows to a handful of
+    # post-shuffle partitions, and this stage's cost is per-bucket
+    # Python/Gram work, not bytes — a user-specified count is exempt
+    from scdataset_spark.session import python_stage_partitions
+
     return (
-        rows.repartition(*[F.col(k) for k in key_cols])
+        rows.repartition(python_stage_partitions(rows), *[F.col(k) for k in key_cols])
         .sortWithinPartitions(*key_cols, id_col)
         .mapInPandas(
             _stream, f"id_a {id_sql_type}, id_b {id_sql_type}, cos double"
@@ -1520,9 +1527,18 @@ def semantic_dedup_fast(
     # assignment delegates to the shared routed helper (extracted
     # r11 so the IVF index builds reuse the bound-pruned search)
     assigned = assign_cells_routed(src, cent, id_col, "_v", coarse_route_k)
+    # explicit partition count ahead of the per-cell dominance stage
+    # (r16): its cost is per-cell Python/Gram work, so AQE's byte-based
+    # coalescing of the grouping exchange would idle most cores; the
+    # matching-count keyed repartition satisfies the groupBy's
+    # distribution requirement, so no second exchange is added
+    from scdataset_spark.session import python_stage_partitions
+
+    n_parts = python_stage_partitions(assigned)
     if max_cell is None:
         return (
-            assigned.groupBy("cell")
+            assigned.repartition(n_parts, "cell")
+            .groupBy("cell")
             .applyInPandas(_dominate, out_schema)
             .select(id_col, "cell", "kept")
         )
@@ -1546,6 +1562,7 @@ def semantic_dedup_fast(
     split = assigned.join(F.broadcast(counts), "cell").withColumn("_sub", sub)
     return (
         split.select(id_col, "_v", "cell", "_sub")
+        .repartition(n_parts, "cell", "_sub")
         .groupBy("cell", "_sub")
         .applyInPandas(_dominate, out_schema)
         .select(id_col, "cell", "kept")

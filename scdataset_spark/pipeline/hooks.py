@@ -129,7 +129,10 @@ def run_hook_pipeline(
     # explicit user-specified partition count is exempt from AQE
     # coalescing; size it from spark.sql.shuffle.partitions so the same
     # code follows the deployment's parallelism knob at cluster scale.
-    n_parts = int(planned.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # (shared helper handles the non-numeric conf case, e.g. "auto")
+    from scdataset_spark.session import python_stage_partitions
+
+    n_parts = python_stage_partitions(planned)
     return (
         planned.repartition(n_parts, "fetch_id")
         .groupBy("fetch_id")

@@ -63,3 +63,22 @@ def get_spark(app_name: str = "scdataset_spark", shuffle_partitions: int | None 
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{sp}]"))
     return builder.getOrCreate()
+
+
+def python_stage_partitions(df) -> int:
+    """Partition count for an explicit ``repartition(n, key)`` feeding a
+    per-row/per-group Python stage (guide §2.2/§4, r15 t_hook fix):
+    AQE's partition coalescing targets BYTES, so the small plan rows
+    ahead of an ``applyInPandas``/``mapInPandas`` stage collapse to a
+    handful of post-shuffle partitions — and the Python stage, whose
+    cost is per-ROW user code rather than bytes, runs on a fraction of
+    the cores.  A user-specified partition count is exempt from AQE
+    coalescing; size it from ``spark.sql.shuffle.partitions`` (the
+    deployment's parallelism knob — not a local constant), falling back
+    to ``defaultParallelism`` when the conf is non-numeric (e.g.
+    ``"auto"`` on some platforms)."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
