@@ -166,6 +166,56 @@ class BlockShuffling(SamplingStrategy):
         return _block_permute_pos(out, self.block_size, s).drop("block_id")
 
 
+# Block-metadata generation/offsets sizing for _block_permute_pos.  At
+# 100 TB with block=256 the blocks frame is billions of rows: neither
+# its GENERATION (explode over a 1-row count) nor its running-sum
+# ordering may run through a single task.  Each explode task emits at
+# most BLOCK_META_CHUNK block rows; the exclusive running sum range-
+# buckets on the mix key (uniform in [0, MIX_MOD) — static bounds, no
+# stats agg) so per-bucket sorts stay ~n_blocks/BLOCK_OFFSET_BUCKETS.
+# Both are PHYSICAL knobs only: the computed offsets are bit-identical
+# at any chunk/bucket count.
+BLOCK_META_CHUNK = 1 << 20
+BLOCK_OFFSET_BUCKETS = 1024
+
+# Largest estimated BLOCK COUNT for which the blocks frame keeps the
+# single-window shape (one explode task + one global running-sum
+# window): a 4M-row metadata sort in one task is ~100 MB — comfortable
+# — while the distributed shape costs 3 extra exchanges + their AQE
+# stages, measured 2-4x the whole o1 warm time at sf0.1/sf1
+# (artifacts/r16/ab_blockpermute_*.jsonl).  Past the threshold the
+# chunked-generation + bucketed-running-sum shape takes over.  The
+# estimate is driver-side (input file bytes over a deliberately LOW
+# bytes/row so the scale shape kicks in early); frames with no file
+# information use the scale shape — the safe posture.  Like
+# DIRECT_PERMUTE_MAX this is a plan-time physical choice: both shapes
+# are value-identical (pinned in tests/test_optimization_r16.py).
+BLOCK_META_WINDOW_MAX = 4_000_000
+_EST_MIN_BYTES_PER_ROW = 16
+
+
+def _est_block_count(df: DataFrame, block_size: int) -> int | None:
+    """Upper-bound estimate of n/block_size from the frame's input file
+    bytes — no Spark job.  None when the frame has no (local-filesystem)
+    file lineage."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return None
+            total += _os.path.getsize(p.path)
+        return total // _EST_MIN_BYTES_PER_ROW // block_size
+    except Exception:
+        return None
+
+
 def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
     """Final position of a block permutation WITHOUT a global window on
     the data: order only the block *metadata* (n/block_size rows) by its
@@ -173,8 +223,8 @@ def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
     ``pos = block_start + (pos0 - block_id*B)``.
 
     Equivalent to ``row_number() OVER (ORDER BY mix(block_id), pos0)``
-    because blocks are contiguous, dense runs of pos0.  The only sort is
-    over the tiny blocks frame; the join is a plain equi-join on
+    because blocks are contiguous, dense runs of pos0.  The only sorts
+    are over the blocks frame; the join is a plain equi-join on
     block_id (AQE broadcasts it while it fits).
 
     pos0 is dense 0..n-1 at every call site (``_pos0``/``with_pos``/
@@ -184,13 +234,86 @@ def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
     the last, so the blocks frame is generated from ONE count-star
     scalar (a column-less scan) + ``explode(sequence(...))`` — the
     per-block-count aggregation shuffle of the full table disappears
-    from the plan."""
+    from the plan.
+
+    r16 (VERDICT r15 task 6): past ``BLOCK_META_WINDOW_MAX`` estimated
+    blocks the frame itself goes scale-safe — generation becomes a
+    TWO-LEVEL explode (chunk ids spread over the cluster with an
+    explicit partition count, then ≤ ``BLOCK_META_CHUNK`` blocks per
+    chunk task), and the exclusive running sum over (mix key,
+    block_id) order uses the bucketed offsets pattern shared with
+    ``with_running_sum`` instead of a single-partition global window:
+    per-bucket sums hang off ONE explicit ``repartition("_obkt")``
+    exchange (reused by the within-bucket window), bucket offsets ride
+    a ``BLOCK_OFFSET_BUCKETS``-row broadcast.  Below the threshold the
+    single-window shape stays — the distributed shape's 3 extra
+    exchanges measured 2-4x the whole query's warm time at sf0.1/sf1
+    (see BLOCK_META_WINDOW_MAX).  Values are identical either way —
+    buckets are ranges of the leading sort key, so every tiebreak
+    stays bucket-local (pinned by value-equality tests vs the
+    global-window shape in tests/test_optimization_r16.py)."""
     out = out.withColumn("block_id", F.expr(f"pos0 div {block_size}"))
     n_agg = out.agg(F.count(F.lit(1)).alias("_n"))
-    blocks = n_agg.select(
+    est_blocks = _est_block_count(out, block_size)
+    if est_blocks is not None and est_blocks <= BLOCK_META_WINDOW_MAX:
+        blocks = n_agg.select(
+            "_n",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), F.expr(f"(_n - 1) div {block_size}")
+                )
+            ).alias("block_id"),
+        ).withColumn(
+            "_bn",
+            F.least(
+                F.lit(block_size).cast("bigint"),
+                F.col("_n") - F.col("block_id") * block_size,
+            ),
+        ).drop("_n")
+        blocks = blocks.withColumn("_bkey", F.expr(mix_sql("block_id", s, "spark")))
+        w = Window.orderBy("_bkey", "block_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        blocks = blocks.withColumn(
+            "_bstart", F.coalesce(F.sum("_bn").over(w), F.lit(0))
+        )
+        return (
+            out.join(blocks.select("block_id", "_bstart"), "block_id")
+            .withColumn(
+                "pos",
+                F.col("_bstart") + F.col("pos0") - F.col("block_id") * block_size,
+            )
+            .drop("pos0", "_bstart")
+        )
+    spark = out.sparkSession
+    try:
+        gen_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        gen_parts = spark.sparkContext.defaultParallelism
+    # level 1: one row per BLOCK_META_CHUNK-sized chunk of block ids,
+    # spread with an explicit partition count (the chunk rows are a few
+    # bytes each, so AQE's byte-based coalescing would re-serialize the
+    # generation onto one task)
+    chunks = n_agg.select(
         "_n",
         F.explode(
-            F.sequence(F.lit(0).cast("bigint"), F.expr(f"(_n - 1) div {block_size}"))
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"((_n - 1) div {block_size}) div {BLOCK_META_CHUNK}"),
+            )
+        ).alias("_chunk"),
+    ).repartition(gen_parts, "_chunk")
+    # level 2: the chunk's block ids + their exact sizes (closed form)
+    blocks = chunks.select(
+        "_n",
+        F.explode(
+            F.sequence(
+                F.col("_chunk") * BLOCK_META_CHUNK,
+                F.least(
+                    F.expr(f"(_n - 1) div {block_size}"),
+                    (F.col("_chunk") + 1) * BLOCK_META_CHUNK - 1,
+                ),
+            )
         ).alias("block_id"),
     ).withColumn(
         "_bn",
@@ -200,8 +323,28 @@ def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
         ),
     ).drop("_n")
     blocks = blocks.withColumn("_bkey", F.expr(mix_sql("block_id", s, "spark")))
-    w = Window.orderBy("_bkey", "block_id").rowsBetween(Window.unboundedPreceding, -1)
-    blocks = blocks.withColumn("_bstart", F.coalesce(F.sum("_bn").over(w), F.lit(0)))
+    # bucketed exclusive running sum of _bn in (_bkey, block_id) order:
+    # range-bucket on the uniform mix key with STATIC bounds (no stats
+    # agg; _bkey < MIX_MOD so _obkt < BLOCK_OFFSET_BUCKETS, and the
+    # product stays ~2^41 — no overflow)
+    nb = BLOCK_OFFSET_BUCKETS
+    blocks = blocks.withColumn("_obkt", F.expr(f"_bkey * {nb} div {MIX_MOD}"))
+    bshuf = blocks.repartition("_obkt")
+    sums = bshuf.groupBy("_obkt").agg(F.sum("_bn").alias("_bsum"))
+    w_off = Window.orderBy("_obkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn(
+        "_ooff", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
+    ).drop("_bsum")
+    w_in = (
+        Window.partitionBy("_obkt")
+        .orderBy("_bkey", "block_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = (
+        bshuf.withColumn("_bloc", F.coalesce(F.sum("_bn").over(w_in), F.lit(0)))
+        .join(F.broadcast(offsets), "_obkt")
+        .withColumn("_bstart", F.col("_bloc") + F.col("_ooff"))
+    )
     return (
         out.join(blocks.select("block_id", "_bstart"), "block_id")
         .withColumn(
@@ -233,11 +376,12 @@ def _rank_by_key(
     )
 
 
-# Above this many draws the draws side stops being broadcast in
-# _interval_join_draws: a draw row is three BIGINTs (~24 B payload,
-# ~3x that with row overhead), so 2M draws is a ~50-150 MB broadcast —
-# the upper edge of executor-safe.  Beyond it the shuffled hash join is
-# the right plan anyway (both sides are genuinely large).
+# Above this many draws the draws side stops being broadcast in the
+# inverse-CDF interval join (``_weighted_draws``): a draw row is three
+# BIGINTs (~24 B payload, ~3x that with row overhead), so 2M draws is a
+# ~50-150 MB broadcast — the upper edge of executor-safe.  Beyond it the
+# shuffled hash join is the right plan anyway (both sides are genuinely
+# large).
 BROADCAST_DRAWS_MAX = 2_000_000
 
 # Largest draw count for which the drawn multiset's block permutation is
@@ -247,67 +391,6 @@ BROADCAST_DRAWS_MAX = 2_000_000
 # comfortable; beyond it the metadata-join path (_block_permute_pos)
 # keeps the permutation distributed.
 DIRECT_PERMUTE_MAX = 2_000_000
-
-
-def _interval_join_draws(
-    cum: DataFrame,
-    draws: DataFrame,
-    n_buckets: int = 1024,
-    total: DataFrame | None = None,
-    n_draws: int | None = None,
-) -> DataFrame:
-    """Equi-join draws (targets t in [0, total_w)) to cumulative-weight
-    intervals [lo, hi) via bucketing — the scale path for inverse-CDF
-    sampling.
-
-    A naive range join is O(n_draws * n_rows) nested-loop.  Instead each
-    interval is exploded to the buckets it overlaps (``F.sequence`` —
-    with near-uniform weights that is ~1 bucket per row) and the join
-    becomes an equi-join on ``bucket`` + a residual range filter.
-
-    Join strategy (VERDICT r14 task 4): in the common draws ≪ rows
-    regime (``n_draws`` known and ≤ ``BROADCAST_DRAWS_MAX``) the DRAWS
-    side is broadcast, so the exploded interval side streams through a
-    map-side BroadcastHashJoin and the full-table shuffle of the
-    cumulative-weight rows disappears from the plan — measured ~2.3x
-    on the join stage at sf0.1 (0.997 -> 0.439 s warm) with a 5x
-    tighter pass spread (BENCH_SCALE.md "r15 o3 stage breakdown",
-    artifacts/r15/o3_stages_*.jsonl).  With many draws (or unknown
-    ``n_draws``) it stays a shuffled hash join: fully parallel, no
-    broadcast of either big side, survives 100× scale-up.
-    """
-    # All bucket math is integer `div` — cumulative totals can exceed
-    # 2^53, where double division would mis-bucket rows on one side of
-    # the join and silently drop draws.
-    #
-    # ``total``: 1-row frame holding the total weight in its single
-    # column.  Callers that already have a scan-fused total sum MUST
-    # pass it — deriving it here as max(hi) re-executes the caller's
-    # whole bucketed running-sum chain once per side (the same
-    # recompute trap the caller's own total avoids).
-    if total is None:
-        total = cum.agg(F.max("hi"))
-    _tcol = total.columns[0]
-    total = total.select(F.col(_tcol).alias("_total"))
-    cum_b = cum.crossJoin(F.broadcast(total))
-    cum_b = cum_b.withColumn(
-        "_w", F.expr(f"(_total + {n_buckets - 1}) div {n_buckets}")
-    ).withColumn(
-        "bucket",
-        F.explode(F.sequence(F.expr("lo div _w"), F.expr("(hi - 1) div _w"))),
-    )
-    draws_b = draws.crossJoin(F.broadcast(total))
-    draws_b = draws_b.withColumn(
-        "bucket", F.expr(f"t div ((_total + {n_buckets - 1}) div {n_buckets})")
-    ).drop("_total")
-    if n_draws is not None and n_draws <= BROADCAST_DRAWS_MAX:
-        joined = cum_b.join(F.broadcast(draws_b), "bucket")
-    else:
-        joined = draws_b.join(cum_b, "bucket")
-    joined = joined.where(
-        (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi"))
-    )
-    return joined.drop("bucket", "_w", "_total")
 
 
 @dataclass
@@ -444,10 +527,20 @@ class BlockWeightedSampling(SamplingStrategy):
         draws = draws.crossJoin(F.broadcast(meta)).withColumn(
             "t", F.expr(t62) % F.col("_total")
         )
-        # interval join inlined against the SAME broadcast meta (its
-        # _total is the interval-bucket width input) — semantics and
-        # join-strategy choice identical to _interval_join_draws, which
-        # remains the generic helper for callers without a fused meta.
+        # Bucketed interval join against the SAME broadcast meta (its
+        # _total is the interval-bucket width input): each [lo, hi)
+        # interval explodes to the integer buckets it overlaps (~1 per
+        # row under near-uniform weights) and the range join becomes an
+        # equi-join on ``bucket`` + a residual range filter — never a
+        # nested loop.  All bucket math is integer `div`: cumulative
+        # totals can exceed 2^53, where double division would
+        # mis-bucket rows on one side and silently drop draws.
+        # Join strategy (VERDICT r14 task 4): with draws ≪ rows
+        # (total_size ≤ BROADCAST_DRAWS_MAX) the DRAWS side broadcasts
+        # so the exploded interval side streams map-side (measured
+        # ~2.3x on the join stage at sf0.1, BENCH_SCALE.md "r15 o3
+        # stage breakdown"); past it the shuffled hash join is right
+        # anyway (both sides genuinely large).
         nb2 = 1024
         wexpr = f"(_total + {nb2 - 1}) div {nb2}"
         cum_b = (

@@ -1,0 +1,137 @@
+"""Round-16 optimization pins: the changed operator internals stay
+value-identical to their reference forms, and the plan shapes the
+optimization fixed stay fixed.
+
+- `_block_permute_pos`'s block-METADATA frame is scale-safe: generation
+  is a two-level (chunked) explode and the exclusive running sum over
+  (mix key, block_id) order is bucketed — both verified value-identical
+  to the single-window reference, including across forced chunk/bucket
+  boundaries.
+- `_streamed_bucket_gram`'s bucket-key exchange is a user-specified
+  partition count (REPARTITION_BY_NUM — exempt from AQE byte-based
+  coalescing), as is `semantic_dedup_fast`'s dominance-stage exchange.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scdataset_spark.operators import strategies as st
+from tests.conftest import SF_DIR_SMALL
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _collect_pos(df):
+    return sorted((r["row_id"], r["pos"]) for r in df.collect())
+
+
+class TestBlockPermuteBucketedOffsets:
+    def _reference(self, base, block, s):
+        from scdataset_spark.plans.seeds import mix_sql
+
+        ref = base.withColumn(
+            "_bk", F.expr(mix_sql(f"pos0 div {block}", s, "spark"))
+        )
+        w = Window.orderBy("_bk", "pos0")
+        return _collect_pos(
+            ref.withColumn("pos", F.row_number().over(w) - F.lit(1))
+        )
+
+    @pytest.mark.parametrize("n,block", [(1000, 4), (997, 4), (64, 64)])
+    def test_forced_chunk_and_bucket_boundaries(self, spark, monkeypatch, n, block):
+        """Tiny chunk size + tiny bucket count force every boundary the
+        scale path crosses; values must equal the global-window form."""
+        monkeypatch.setattr(st, "BLOCK_META_CHUNK", 16)
+        monkeypatch.setattr(st, "BLOCK_OFFSET_BUCKETS", 7)
+        monkeypatch.setattr(st, "BLOCK_META_WINDOW_MAX", -1)
+        base = spark.range(n).select(
+            (F.col("id") * 3).alias("row_id"), F.col("id").alias("pos0")
+        )
+        got = _collect_pos(
+            st._block_permute_pos(base, block, s=4321).drop("block_id")
+        )
+        assert got == self._reference(base, block, s=4321)
+
+    def test_blocks_offsets_window_is_bucketed_past_threshold(self, spark):
+        """Past BLOCK_META_WINDOW_MAX (here: no file lineage, which
+        resolves to the safe scale shape) the running sum over the
+        blocks frame must be partitioned by the mix-key range bucket,
+        not a single-partition global window (VERDICT r15 task 6)."""
+        base = spark.range(10_000).select(
+            F.col("id").alias("row_id"), F.col("id").alias("pos0")
+        )
+        assert st._est_block_count(base, 8) is None  # range() has no files
+        plan = _plan(st._block_permute_pos(base, 8, s=1).drop("block_id"))
+        # within-bucket window partitioned on _obkt, fed by its own
+        # keyed exchange; the only remaining orderBy-window runs over
+        # the <= BLOCK_OFFSET_BUCKETS-row per-bucket sums frame
+        assert "hashpartitioning(_obkt" in plan
+        assert "_bloc" in plan  # the bucket-local prefix column
+
+    def test_file_backed_small_frame_keeps_single_window(self, spark):
+        """Below the threshold (tiny file-backed frame) the cheap
+        single-window shape must remain — the scale shape's extra
+        exchanges measured 2-4x the whole query at sf0.1
+        (artifacts/r16/ab_blockpermute_*.jsonl)."""
+        from scdataset_spark.catalog import load_table
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        est = st._est_block_count(li, 64)
+        assert est is not None and est <= st.BLOCK_META_WINDOW_MAX
+        base = li.withColumn("pos0", F.col("row_id"))
+        plan = _plan(st._block_permute_pos(base, 64, s=1).drop("block_id"))
+        assert "hashpartitioning(_obkt" not in plan
+
+    def test_scale_path_equals_window_path_on_file_backed_frame(
+        self, spark, monkeypatch
+    ):
+        from scdataset_spark.catalog import load_table
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL).select("row_id")
+        base = li.withColumn("pos0", F.col("row_id"))
+        window_shape = _collect_pos(
+            st._block_permute_pos(base, 32, s=99).drop("block_id")
+        )
+        monkeypatch.setattr(st, "BLOCK_META_WINDOW_MAX", -1)
+        scale_shape = _collect_pos(
+            st._block_permute_pos(base, 32, s=99).drop("block_id")
+        )
+        assert window_shape == scale_shape
+
+
+class TestSimilarityPythonStagePartitions:
+    def test_gram_stage_keeps_configured_partitions(self, spark):
+        import scdataset_spark.operators.similarity as sim
+
+        emb = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 8), i -> CAST(id % (i + 1) AS DOUBLE))"
+            ).alias("v"),
+        )
+        out = sim.embed_cosine_pairs_fast(
+            emb, id_col="vec_id", vec="v", threshold=0.5,
+            bands=2, rows_per_band=4, dim=8,
+        )
+        assert "REPARTITION_BY_NUM" in _plan(out)
+
+    def test_dominance_stage_keeps_configured_partitions(self, spark):
+        import scdataset_spark.operators.similarity as sim
+
+        emb = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 8), i -> CAST(id % (i + 1) AS DOUBLE))"
+            ).alias("v"),
+        )
+        out = sim.semantic_dedup_fast(
+            emb, id_col="vec_id", vec="v", threshold=0.98, n_rows=64
+        )
+        assert "REPARTITION_BY_NUM" in _plan(out)
