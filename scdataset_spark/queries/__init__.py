@@ -26,12 +26,13 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 
 # External sweeps sample the registry in REGISTRATION ORDER (typically the
 # first 50 entries), so ordering is part of the verification contract, not
-# cosmetics.  Round-15 priority (VERDICT r14 task 2, rotated as the FIRST
-# commit of the round): (a) queries NEW or SQL-changed this round lead
-# (never externally checked / check invalidated), then (b) the 23 entries
-# whose most recent external check is round 11 (at the three-round
-# staleness floor), then rounds 12/13 by staleness, with the 50 entries
-# checked in round 14 at the back (freshest).
+# cosmetics.  Round-16 priority (VERDICT r15 tasks 2/3): (a) queries whose
+# PHYSICAL PLAN changes this round lead (the external check of the old
+# shape is invalidated), then (b) the r15 semantic-preserving rewrites
+# that missed the r15 sample (q10/q11/q18/g6 + the weighted family), then
+# (c) the round-12-checked entries now at the 4-round staleness ceiling,
+# then rounds 13/14 by staleness, with the 50 entries checked in round 15
+# at the back (freshest).
 #
 # Staleness floor (codified per VERDICT r10 task 7): with 171+ entries
 # and a ~50-slot external sweep, the worst-case age of any entry's
@@ -43,59 +44,27 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # latency, not untested surface.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- new or SQL-changed in round 15 (prepend as added) ---
-    "o26_unimax_budget",  # r15: new — UniMax water-filled source budgets
-    "tx_gopher_rules",  # r15: new — Gopher quality rule set
-    "sim_mmr_topk",  # r15: new — MMR diversified top-k
-    "dq_embedding_drift",  # r15: new — embedding-space PSI drift monitor
-    "tx_curriculum_order",  # r15: new — easy-to-hard curriculum schedule
-    "tx_distinct_ngrams",  # r15: new — per-source distinct-n diversity
-    "tx_dsir_select",  # r15: new — DSIR importance selection
-    "q5_local_supplier_volume",  # r15: adopted the pre-restricted join order (A/B)
-    # --- last externally checked in round 11 (3-round floor; MUST lead r15) ---
-    "s1_streaming_scan",
-    "s2_subset_split",
-    "o9_epoch_reshuffle",
-    "o12_exact_len",
+    # --- physical plan changed in round 16 (similarity Python-stage partitioning, block-permute offsets scale path) — external check invalidated; q3 rides along for the r15 drift-closure re-check ---
+    "dd_embed_cosine_fast",
     "o1_block_shuffle",
+    "o9_epoch_reshuffle",
+    "o15_block_shuffle_droplast",
     "o3_weighted_replace",
-    "g7_approx_sketches",
-    "q21_waiting_supplier",
-    "tx_quality_score",
-    "dd_exact_groups",
-    "dd_minhash_lsh",
-    "dd_simhash_pairs",
-    "dd_decontamination",
-    "dd_components",
-    "dd_dedup_corpus",
-    "dd_embed_cosine",
-    "dd_embed_components",
-    "sim_topk_cosine",
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "mm_multimodal_zip",
-    "tx_normalize",
-    "tx_pii_scrub",
-    # --- last externally checked in round 12 (sweep tail fills from here) ---
-    "tx_token_budget_per_source_bucketed",
-    "sim_ivf_index_stats",
-    "sim_ivf_index_rebuild",
-    "sim_ivf_recall",
-    "tx_quality_rank_by_source",
-    "tx_quality_rank_by_source_bucketed",
-    "pipe_curation",
-    "ev_tumbling_window",
-    "dd_components_star",
-    "o18_fetch_shuffle",
-    "dd_incremental_novel",
-    "t_hook_pipeline",
-    "src_custom_datasource",
-    "s4_sparse_densify",
-    "s3_anndata_ingest",
-    "ml_label_encode",
-    "dq_foreign_key",
-    "dq_constraints",
-    "dd_remove_spans",
+    "q3_shipping_priority",
+    # --- rewritten in round 15 (fact-broadcast/window fixes, weighted family composition) but NOT in the r15 external sample (VERDICT r15 task 3) ---
+    "q10_returned_revenue",
+    "q11_important_stock",
+    "q18_large_orders",
+    "g6_batch_normalize",
+    "o4_weighted_noreplace",
+    "o5_subset_weighted",
+    "o5_positional_weights",
+    "o6_class_balanced",
+    "o7_smoothed_weights",
+    "o16_mixture_sample",
+    "o17_temperature_mixture",
+    "o19_stratified_sample",
+    # --- last externally checked in round 12 — 4 rounds stale, at the rotation ceiling ---
     "o24_mixture_plan",
     "tx_chunk_documents",
     "sim_random_projection",
@@ -109,7 +78,6 @@ _SWEEP_PRIORITY = [
     "ev_stream_stream_join",
     "ev_first_event_dedup",
     "g5_sample_size_estimate",
-    "g6_batch_normalize",
     "g7_cube",
     "g7_grouping_sets",
     "sq_scalar_subquery",
@@ -121,10 +89,6 @@ _SWEEP_PRIORITY = [
     "dd_lsh_verified",
     "dd_simhash",
     "o2_buffer_shuffle",
-    "o4_weighted_noreplace",
-    "o5_subset_weighted",
-    "o6_class_balanced",
-    "o7_smoothed_weights",
     "o10_batch_plan",
     "o11_drop_last_batches",
     # --- last externally checked in round 13 ---
@@ -133,18 +97,14 @@ _SWEEP_PRIORITY = [
     "sim_ann_ingest_consistency",
     "dd_incremental_ingest",
     "o13_ddp_partition",
-    "o15_block_shuffle_droplast",
-    "o16_mixture_sample",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
-    "q10_returned_revenue",
     "q12_shipmode_priority",
     "q13_customer_distribution",
     "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q18_large_orders",
     "q19_disjunctive_predicates",
     "q22_idle_wealthy_customers",
     "w5_running_revenue",
@@ -163,9 +123,7 @@ _SWEEP_PRIORITY = [
     "tx_bm25",
     "dd_duplicate_spans",
     "dd_semantic_dedup",
-    "o19_stratified_sample",
     "dd_incremental_verified",
-    "o5_positional_weights",
     "w5_top3_orders_per_customer",
     "w5_lag_lead_gaps",
     "w5_range_frame",
@@ -177,14 +135,12 @@ _SWEEP_PRIORITY = [
     "g7_correlation",
     "j_semi_active_customers",
     "j_anti_customers_without_orders",
-    # --- externally checked in round 14 (freshest) ---
+    # --- last externally checked in round 14 ---
     "sim_semantic_ingest",
     "dq_snapshot_diff",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q6_revenue_forecast",
     "q9_product_profit",
-    "q11_important_stock",
     "q20_potential_promotion",
     "g7_unpivot_flag_metrics",
     "tx_unigram_logprob",
@@ -217,8 +173,6 @@ _SWEEP_PRIORITY = [
     "tx_repetition",
     "emb_quantize",
     "dd_embed_exact",
-    "o17_temperature_mixture",
-    "dd_embed_cosine_fast",
     "dd_keep_best",
     "tx_vocabulary",
     "o21_split_assign",
@@ -227,6 +181,54 @@ _SWEEP_PRIORITY = [
     "dd_ngram_decontam",
     "j_full_outer_nation_activity",
     "tx_length_buckets",
+    # --- externally checked in round 15 (freshest) ---
+    "o26_unimax_budget",
+    "tx_gopher_rules",
+    "sim_mmr_topk",
+    "dq_embedding_drift",
+    "tx_curriculum_order",
+    "tx_distinct_ngrams",
+    "tx_dsir_select",
+    "q5_local_supplier_volume",
+    "s1_streaming_scan",
+    "s2_subset_split",
+    "o12_exact_len",
+    "g7_approx_sketches",
+    "q21_waiting_supplier",
+    "tx_quality_score",
+    "dd_exact_groups",
+    "dd_minhash_lsh",
+    "dd_simhash_pairs",
+    "dd_decontamination",
+    "dd_components",
+    "dd_dedup_corpus",
+    "dd_embed_cosine",
+    "dd_embed_components",
+    "sim_topk_cosine",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "mm_multimodal_zip",
+    "tx_normalize",
+    "tx_pii_scrub",
+    "tx_token_budget_per_source_bucketed",
+    "sim_ivf_index_stats",
+    "sim_ivf_index_rebuild",
+    "sim_ivf_recall",
+    "tx_quality_rank_by_source",
+    "tx_quality_rank_by_source_bucketed",
+    "pipe_curation",
+    "ev_tumbling_window",
+    "dd_components_star",
+    "o18_fetch_shuffle",
+    "dd_incremental_novel",
+    "t_hook_pipeline",
+    "src_custom_datasource",
+    "s4_sparse_densify",
+    "s3_anndata_ingest",
+    "ml_label_encode",
+    "dq_foreign_key",
+    "dq_constraints",
+    "dd_remove_spans",
 ]
 
 def _apply_sweep_priority() -> None:
