@@ -44,6 +44,12 @@ from scdataset_spark.plans.plan import with_pos, with_running_sum
 
 POS_BUCKETS = 64  # buckets for distributed row numbering / running sums
 
+# Target rows per bucket for the single-scan weighted-CDF path: the
+# bucket count scales ~est_rows/CDF_BUCKET_ROWS (clamped to
+# [POS_BUCKETS, 65536]) so the per-bucket running-sum sort stays
+# task-sized at any SF while the offsets frame stays broadcast-tiny.
+CDF_BUCKET_ROWS = 8_000_000
+
 
 def _seed_eff(seed: int, epoch: int) -> int:
     """Reference epoch rule: current_seed = base_seed + epoch*1000."""
@@ -456,54 +462,83 @@ class BlockWeightedSampling(SamplingStrategy):
             F.ceil(F.col(self.weight_col).cast("double") * self.weight_scale).cast("bigint")
         )
         base = df.withColumn("_wi", wint).where(F.col("_wi") > 0).select("row_id", "_wi")
-        # NOTE: persisting cum here was measured SLOWER (4.4s -> 7.5s at
-        # sf0.1): the cache materialization breaks stage fusion and costs
-        # more than the recompute of the (cheap, scan-fused) sum chain.
-        #
-        # ONE fused scalar frame (r15, guide §2.4): min/max(row_id) for
-        # the rank buckets and sum(_wi) for the CDF total were three
-        # separate scalar aggregates before — three full scans of the
-        # base, each behind its own BroadcastExchange.  Fused into one
-        # agg they become ONE scan whose BroadcastExchange is
-        # canonically identical at every use site, so Spark's
-        # ReuseExchange serves all of them from a single computation
-        # (plan: 14 scans -> 4, see plans/r15/o3_weighted_replace_*).
-        meta = base.agg(
-            F.min("row_id").alias("_lo"),
-            F.max("row_id").alias("_hi"),
-            F.sum("_wi").alias("_total"),
-        )
-        nb = POS_BUCKETS
-        # same bucket expression as plans.plan.with_running_sum — the
-        # running sum below is value-identical to it at any bucket count
-        b = (
-            base.crossJoin(F.broadcast(meta))
-            .withColumn(
-                "_bucket",
-                F.least(
-                    F.lit(nb - 1),
-                    (
-                        (F.col("row_id") - F.col("_lo"))
-                        * nb
-                        / (F.col("_hi") - F.col("_lo") + 1)
-                    ).cast("bigint"),
-                ),
+        est = _est_block_count(df, 1)  # ≈ row-count upper bound, driver-side
+        if est is not None:
+            # r16 SINGLE-SCAN shape (VERDICT r15 task 5): the bucket
+            # expression is meta-independent — ``row_id div chunk`` with
+            # ``chunk`` from the driver-side file-bytes estimate — so the
+            # fused min/max/total meta scan AND the broadcast-nested-loop
+            # crossJoin that attached it to every data row both disappear.
+            # The CDF total instead derives from the (persisted, tiny)
+            # per-bucket offsets frame.  Bucketing is a PHYSICAL knob:
+            # any monotone map of row_id yields the identical running
+            # sum (the A/B asserted full result equality, then measured
+            # 1.35->0.58 s at sf0.1 and 2.10->0.68 s at sf1 —
+            # artifacts/r16/ab_o3_singlescan_*.jsonl).  Per-bucket volume
+            # is bounded by ``chunk`` rows by construction, even for
+            # pathologically clustered row_id subsets.  (Persisting the
+            # 64-to-65k-row offsets frame is NOT the measured-slower cum
+            # persist of r14 — that cached the full data frame.)
+            nb = min(65536, max(POS_BUCKETS, est // CDF_BUCKET_ROWS))
+            chunk = max(1, est // nb)
+            from scdataset_spark.operators._cache import persist_bounded
+
+            b = base.withColumn("_bucket", F.expr(f"row_id div {chunk}"))
+            bshuf = b.repartition("_bucket")
+            sums = bshuf.groupBy("_bucket").agg(F.sum("_wi").alias("_bsum"))
+            w_off = Window.orderBy("_bucket").rowsBetween(
+                Window.unboundedPreceding, -1
             )
-            .select("row_id", "_wi", "_bucket")
-        )
-        # ONE explicit exchange feeds BOTH the per-bucket totals agg and
-        # the within-bucket running-sum window (r15, guide §2.4): the
-        # groupBy and the window each require hashpartitioning(_bucket),
-        # so hanging them off the same repartition makes their exchange
-        # subtrees identical — ReuseExchange computes the shuffle once
-        # where the with_running_sum shape paid a second full scan for
-        # the per-bucket totals branch.
-        bshuf = b.repartition("_bucket")
-        sums = bshuf.groupBy("_bucket").agg(F.sum("_wi").alias("_bsum"))
-        w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = sums.withColumn(
-            "_offset", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
-        ).drop("_bsum")
+            offsets = persist_bounded(
+                sums.withColumn(
+                    "_offset", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
+                )
+            )
+            total = offsets.agg(
+                F.max(F.col("_offset") + F.col("_bsum")).alias("_total")
+            )
+            off_join = offsets.select("_bucket", "_offset")
+        else:
+            # Fallback for frames with no file lineage: the r15 fused-meta
+            # shape — ONE scalar agg (min/max/total) whose
+            # BroadcastExchange is canonically identical at every use
+            # site, so ReuseExchange serves the bucket bounds, the draw
+            # targets and the interval-bucket width from one computation.
+            meta = base.agg(
+                F.min("row_id").alias("_lo"),
+                F.max("row_id").alias("_hi"),
+                F.sum("_wi").alias("_total"),
+            )
+            nb = POS_BUCKETS
+            # same bucket expression as plans.plan.with_running_sum — the
+            # running sum below is value-identical to it at any bucket count
+            b = (
+                base.crossJoin(F.broadcast(meta))
+                .withColumn(
+                    "_bucket",
+                    F.least(
+                        F.lit(nb - 1),
+                        (
+                            (F.col("row_id") - F.col("_lo"))
+                            * nb
+                            / (F.col("_hi") - F.col("_lo") + 1)
+                        ).cast("bigint"),
+                    ),
+                )
+                .select("row_id", "_wi", "_bucket")
+            )
+            # ONE explicit exchange feeds BOTH the per-bucket totals agg
+            # and the within-bucket running-sum window (r15, guide §2.4)
+            bshuf = b.repartition("_bucket")
+            sums = bshuf.groupBy("_bucket").agg(F.sum("_wi").alias("_bsum"))
+            w_off = Window.orderBy("_bucket").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            offsets = sums.withColumn(
+                "_offset", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
+            ).drop("_bsum")
+            total = meta  # carries _total; broadcast reused at every site
+            off_join = offsets
         w_in = (
             Window.partitionBy("_bucket")
             .orderBy("row_id")
@@ -511,7 +546,7 @@ class BlockWeightedSampling(SamplingStrategy):
         )
         cum = (
             bshuf.withColumn("_ws", F.sum("_wi").over(w_in))
-            .join(F.broadcast(offsets), "_bucket")
+            .join(F.broadcast(off_join), "_bucket")
             .withColumn("hi", F.col("_ws") + F.col("_offset"))
             .withColumn("lo", F.col("hi") - F.col("_wi"))
             .select("row_id", "lo", "hi")
@@ -524,10 +559,10 @@ class BlockWeightedSampling(SamplingStrategy):
             f"(({mix_sql('draw_id', s, 'spark')}) * 2147483648 "
             f"+ ({mix_sql('draw_id', s + 1, 'spark')}))"
         )
-        draws = draws.crossJoin(F.broadcast(meta)).withColumn(
+        draws = draws.crossJoin(F.broadcast(total)).withColumn(
             "t", F.expr(t62) % F.col("_total")
         )
-        # Bucketed interval join against the SAME broadcast meta (its
+        # Bucketed interval join against the SAME broadcast total (its
         # _total is the interval-bucket width input): each [lo, hi)
         # interval explodes to the integer buckets it overlaps (~1 per
         # row under near-uniform weights) and the range join becomes an
@@ -544,7 +579,7 @@ class BlockWeightedSampling(SamplingStrategy):
         nb2 = 1024
         wexpr = f"(_total + {nb2 - 1}) div {nb2}"
         cum_b = (
-            cum.crossJoin(F.broadcast(meta))
+            cum.crossJoin(F.broadcast(total))
             .withColumn("_w", F.expr(wexpr))
             .withColumn(
                 "bucket",

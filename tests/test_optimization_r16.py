@@ -106,6 +106,41 @@ class TestBlockPermuteBucketedOffsets:
         assert window_shape == scale_shape
 
 
+class TestWeightedDrawsSingleScan:
+    def test_single_scan_equals_fused_meta_path(self, spark, monkeypatch):
+        """The r16 meta-free bucketing (row_id div chunk, total from the
+        persisted offsets frame) must draw the identical multiset as the
+        r15 fused-meta shape (forced via a None file estimate)."""
+        from scdataset_spark.catalog import load_table
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        strat = st.BlockWeightedSampling(
+            block_size=16, weight_col="l_quantity", total_size=300, replace=True
+        )
+        assert st._est_block_count(li, 1) is not None  # file-backed: new path
+        new_path = sorted(
+            map(tuple, strat.plan(li, seed=5).select("row_id", "pos").collect())
+        )
+        monkeypatch.setattr(st, "_est_block_count", lambda df, b: None)
+        fused_meta = sorted(
+            map(tuple, strat.plan(li, seed=5).select("row_id", "pos").collect())
+        )
+        assert new_path == fused_meta
+
+    def test_single_scan_has_no_meta_crossjoin(self, spark):
+        """The data side must not be crossJoined against a broadcast
+        meta anymore: no BroadcastNestedLoopJoin above the lineitem
+        scan in the draws plan."""
+        from scdataset_spark.catalog import load_table
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        strat = st.BlockWeightedSampling(
+            block_size=16, weight_col="l_quantity", total_size=300, replace=True
+        )
+        plan = _plan(strat.plan(li, seed=5))
+        assert "_lo" not in plan and "_hi" not in plan
+
+
 class TestSimilarityPythonStagePartitions:
     def test_gram_stage_keeps_configured_partitions(self, spark):
         import scdataset_spark.operators.similarity as sim
