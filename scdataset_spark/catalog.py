@@ -95,12 +95,12 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
 
 
 def ingest_parts(spark: SparkSession) -> int:
-    """File count for the ingested layout.  Floor of 32: each output
-    file is one row group, so the file count IS the ceiling on scan
-    parallelism every downstream query gets — and the driver re-runs
-    the bench at LOWER core counts, so an ingest cached by an early
-    low-core session must not cap a later wide session (r15: a stale
-    8-file cache silently capped every lineitem scan at 8 tasks).
+    """Session CAP on the ingested layout's per-table file count (the
+    actual count is bytes-scaled per table — ``table_ingest_parts``).
+    Floor of 32: the cap is part of the cache key, and the driver
+    re-runs the bench at LOWER core counts, so an ingest cached by an
+    early low-core session must not cap a later wide session (r15: a
+    stale 8-file cache silently capped every lineitem scan at 8 tasks).
     defaultParallelism still raises it on real clusters.
 
     Memoized per session (r16, ADVICE r15): on a cluster with dynamic
@@ -120,16 +120,56 @@ def ingest_parts(spark: SparkSession) -> int:
     return parts
 
 
+# Target SOURCE bytes per ingested file.  Each ingested file is one row
+# group, so the file count is both the scan-parallelism ceiling AND a
+# per-task scheduling cost: the r16 interleaved A/B
+# (artifacts/r16/ab_ingest_parts_sf01*.jsonl) measured the fixed 32-file
+# layout overpaying 20-25 % on the q3/q6 scan-agg shapes at sf0.1
+# (14 MB lineitem → 32 near-empty tasks) while at sf1 (121 MB) ~32
+# files is right and the single-file layout is 3.2x slower (r15 A/B).
+# So the count scales with the table: ceil(bytes / 3 MB), capped at the
+# session width, floor 1 — small SFs get a handful of right-sized
+# files, large SFs saturate the cap.
+TARGET_INGEST_FILE_BYTES = 3 << 20
+
+
+def _src_bytes(sf_dir: str, name: str) -> int:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    return os.path.getsize(path)
+
+
+def table_ingest_parts(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Per-table ingested file count: bytes-scaled, session-capped."""
+    cap = ingest_parts(spark)
+    try:
+        nbytes = _src_bytes(sf_dir, name)
+    except OSError:
+        return cap
+    return max(1, min(cap, -(-nbytes // TARGET_INGEST_FILE_BYTES)))
+
+
 def ingest_dir(sf_dir: str, parts: int | None = None) -> str:
     """Location of the row_id-stamped ingested copy of a testdata dir.
 
-    The path embeds a digest of the row_id definitions AND the file
-    count: if the ingest logic changes, or two sessions with different
-    widths share /tmp, caches are kept separate instead of silently
-    serving stale row_ids or a parallelism-capping layout."""
+    The path embeds a digest of the row_id definitions AND the layout
+    rule (session cap + bytes-per-file target): if the ingest logic
+    changes, or two sessions with different widths share /tmp, caches
+    are kept separate instead of silently serving stale row_ids or a
+    mis-sized layout.  ``parts`` is the SESSION CAP; per-table counts
+    derive deterministically from the raw source bytes, so the same
+    key always resolves the same physical layout."""
     import hashlib
 
-    key = repr(sorted(ROW_ID_SQL.items())) + f":parts={parts}"
+    key = (
+        repr(sorted(ROW_ID_SQL.items()))
+        + f":parts={parts}:target={TARGET_INGEST_FILE_BYTES}"
+    )
     ver = hashlib.md5(key.encode()).hexdigest()[:8]
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(f"/tmp/scdataset_spark_ingest_{ver}", base)
@@ -184,12 +224,13 @@ def ensure_ingested(
         out = os.path.join(ingest_dir(sf_dir, parts), f"{name}.parquet")
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             return
+        t_parts = table_ingest_parts(spark, sf_dir, name)
         if name == "lineitem" and slices > 1:
-            _ingest_lineitem_sliced(spark, sf_dir, out, parts, slices)
+            _ingest_lineitem_sliced(spark, sf_dir, out, t_parts, slices)
             return
         df = load_table(spark, name, sf_dir, with_row_id=True, use_ingested=False)
         (
-            df.repartitionByRange(parts, "row_id")
+            df.repartitionByRange(t_parts, "row_id")
             .sortWithinPartitions("row_id")
             .write.mode("overwrite")
             .parquet(out)
