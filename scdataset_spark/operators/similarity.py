@@ -56,6 +56,40 @@ def cosine_norm_expr(a: str, b: str, na: str, nb: str, digits: int = 4) -> F.Col
     return F.expr(f"round(({dot}) / (({na}) * ({nb})), {digits})")
 
 
+# Candidate-side INPUT BYTES above which brute_force_topk defaults to
+# the salted two-phase top-k.  The per-group window volume that makes
+# the single-window shape a hot-group hazard is ~the whole corpus per
+# query; the measured wall is ~2.4 M 64-dim vectors (~600 MB of
+# parquet, r8 audit), while at bench scales the two-phase's two extra
+# exchanges cost 30-40 % of the whole query (r16 interleaved A/B:
+# 0.696->0.423 s at sf0.1, 0.462->0.322 s at sf1, identical rows).
+# 64 MB (~100k vectors, the AUTO_SCALE_ROWS contract expressed in
+# bytes so the gate stays LAZY — a file-size probe, never a count job)
+# flips to the scale shape ~10x before the measured wall.
+TWO_PHASE_MIN_BYTES = 64 << 20
+
+
+def _input_file_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the frame's (local-filesystem) input files —
+    driver-side, no Spark job; None when there is no file lineage."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return None
+            total += _os.path.getsize(p.path)
+        return total
+    except Exception:
+        return None
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -63,13 +97,13 @@ def brute_force_topk(
     query_id: str = "q_id",
     cand_id: str = "c_id",
     vec: str = "embedding",
-    two_phase: bool = True,
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the
     candidate stream; rank by rounded cosine with id tiebreak so the
     top-k frontier is engine-deterministic.
 
-    ``two_phase`` (default) ranks through the salted exact top-k
+    ``two_phase=True`` ranks through the salted exact top-k
     (:func:`~scdataset_spark.operators.skew.per_group_top_k`): a plain
     ``row_number() OVER (PARTITION BY q_id)`` funnels each query's
     ENTIRE scored candidate list — the whole corpus — through one
@@ -77,8 +111,14 @@ def brute_force_topk(
     construction.  The salted form keeps per-reducer volume at
     ~n/salts and re-ranks only ``salts·k`` survivors per query; the
     result is identical (exact top-k is closed under per-salt top-k
-    union).  ``False`` keeps the single-window shape for tiny corpora.
+    union).  ``False`` keeps the single-window shape for small corpora.
+    ``None`` (default, r16) picks by the candidate frame's input-file
+    bytes (``TWO_PHASE_MIN_BYTES``) — lazy, physical-only, and safe:
+    frames with no file lineage take the two-phase scale shape.
     """
+    if two_phase is None:
+        nbytes = _input_file_bytes(candidates)
+        two_phase = nbytes is None or nbytes >= TWO_PHASE_MIN_BYTES
     q = queries.select(
         F.col(query_id), F.col(vec).alias("_qv"), norm_col(vec).alias("_qn")
     )

@@ -44,13 +44,16 @@ from scdataset_spark.queries import quality  # noqa: F401,E402
 # latency, not untested surface.
 # Names and semantics are frozen; only iteration order changes.
 _SWEEP_PRIORITY = [
-    # --- physical plan changed in round 16 (similarity Python-stage partitioning, block-permute offsets scale path) — external check invalidated; q3 rides along for the r15 drift-closure re-check ---
+    # --- physical plan changed in round 16 (similarity Python-stage partitioning, block-permute offsets scale path, weighted-draws single scan, bytes-gated top-k shape) — external check invalidated; q3 rides along for the r15 drift-closure re-check ---
     "dd_embed_cosine_fast",
     "o1_block_shuffle",
     "o9_epoch_reshuffle",
     "o15_block_shuffle_droplast",
     "o3_weighted_replace",
     "q3_shipping_priority",
+    "sim_topk_cosine",
+    "sim_ivf_recall",
+    "sim_mmr_topk",
     # --- rewritten in round 15 (fact-broadcast/window fixes, weighted family composition) but NOT in the r15 external sample (VERDICT r15 task 3) ---
     "q10_returned_revenue",
     "q11_important_stock",
@@ -184,7 +187,6 @@ _SWEEP_PRIORITY = [
     # --- externally checked in round 15 (freshest) ---
     "o26_unimax_budget",
     "tx_gopher_rules",
-    "sim_mmr_topk",
     "dq_embedding_drift",
     "tx_curriculum_order",
     "tx_distinct_ngrams",
@@ -204,7 +206,6 @@ _SWEEP_PRIORITY = [
     "dd_dedup_corpus",
     "dd_embed_cosine",
     "dd_embed_components",
-    "sim_topk_cosine",
     "sim_lsh_ann",
     "sim_ivf_ann",
     "mm_multimodal_zip",
@@ -213,7 +214,6 @@ _SWEEP_PRIORITY = [
     "tx_token_budget_per_source_bucketed",
     "sim_ivf_index_stats",
     "sim_ivf_index_rebuild",
-    "sim_ivf_recall",
     "tx_quality_rank_by_source",
     "tx_quality_rank_by_source_bucketed",
     "pipe_curation",

@@ -141,6 +141,44 @@ class TestWeightedDrawsSingleScan:
         assert "_lo" not in plan and "_hi" not in plan
 
 
+class TestTopkShapeGate:
+    def test_small_corpus_takes_single_window(self, spark):
+        """File-backed candidates under TWO_PHASE_MIN_BYTES rank through
+        ONE per-query window (no salt column in the plan); forcing
+        two_phase gives identical rows (r16 A/B: single-window is
+        30-40% faster at bench scales, two-phase is the >=100k-vector
+        hot-group posture)."""
+        import scdataset_spark.operators.similarity as sim
+        from scdataset_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "embeddings", SF_DIR_SMALL, with_row_id=False)
+        q = e.where("vec_id < 3").select(F.col("vec_id").alias("q_id"), "embedding")
+        c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+        assert sim._input_file_bytes(c) is not None
+        auto = sim.brute_force_topk(q, c, k=5)
+        assert "_salt" not in _plan(auto)
+        forced = sim.brute_force_topk(q, c, k=5, two_phase=True)
+        assert "_salt" in _plan(forced)
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, forced.collect())
+        )
+
+    def test_no_file_lineage_takes_scale_shape(self, spark):
+        import scdataset_spark.operators.similarity as sim
+        from pyspark.sql import functions as F
+
+        vecs = spark.range(32).select(
+            F.col("id").alias("c_id"),
+            F.expr(
+                "transform(sequence(1, 8), i -> CAST(id % (i + 1) AS DOUBLE))"
+            ).alias("embedding"),
+        )
+        q = vecs.where("c_id < 2").withColumnRenamed("c_id", "q_id")
+        assert sim._input_file_bytes(vecs) is None
+        assert "_salt" in _plan(sim.brute_force_topk(q, vecs, k=3))
+
+
 class TestSimilarityPythonStagePartitions:
     def test_gram_stage_keeps_configured_partitions(self, spark):
         import scdataset_spark.operators.similarity as sim
