@@ -145,28 +145,47 @@ class BlockShuffling(SamplingStrategy):
         out = self._pos0(self._subset(df))
         if self.drop_last:
             # The k = n % block_size rows with the largest drop keys are
-            # removed ENTIRELY in-plan: rows are ranked ascending by
-            # (drop_key, pos0 DESC) with the bucketed distributed
-            # numbering, n rides in as a broadcast scalar agg, and the
-            # trailing k ranks are filtered out.  Ascending
-            # (key, pos0 DESC) is the comparator-reversal of the
-            # oracle's (key DESC, pos0): the last k rows are exactly its
-            # top-k, ties included.  plan() stays lazy — no Spark job
-            # runs until the caller acts (asserted in tests).
-            ranked = _rank_by_key(
-                out.withColumn("_dk", F.expr(mix_sql("pos0", s + 1, "spark"))),
-                key_col="_dk",
-                tiebreak_col="pos0",
-                out_col="_drnk",
-                buckets=POS_BUCKETS,
+            # removed ENTIRELY in-plan.  k < block_size by construction,
+            # so the drop set is the top-(block_size-1) rows by
+            # (drop_key DESC, pos0 ASC) — a sort-LIMIT
+            # (TakeOrderedAndProject: per-partition top-k, no full-data
+            # shuffle) — ranked in a ≤(block_size-1)-row window and
+            # trimmed to k with n riding in as a broadcast scalar agg
+            # (ties included, same order as the oracle's row_number).
+            # The kept rows' dense 0..m-1 positions are then ARITHMETIC —
+            # pos0 minus the count of dropped positions below it, from
+            # the sorted ≤(block_size-1)-element drop-set array on a
+            # 1-row broadcast — instead of a second full bucketed
+            # re-rank: both full-data shuffles of the pre-r16 shape
+            # disappear (A/B: 4x warm at sf0.1, 3.8x at sf1,
+            # artifacts/r16/ab_o15_droptopk_*.jsonl).  plan() stays
+            # lazy — no Spark job runs until the caller acts (asserted
+            # in tests).
+            cand = (
+                out.select(
+                    F.col("pos0").alias("_dp"),
+                    F.expr(mix_sql("pos0", s + 1, "spark")).alias("_dk"),
+                )
+                .orderBy(F.col("_dk").desc(), F.col("_dp").asc())
+                .limit(max(self.block_size - 1, 0))
             )
+            w_c = Window.orderBy(F.col("_dk").desc(), F.col("_dp").asc())
+            ranked = cand.withColumn("_drnk", F.row_number().over(w_c))
             n_agg = out.agg(F.count(F.lit(1)).alias("_n"))
-            kept = (
+            drop_arr = (
                 ranked.crossJoin(F.broadcast(n_agg))
-                .where(F.col("_drnk") < F.col("_n") - F.col("_n") % self.block_size)
-                .drop("_dk", "_drnk", "_n")
+                .where(F.col("_drnk") <= F.col("_n") % self.block_size)
+                .agg(F.sort_array(F.collect_list("_dp")).alias("_darr"))
             )
-            out = with_pos(kept.drop("pos0"), "row_id", "pos0", buckets=POS_BUCKETS)
+            out = (
+                out.crossJoin(F.broadcast(drop_arr))
+                .where(~F.expr("array_contains(_darr, pos0)"))
+                .withColumn(
+                    "pos0",
+                    F.col("pos0") - F.expr("size(filter(_darr, x -> x < pos0))"),
+                )
+                .drop("_darr")
+            )
         # drop the internal block_id for schema consistency with the
         # other strategies (BlockWeightedSampling already drops it)
         return _block_permute_pos(out, self.block_size, s).drop("block_id")
@@ -357,28 +376,6 @@ def _block_permute_pos(out: DataFrame, block_size: int, s: int) -> DataFrame:
             "pos", F.col("_bstart") + F.col("pos0") - F.col("block_id") * block_size
         )
         .drop("pos0", "_bstart")
-    )
-
-
-def _rank_by_key(
-    df: DataFrame,
-    key_col: str,
-    tiebreak_col: str,
-    out_col: str,
-    buckets: int = 64,
-) -> DataFrame:
-    """0-based rank by (``key_col`` ASC, ``tiebreak_col`` DESC) — the
-    shared :func:`plans.plan.bucketed_rank` primitive with a descending
-    tiebreak (equal keys share a bucket, so the tiebreak stays
-    bucket-local and the global order is exact)."""
-    from scdataset_spark.plans.plan import bucketed_rank
-
-    return bucketed_rank(
-        df,
-        key_col,
-        [(key_col, "asc"), (tiebreak_col, "desc")],
-        out_col=out_col,
-        buckets=buckets,
     )
 
 
@@ -951,7 +948,8 @@ class StratifiedSampling(SamplingStrategy):
     cardinality is label-sized), one per-stratum window rank (shuffle
     partitioned BY STRATUM; a pathologically hot stratum inherits the
     window's single-reducer cost — at that point rank via the bucketed
-    ``_rank_by_key`` per stratum), then the kept rows are re-numbered
+    ``plans.plan.grouped_bucketed_rank`` per stratum), then the kept
+    rows are re-numbered
     to dense ``pos`` in row_id order (a computed subset is fetched
     sorted, like the reference's).
     """

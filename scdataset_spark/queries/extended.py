@@ -572,7 +572,8 @@ def w5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window battery — ntile / percent_rank / cume_dist
     over orders per priority class.  Demonstrates the analytic-function
     surface; for a pathologically hot partition the bucketed
-    ``_rank_by_key`` posture applies (see O19 notes)."""
+    ``plans.plan.grouped_bucketed_rank`` posture applies (see O19
+    notes)."""
     orders = load_table(spark, "orders", sf_dir, with_row_id=False)
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return orders.select(

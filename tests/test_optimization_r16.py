@@ -208,3 +208,70 @@ class TestSimilarityPythonStagePartitions:
             emb, id_col="vec_id", vec="v", threshold=0.98, n_rows=64
         )
         assert "REPARTITION_BY_NUM" in _plan(out)
+
+
+class TestDropLastTopK:
+    """drop_last's k = n % block_size rows come from a sort-LIMIT
+    top-(block_size-1) candidate pass + arithmetic re-rank, replacing
+    two full bucketed global ranks — values must equal the global-window
+    reference at every remainder edge (k = 0, 0 < k < block, k = n)."""
+
+    def _reference(self, spark, n, block, seed):
+        from scdataset_spark.plans.seeds import mix_sql
+
+        p = spark.range(n).select(
+            F.col("id").alias("row_id"), F.col("id").alias("pos0")
+        )
+        k = n % block
+        w_d = Window.orderBy(
+            F.expr(mix_sql("pos0", seed + 1, "spark")).desc(),
+            F.col("pos0").asc(),
+        )
+        kept = (
+            p.withColumn("_drnk", F.row_number().over(w_d))
+            .where(F.col("_drnk") > k)
+            .drop("_drnk")
+        )
+        w_p = Window.orderBy("row_id")
+        kept = kept.withColumn("pos0", F.row_number().over(w_p) - F.lit(1))
+        w_b = Window.orderBy(
+            F.expr(mix_sql(f"pos0 div {block}", seed, "spark")), F.col("pos0")
+        )
+        return _collect_pos(
+            kept.withColumn("pos", F.row_number().over(w_b) - F.lit(1)).select(
+                "row_id", "pos"
+            )
+        )
+
+    @pytest.mark.parametrize(
+        "n,block",
+        [
+            (1000, 64),  # k = 40: the generic drop
+            (1024, 64),  # k = 0: nothing drops
+            (37, 64),    # k = n: the whole partial block drops
+            (1000, 1),   # k always 0 at block 1 (limit(0) candidate set)
+        ],
+    )
+    def test_topk_drop_equals_global_window_reference(self, spark, n, block):
+        base = spark.range(n).select(F.col("id").alias("row_id"))
+        got = _collect_pos(
+            st.BlockShuffling(block_size=block, drop_last=True, assume_dense=True)
+            .plan(base, seed=7)
+            .select("row_id", "pos")
+        )
+        assert got == self._reference(spark, n, block, seed=7)
+
+    def test_drop_path_has_no_full_data_rank(self, spark):
+        """The drop set must come from TakeOrderedAndProject; the
+        pre-r16 full bucketed ranks keyed their data exchanges on
+        _bucket — neither may reappear."""
+        from scdataset_spark.catalog import load_table
+
+        li = load_table(spark, "lineitem", SF_DIR_SMALL)
+        plan = _plan(
+            st.BlockShuffling(block_size=64, drop_last=True, assume_dense=True)
+            .plan(li, seed=7)
+            .select("row_id", "pos")
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "hashpartitioning(_bucket" not in plan
